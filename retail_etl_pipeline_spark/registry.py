@@ -1,0 +1,528 @@
+"""Query registry: name -> (Spark callable, DuckDB oracle SQL).
+
+This is the driver-facing inventory (SURVEY.md §2): every implemented
+operator has a named query here, a Spark implementation (taking
+``(spark, sf_dir)``) and — when SQL-expressible — an exactly-equivalent
+ANSI SQL string the DuckDB oracle runs on the same parquet tables.
+
+Alignment rules (SURVEY.md §5, FIXTURES.md):
+- every computed column aliased identically on both sides;
+- money sums/ratios rounded via DECIMAL (see functions.metrics — double
+  rounding is not cross-engine-stable at exact ties) on both sides;
+- ``NULLIF(denom, 0)`` in SQL to match Spark's null-on-divide-by-zero;
+- ``CAST(SUM(int) AS BIGINT)`` in SQL (DuckDB sums ints to HUGEINT);
+- week keys cast to INTEGER on both sides;
+- deterministic tie-breaks on every window/top-k.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.metrics import (
+    DECIMAL_SUM_SQL,
+    MONEY_SQL,
+    MONEY_SUM_SQL,
+    decimal_sum,
+    money,
+    money_sum,
+    safe_div,
+)
+from .operators import fixtures_adapter as fx
+from .operators import retail
+from .plans import weekly_summary as ws
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _m(x: str) -> str:
+    """money(): decimal-stable round-to-cents of a scalar expression."""
+    return MONEY_SQL.format(x=x)
+
+
+def _ms(x: str) -> str:
+    """money_sum(): exact decimal sum rounded to cents."""
+    return MONEY_SUM_SQL.format(x=x)
+
+
+def _ds(x: str) -> str:
+    """decimal_sum(): exact decimal sum as double (for ratio numerators)."""
+    return DECIMAL_SUM_SQL.format(x=x)
+
+
+# common SQL fragments
+_WEEK = "CAST(isoyear({d}) * 100 + weekofyear({d}) AS INTEGER)"
+_W_TRANS = _WEEK.format(d="trans_dt")
+_W_CAL = _WEEK.format(d="cal_dt")
+
+_MERGED_CTE = f"""
+merged AS (
+  SELECT s.*,
+         i.cal_dt,
+         i.inventory_on_hand_qty,
+         i.inventory_on_order_qty,
+         i.out_of_stock_flg,
+         CASE WHEN i.inventory_on_hand_qty < s.sales_qty THEN 1 ELSE 0 END
+           AS low_stock_flg,
+         {_W_TRANS} AS yr_wk_num
+  FROM sales s
+  JOIN inventory i
+    ON s.prod_key = i.prod_key
+   AND s.store_key = i.store_key
+   AND s.trans_dt = i.cal_dt
+)"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 A1-A4: weekly sales rollup (the Phase-1 end-to-end slice)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "weekly_sales_rollup",
+    f"""
+WITH {fx.SALES_CTE.strip()}
+SELECT {_W_TRANS} AS yr_wk_num,
+       store_key,
+       prod_key,
+       {_m("SUM(sales_qty)")} AS total_sales_qty,
+       {_ms("sales_amt")} AS total_sales_amt,
+       {_m(f"{_ds('sales_amt')} / NULLIF(SUM(sales_qty), 0)")} AS avg_sales_amt,
+       {_ms("sales_cost")} AS total_sales_cost
+FROM sales
+GROUP BY 1, 2, 3
+""",
+)
+def weekly_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A4+A12 (``Data Transformation.py:62-67``): one hash aggregate,
+    partial map-side combine; no pre-sort (the reference's per-intermediate
+    ``orderBy`` shuffles are dropped, SURVEY.md §4)."""
+    s = retail.add_week(fx.sales(spark, sf_dir), "trans_dt")
+    return retail.weekly_sales_agg(s)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 J2/J3: calendar + store dim joins (broadcast)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "weekly_sales_by_region",
+    f"""
+WITH {fx.SALES_CTE.strip()},
+{fx.STORE_CTE.strip()},
+{fx.CALENDAR_CTE.strip()}
+SELECT c.yr_wk_num,
+       st.region,
+       {_ms("s.sales_amt")} AS total_sales_amt,
+       COUNT(*) AS line_count
+FROM sales s
+JOIN calendar c ON s.trans_dt = c.cal_dt
+JOIN store st ON s.store_key = st.store_key
+GROUP BY 1, 2
+""",
+)
+def weekly_sales_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (fact ⋈ calendar on differently-named dates) + J3 (fact ⋈ store) —
+    both dims broadcast; one shuffle total (the group-by)."""
+    s = fx.sales(spark, sf_dir)
+    cal = fx.calendar_dim(spark, sf_dir)
+    st = fx.store_dim(spark, sf_dir)
+    joined = retail.join_calendar(s, cal, "trans_dt").join(
+        F.broadcast(st), "store_key", "inner"
+    )
+    return joined.groupBy("yr_wk_num", "region").agg(
+        money_sum(F.col("sales_amt")).alias("total_sales_amt"),
+        F.count(F.lit(1)).alias("line_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 W1: end-of-week state (window form and single-pass max_by form)
+# ---------------------------------------------------------------------------
+
+_EOW_ORACLE = f"""
+WITH {fx.EVENTS_INV_CTE.strip()},
+ranked AS (
+  SELECT {_W_CAL} AS yr_wk_num,
+         store_key,
+         inventory_on_hand_qty,
+         inventory_on_order_qty,
+         row_number() OVER (
+           PARTITION BY {_W_CAL}, store_key
+           ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events_inv
+)
+SELECT yr_wk_num,
+       store_key,
+       inventory_on_hand_qty AS eow_on_hand_qty,
+       inventory_on_order_qty AS eow_on_order_qty
+FROM ranked
+WHERE rn = 1
+"""
+
+
+@_register("eow_inventory_window", _EOW_ORACLE)
+def eow_inventory_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 as written (``Data Transformation.py:71-74,79-82``): row_number
+    over (grain, ts desc) with a unique tie-breaker, keep row 1."""
+    inv = retail.add_week(fx.events_inventory(spark, sf_dir), "cal_dt")
+    return retail.eow_snapshot_window(
+        inv,
+        grain=["yr_wk_num", "store_key"],
+        order_cols=["ts", "event_id"],
+        value_cols={
+            "inventory_on_hand_qty": "eow_on_hand_qty",
+            "inventory_on_order_qty": "eow_on_order_qty",
+        },
+    )
+
+
+@_register("eow_inventory_single_pass", _EOW_ORACLE)
+def eow_inventory_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 re-planned: ``max_by(value, (ts, event_id))`` — one hash aggregate
+    instead of sort+rank+filter; same result, cheaper at scale."""
+    inv = retail.add_week(fx.events_inventory(spark, sf_dir), "cal_dt")
+    return retail.eow_snapshot_maxby(
+        inv,
+        grain=["yr_wk_num", "store_key"],
+        order_cols=["ts", "event_id"],
+        value_cols={
+            "inventory_on_hand_qty": "eow_on_hand_qty",
+            "inventory_on_order_qty": "eow_on_order_qty",
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 A6-A9 flag aggregations over the observation stream
+# ---------------------------------------------------------------------------
+
+_OOS_DAYS = "COUNT(DISTINCT CASE WHEN out_of_stock_flg = 1 THEN cal_dt END)"
+
+
+@_register(
+    "out_of_stock_week",
+    f"""
+WITH {fx.EVENTS_INV_CTE.strip()}
+SELECT {_W_CAL} AS yr_wk_num,
+       store_key,
+       {_m(f"CAST({_OOS_DAYS} AS DOUBLE) / 7")} AS out_of_stock_count
+FROM events_inv
+GROUP BY 1, 2
+""",
+)
+def out_of_stock_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (``Data Transformation.py:93-96``): distinct out-of-stock days / 7."""
+    inv = retail.add_week(fx.events_inventory(spark, sf_dir), "cal_dt")
+    return retail.out_of_stock_week(inv)
+
+
+@_register(
+    "no_stock_instances",
+    f"""
+WITH {fx.EVENTS_INV_CTE.strip()}
+SELECT {_W_CAL} AS yr_wk_num,
+       store_key,
+       CAST(SUM(CASE WHEN out_of_stock_flg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS no_stock_instances
+FROM events_inv
+GROUP BY 1, 2
+""",
+)
+def no_stock_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7+F2 (``Data Transformation.py:111-112,141-144``), single-pass
+    conditional count."""
+    inv = retail.add_week(fx.events_inventory(spark, sf_dir), "cal_dt")
+    return retail.no_stock_instances(inv)
+
+
+@_register(
+    "low_stock_count",
+    f"""
+WITH {fx.EVENTS_INV_CTE.strip()}
+SELECT {_W_CAL} AS yr_wk_num,
+       store_key,
+       CAST(SUM(low_stock_flg) AS BIGINT) AS low_stock_count
+FROM events_inv
+GROUP BY 1, 2
+""",
+)
+def low_stock_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 with intended semantics (Q4): sum(flag) on the full weekly grain."""
+    inv = retail.add_week(fx.events_inventory(spark, sf_dir), "cal_dt")
+    return retail.low_stock_count(inv)
+
+
+@_register(
+    "total_low_stock_impact",
+    f"""
+WITH {fx.EVENTS_INV_CTE.strip()}
+SELECT {_W_CAL} AS yr_wk_num,
+       store_key,
+       {_m(f"CAST({_OOS_DAYS} AS DOUBLE) / 7 + CAST(SUM(low_stock_flg) AS DOUBLE)")}
+         AS total_low_stock_impact
+FROM events_inv
+GROUP BY 1, 2
+""",
+)
+def total_low_stock_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9+J5 (``Data Transformation.py:121-126``) — the reference's
+    two-relations-then-join collapsed into one pass."""
+    inv = retail.add_week(fx.events_inventory(spark, sf_dir), "cal_dt")
+    return retail.total_low_stock_impact(inv)
+
+
+# ---------------------------------------------------------------------------
+# §2.5 A10/A11 over the merged fact-fact join
+# ---------------------------------------------------------------------------
+
+@_register(
+    "potential_low_stock_impact",
+    f"""
+WITH {fx.SALES_CTE.strip()},
+{fx.INVENTORY_CTE.strip()},
+{_MERGED_CTE.strip()}
+SELECT yr_wk_num,
+       store_key,
+       prod_key,
+       {_m("SUM(sales_qty) - SUM(inventory_on_hand_qty)")}
+         AS potential_low_stock_impact
+FROM merged
+WHERE low_stock_flg = 1
+GROUP BY 1, 2, 3
+""",
+)
+def potential_low_stock_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+F3+J6 (``Data Transformation.py:132-136``): filter low-stock rows,
+    weekly sum(sold) - sum(on-hand). Filter sits directly on the scan side of
+    the aggregate (predicate pushdown applies)."""
+    m = ws.merged(spark, sf_dir)
+    return (
+        m.where(F.col("low_stock_flg") == 1)
+        .groupBy(*retail.WEEK_GRAIN)
+        .agg(
+            money(
+                F.sum("sales_qty") - F.sum("inventory_on_hand_qty")
+            ).alias("potential_low_stock_impact")
+        )
+    )
+
+
+@_register(
+    "weeks_supply",
+    f"""
+WITH {fx.SALES_CTE.strip()},
+{fx.INVENTORY_CTE.strip()},
+{_MERGED_CTE.strip()}
+SELECT yr_wk_num,
+       store_key,
+       prod_key,
+       {_m("arg_max(inventory_on_hand_qty, cal_dt) / NULLIF(SUM(sales_qty), 0)")}
+         AS weeks_supply
+FROM merged
+GROUP BY 1, 2, 3
+""",
+)
+def weeks_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 with intended semantics (Q6): end-of-week on-hand ÷ weekly sold
+    qty — not the reference's grouping-key smuggle
+    (``Data Transformation.py:150-152``)."""
+    m = ws.merged(spark, sf_dir)
+    return m.groupBy(*retail.WEEK_GRAIN).agg(
+        money(
+            safe_div(
+                F.max_by("inventory_on_hand_qty", F.col("cal_dt")),
+                F.sum("sales_qty"),
+            )
+        ).alias("weeks_supply")
+    )
+
+
+# ---------------------------------------------------------------------------
+# the flagship: 13-metric weekly summary (single-pass and reference-shaped)
+# ---------------------------------------------------------------------------
+
+_SUMMARY_ORACLE = f"""
+WITH {fx.SALES_CTE.strip()},
+{fx.INVENTORY_CTE.strip()},
+{_MERGED_CTE.strip()}
+SELECT yr_wk_num,
+       store_key,
+       prod_key,
+       {_m("SUM(sales_qty)")} AS total_sales_qty,
+       {_ms("sales_amt")} AS total_sales_amt,
+       {_m(f"{_ds('sales_amt')} / NULLIF(SUM(sales_qty), 0)")} AS avg_sales_amt,
+       {_ms("sales_cost")} AS total_sales_cost,
+       {_m("arg_max(inventory_on_hand_qty, cal_dt)")} AS eow_on_hand_qty,
+       {_m("arg_max(inventory_on_order_qty, cal_dt)")} AS eow_on_order_qty,
+       {_OOS_DAYS} AS out_of_stock_days,
+       {_m(f"CAST({_OOS_DAYS} AS DOUBLE) / 7")} AS out_of_stock_rate,
+       CAST(SUM(low_stock_flg) AS BIGINT) AS low_stock_count,
+       CAST(SUM(CASE WHEN out_of_stock_flg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS no_stock_instances,
+       {_m(f"CAST({_OOS_DAYS} AS DOUBLE) / 7 + CAST(SUM(low_stock_flg) AS DOUBLE)")}
+         AS total_low_stock_impact,
+       {_m("SUM(CASE WHEN low_stock_flg = 1 THEN sales_qty - inventory_on_hand_qty END)")}
+         AS potential_low_stock_impact,
+       {_m("arg_max(inventory_on_hand_qty, cal_dt) / NULLIF(SUM(sales_qty), 0)")}
+         AS weeks_supply
+FROM merged
+GROUP BY 1, 2, 3
+"""
+
+
+@_register("weekly_summary", _SUMMARY_ORACLE)
+def weekly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's entire ``df_final`` (``Data Transformation.py:
+    156-175``) as ONE aggregation pass — 13 metrics, no self-joins."""
+    return ws.weekly_summary(spark, sf_dir)
+
+
+@_register("weekly_summary_assembled", _SUMMARY_ORACLE)
+def weekly_summary_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-shaped plan (J5-J7): separate aggregate relations re-joined
+    on the weekly grain, base persisted. Same output as ``weekly_summary``."""
+    return ws.weekly_summary_assembled(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# §2.3 F4 + §2.1 S5: filtered export semantics
+# ---------------------------------------------------------------------------
+
+@_register(
+    "orders_to_date",
+    """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM orders
+WHERE CAST(o_orderdate AS DATE) <= current_date
+""",
+)
+def orders_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 (``Data Load.sql:4,11``): date-upper-bound export filter."""
+    return fx._read(spark, sf_dir, "orders").where(
+        F.to_date("o_orderdate") <= F.current_date()
+    )
+
+
+# ---------------------------------------------------------------------------
+# general SQL capability: classic pricing-summary + top-k + dim rollup
+# ---------------------------------------------------------------------------
+
+@_register(
+    "pricing_summary",
+    f"""
+SELECT l_returnflag,
+       l_linestatus,
+       {_m("SUM(l_quantity)")} AS sum_qty,
+       {_ms("l_extendedprice")} AS sum_base_price,
+       {_ms("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       {_ms("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       {_m("SUM(l_quantity) / NULLIF(COUNT(*), 0)")} AS avg_qty,
+       {_m(f"{_ds('l_extendedprice')} / NULLIF(COUNT(*), 0)")} AS avg_price,
+       {_m(f"{_ds('l_discount')} / NULLIF(COUNT(*), 0)")} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan-side filter + wide hash agg.
+    Averages as ratio-of-sums so both engines accumulate identically."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    cnt = F.count(F.lit(1))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money(F.sum("l_quantity")).alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            money(safe_div(F.sum("l_quantity"), cnt)).alias("avg_qty"),
+            money(safe_div(decimal_sum(F.col("l_extendedprice")), cnt)).alias(
+                "avg_price"
+            ),
+            money(safe_div(decimal_sum(F.col("l_discount")), cnt)).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "top_parts_by_revenue",
+    f"""
+WITH {fx.SALES_CTE.strip()},
+{fx.PRODUCT_CTE.strip()},
+rev AS (
+  SELECT prod_key, {_ms("sales_amt")} AS revenue
+  FROM sales GROUP BY prod_key
+)
+SELECT r.prod_key, p.prod_name, p.brand_name, r.revenue
+FROM rev r JOIN product p ON r.prod_key = p.prod_key
+ORDER BY r.revenue DESC, r.prod_key ASC
+LIMIT 100
+""",
+)
+def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by aggregate: hash agg -> broadcast dim join -> global top-100
+    (Spark TakeOrderedAndProject — no full sort materialization).
+    Deterministic tie-break on prod_key; revenue is an exact decimal sum so
+    the ranking itself is engine-stable."""
+    s = fx.sales(spark, sf_dir)
+    p = fx.product_dim(spark, sf_dir)
+    rev = s.groupBy("prod_key").agg(money_sum(F.col("sales_amt")).alias("revenue"))
+    return (
+        rev.join(F.broadcast(p), "prod_key", "inner")
+        .select("prod_key", "prod_name", "brand_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("prod_key"))
+        .limit(100)
+    )
+
+
+@_register(
+    "segment_order_stats",
+    f"""
+SELECT c.c_mktsegment,
+       COUNT(*) AS order_count,
+       {_ms("o.o_totalprice")} AS total_price,
+       {_m(f"{_ds('o.o_totalprice')} / NULLIF(COUNT(*), 0)")} AS avg_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer dim join + rollup on a low-cardinality key (5 segments)."""
+    o = fx._read(spark, sf_dir, "orders")
+    c = fx._read(spark, sf_dir, "customer")
+    cnt = F.count(F.lit(1))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            cnt.alias("order_count"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+            money(safe_div(decimal_sum(F.col("o_totalprice")), cnt)).alias(
+                "avg_price"
+            ),
+        )
+    )

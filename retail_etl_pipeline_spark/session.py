@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+The reference hard-codes ``.master("Yarn")`` (an invalid master URL,
+reference ``Data Transformation.py:19`` — SURVEY.md §2.9 Q2) and passes S3
+credentials inline (``Data Transformation.py:16-18``). Here the master comes
+from the environment and all scale-relevant knobs are set declaratively so
+Catalyst/AQE can do the physical planning:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  dynamic broadcast) — the 100 TB safety net.
+- Arrow enabled for the Pandas-UDF extension operators.
+- ``spark.sql.shuffle.partitions`` sized from the environment; on a real
+  cluster this should be ~2-3x total cores (AQE coalesces down).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_APP_NAME = "retail_etl_pipeline_spark"
+
+
+def get_spark(
+    app_name: str = _APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession configured for this engine.
+
+    Master resolution order: explicit arg > $SPARK_MASTER > local[N] where
+    N = $SPARK_GRAFT_CPUS or all cores. Never hard-coded (fixes the
+    reference's ``.master("Yarn")``, ``Data Transformation.py:19``).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get(
+                "SPARK_SHUFFLE_PARTITIONS",
+                cpus if cpus not in ("*", "") else os.cpu_count() or 8,
+            )
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- adaptive execution: runtime re-planning at scale -------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing ------------------------------------------------
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- python <-> jvm data path: Arrow batches, never pickled rows ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- parquet TIMESTAMP(NANOS) (events.ts) read as long nanos;
+        #     fixtures_adapter converts to a microsecond timestamp ----------
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- deterministic session timezone for date/window semantics ------
+        .config("spark.sql.session.timeZone", "UTC")
+        # quiet the local UI in tests/bench
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

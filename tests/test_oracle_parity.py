@@ -1,0 +1,27 @@
+"""Differential tests: every registered query vs its DuckDB oracle at
+sf0.001 — the same comparison the driver runs at sf0.01 (SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from retail_etl_pipeline_spark.registry import ORACLES, QUERIES
+
+from .oracle_utils import compare
+
+PARAMS = sorted(ORACLES.keys())
+
+
+@pytest.mark.parametrize("name", PARAMS)
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    problems = compare(df, duck, ORACLES[name])
+    assert not problems, f"{name}: " + " | ".join(problems)
+
+
+def test_every_query_has_rows(spark, sf_dir):
+    """Queries without oracles still must run and be stable."""
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        n = df.count()
+        assert n >= 0, name
