@@ -1,0 +1,294 @@
+"""Deduplication operators for large-scale training-data pipelines
+(SURVEY.md §2.10 / BASELINE.json north star).
+
+- exact dedup: hash-groupBy on content (or its 60-bit fingerprint at scale)
+- n-gram Jaccard near-dup: shingle -> inverted-index self-join -> exact
+  Jaccard (the verification pass)
+- MinHash + LSH near-dup: shingle -> 16 minhashes -> 4 bands -> band-bucket
+  join (the candidate-generation pass that avoids the quadratic join)
+
+Scale notes (100 TB):
+- all joins are key-equi joins on shingle/band hashes — shuffle-partitioned,
+  no cross joins anywhere;
+- shingles are 60-bit ints (md5 prefix), not strings: an order of magnitude
+  less shuffle volume than raw 3-gram text keys;
+- the LSH band join only collides docs that share a full band (4 matching
+  minhashes), so the candidate set stays near-linear in practice; the exact
+  Jaccard verify runs only on candidates.
+
+Every operator has a DuckDB-oracle SQL equivalent generated from the SAME
+Python constants (hash parameters, band layout, thresholds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import TOKENS_SQL, fingerprint64, fingerprint64_sql, tokens
+
+# ---------------------------------------------------------------------------
+# shared constants
+# ---------------------------------------------------------------------------
+
+#: words per shingle
+SHINGLE_N = 3
+#: Jaccard threshold for reported near-duplicates
+JACCARD_THRESHOLD = 0.1
+#: Mersenne prime modulus for the minhash permutations (fits products in i64)
+MINHASH_P = 2_147_483_647
+#: (a, b) parameters of the 16 universal-hash permutations
+#: h_i(x) = (a_i * (x % P) + b_i) % P  — fixed, deterministic
+MINHASH_HASHERS: tuple[tuple[int, int], ...] = (
+    (1_203_077, 92_821),
+    (2_038_079, 415_729),
+    (3_854_923, 678_347),
+    (5_009_419, 1_093_511),
+    (6_672_911, 1_374_679),
+    (7_919_771, 2_046_263),
+    (9_576_889, 2_693_561),
+    (11_261_131, 3_335_171),
+    (13_007_309, 4_100_981),
+    (15_485_863, 4_792_057),
+    (17_624_813, 5_519_293),
+    (19_883_981, 6_211_979),
+    (22_801_763, 7_368_787),
+    (25_165_843, 8_061_511),
+    (27_644_437, 9_241_117),
+    (30_402_457, 10_000_019),
+)
+#: LSH layout: BANDS x ROWS_PER_BAND must equal len(MINHASH_HASHERS)
+LSH_BANDS = 4
+LSH_ROWS = 4
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+def shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) — distinct 60-bit ids of word SHINGLE_N-grams."""
+    t = tokens(F.col("text"))
+    grams = F.when(
+        F.size(t) >= SHINGLE_N,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - SHINGLE_N),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j + 1) for j in range(SHINGLE_N)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", fingerprint64(F.col("gram")).alias("sh"))
+        .distinct()
+    )
+
+
+#: matching CTE: documents -> (doc_id, sh); 1-indexed list access in DuckDB
+_GRAM_SQL = " || ' ' || ".join(f"t[i+{j}]" for j in range(SHINGLE_N))
+SHINGLES_CTE = f"""
+shingles AS (
+  SELECT DISTINCT doc_id, {fingerprint64_sql(f"({_GRAM_SQL})")} AS sh
+  FROM (
+    SELECT doc_id, {TOKENS_SQL.format(c='text')} AS t FROM documents
+  ) AS d, unnest(range(1, len(t) - {SHINGLE_N - 2})) AS r(i)
+)"""
+
+
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup via hash-groupBy on the content fingerprint: one shuffle
+    on a 60-bit key (not multi-KB text), keep the smallest doc_id as the
+    canonical representative. ``dropDuplicates`` would keep an arbitrary
+    row — this is deterministic."""
+    norm = F.concat_ws(" ", tokens(F.col("text")))
+    return (
+        docs.select("doc_id", fingerprint64(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT {fingerprint64_sql(f"array_to_string({TOKENS_SQL.format(c='text')}, ' ')")}
+         AS fingerprint,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard >= JACCARD_THRESHOLD.
+
+    Inverted-index plan: self-join the (doc, shingle) relation on shingle
+    (equi-join -> shuffle or broadcast, never a cross join), count common
+    shingles per pair, divide by the union size. This is the exact
+    verification operator; MinHash-LSH below is its sub-quadratic
+    candidate generator."""
+    sh = shingles(docs)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH {SHINGLES_CTE.strip()},
+counts AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM shingles a
+  JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a,
+       doc_b,
+       CAST(common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - common AS DOUBLE)
+         AS jaccard
+FROM common
+JOIN counts na ON doc_a = na.doc_id
+JOIN counts nb ON doc_b = nb.doc_id
+WHERE CAST(common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - common AS DOUBLE)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """16 minhashes per doc in ONE aggregation pass (16 min() aggregates
+    over the shingle relation — no per-hash shuffle)."""
+    sh = shingles(docs).withColumn("sid", F.col("sh") % MINHASH_P)
+    aggs = [
+        F.min((F.lit(a) * F.col("sid") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_HASHERS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _band_key(i: int):
+    cols = [f"mh{i * LSH_ROWS + j}" for j in range(LSH_ROWS)]
+    return F.concat_ws("_", *[F.col(c) for c in cols])
+
+
+def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on ALL minhashes of >=1 band.
+
+    Plan: signatures -> explode to (band_id, band_key) -> self-join on the
+    band bucket -> distinct pairs. The band join is the scale trick: only
+    bucket collisions are compared, so cost tracks the number of true
+    near-dups, not n^2."""
+    sig = minhash_signatures(docs)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"), _band_key(i).alias("band_key")
+                    )
+                    for i in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _minhash_sql_parts() -> tuple[str, str]:
+    mins = ",\n         ".join(
+        f"MIN(({a} * sid + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_HASHERS)
+    )
+    band_rows = []
+    for i in range(LSH_BANDS):
+        cols = [f"mh{i * LSH_ROWS + j}" for j in range(LSH_ROWS)]
+        key = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_rows.append(f"SELECT doc_id, {i} AS band_id, {key} AS band_key FROM sig")
+    return mins, "\nUNION ALL\n".join(band_rows)
+
+
+_MINS_SQL, _BANDS_SQL = _minhash_sql_parts()
+
+MINHASH_LSH_SQL = f"""
+WITH {SHINGLES_CTE.strip()},
+sids AS (
+  SELECT doc_id, sh % {MINHASH_P} AS sid FROM shingles
+),
+sig AS (
+  SELECT doc_id,
+         {_MINS_SQL}
+  FROM sids
+  GROUP BY doc_id
+),
+bands AS (
+{_BANDS_SQL}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b
+  ON a.band_id = b.band_id
+ AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+"""
+
+
+def minhash_neardup_verified(docs: DataFrame) -> DataFrame:
+    """The full two-stage near-dup pipeline: LSH candidates verified with
+    exact Jaccard >= JACCARD_THRESHOLD. At scale the expensive exact pass
+    touches only the candidate pairs."""
+    cand = minhash_lsh_candidates(docs)
+    exact = ngram_jaccard_pairs(docs)
+    return cand.join(exact, ["doc_a", "doc_b"], "inner").select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+MINHASH_NEARDUP_SQL = f"""
+WITH cand AS ({MINHASH_LSH_SQL.strip()}),
+exact AS ({NGRAM_JACCARD_SQL.strip()})
+SELECT cand.doc_a, cand.doc_b, exact.jaccard
+FROM cand
+JOIN exact ON cand.doc_a = exact.doc_a AND cand.doc_b = exact.doc_b
+"""

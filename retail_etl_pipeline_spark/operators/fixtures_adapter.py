@@ -154,6 +154,19 @@ def calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw event stream with a microsecond timestamp (see note on
+    TIMESTAMP(NANOS) in :func:`events_inventory`)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
 def events_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-shaped inventory observations from the events table.
 
@@ -250,6 +263,16 @@ calendar AS (
          CAST(quarter(cal_dt) AS INTEGER) AS qtr_num,
          CAST(year(cal_dt) * 10 + quarter(cal_dt) AS INTEGER) AS yr_qtr_num
   FROM (SELECT DISTINCT CAST(l_shipdate AS DATE) AS cal_dt FROM lineitem)
+)"""
+
+EVENTS_STREAM_CTE = """
+events_norm AS (
+  SELECT event_id,
+         make_timestamp(epoch_ns(ts) // 1000) AS ts,
+         user_id,
+         event_type,
+         value
+  FROM events
 )"""
 
 EVENTS_INV_CTE = """

@@ -1,0 +1,318 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Extension surface (SURVEY.md §2.10 / BASELINE.json north star): language ID
+(stopword-marker heuristic), quality scoring (length / lexical-diversity /
+stopword ratios), token counting (whitespace split), and document
+fingerprinting (md5-based 60-bit id + SimHash).
+
+Everything stays JVM-side: built-in string/array higher-order functions, no
+Python UDFs in the hot path. Each operator has an exactly-equivalent DuckDB
+SQL fragment (kept adjacent) so the oracle can replay it; shared constants
+(stopword lists, hash widths) are interpolated into BOTH sides from the same
+Python values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared constants (single source of truth for Spark AND oracle SQL)
+# ---------------------------------------------------------------------------
+
+#: Language marker words for the n-gram/stopword language-ID heuristic.
+#: Order matters: ties resolve to the earlier language (deterministic).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "es": ("el", "los", "que", "y", "una"),
+}
+
+#: Stopwords for the quality-score stopword ratio.
+STOPWORDS: tuple[str, ...] = tuple(
+    sorted({w for ws in LANG_MARKERS.values() for w in ws})
+)
+
+#: Hex digits of md5 kept for the 60-bit fingerprint (fits in BIGINT).
+FP_HEX_DIGITS = 15
+#: Bits of the SimHash signature (= 4 bits/hex digit * FP_HEX_DIGITS).
+SIMHASH_BITS = 60
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# ---------------------------------------------------------------------------
+# column expressions
+# ---------------------------------------------------------------------------
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(c), r"\s+")
+
+
+TOKENS_SQL = "regexp_split_to_array(trim({c}), '\\s+')"
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c)).cast("bigint")
+
+
+def fingerprint64(c: Column) -> Column:
+    """60-bit document fingerprint: leading FP_HEX_DIGITS hex digits of
+    md5(text) as a BIGINT. md5 is identical everywhere; 60 bits keeps the
+    value positive in a signed 64-bit int on both engines."""
+    return F.conv(F.substring(F.md5(c), 1, FP_HEX_DIGITS), 16, 10).cast("bigint")
+
+
+def fingerprint64_sql(c: str) -> str:
+    return f"CAST(('0x' || substring(md5({c}), 1, {FP_HEX_DIGITS})) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# operators (DataFrame -> DataFrame)
+# ---------------------------------------------------------------------------
+
+def text_profile(docs: DataFrame) -> DataFrame:
+    """Token/char counts + lexical diversity per document.
+
+    avg_word_len and uniq_token_ratio are ratios of exact integers ->
+    bit-identical across engines without decimal routing."""
+    t = tokens(F.col("text"))
+    n_tok = F.size(t).cast("bigint")
+    n_char = F.length(F.col("text")).cast("bigint")
+    n_alpha = F.length(F.regexp_replace(F.col("text"), r"\s+", "")).cast("bigint")
+    n_uniq = F.size(F.array_distinct(t)).cast("bigint")
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("token_count"),
+        n_char.alias("char_count"),
+        (n_alpha.cast("double") / n_tok).alias("avg_word_len"),
+        (n_uniq.cast("double") / n_tok).alias("uniq_token_ratio"),
+    )
+
+
+TEXT_PROFILE_SQL = f"""
+SELECT doc_id,
+       lang,
+       CAST(len({TOKENS_SQL.format(c='text')}) AS BIGINT) AS token_count,
+       CAST(length(text) AS BIGINT) AS char_count,
+       CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         / len({TOKENS_SQL.format(c='text')}) AS avg_word_len,
+       CAST(len(list_distinct({TOKENS_SQL.format(c='text')})) AS DOUBLE)
+         / len({TOKENS_SQL.format(c='text')}) AS uniq_token_ratio
+FROM documents
+"""
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Composite quality score in [0,1]:
+
+    0.4 * lexical diversity + 0.3 * stopword-ratio proximity to ~0.4
+    + 0.3 * length score (tokens capped at 300). All components are exact
+    integer ratios and quarter/tenth multiples -> engine-stable; final
+    rounding via the decimal route (functions.metrics.money semantics at
+    4 decimals)."""
+    t = tokens(F.col("text"))
+    n_tok = F.size(t).cast("double")
+    n_uniq = F.size(F.array_distinct(t)).cast("double")
+    n_stop = F.size(
+        F.filter(t, lambda x: x.isin(*STOPWORDS))
+    ).cast("double")
+    diversity = n_uniq / n_tok
+    stop_ratio = n_stop / n_tok
+    # proximity of the stopword ratio to a natural-language ~0.4 target
+    stop_score = 1.0 - F.least(F.abs(stop_ratio - 0.4) / 0.4, F.lit(1.0))
+    len_score = F.least(n_tok, F.lit(300.0)) / 300.0
+    score = 0.4 * diversity + 0.3 * stop_score + 0.3 * len_score
+    return docs.select(
+        "doc_id",
+        F.round(score.cast("decimal(20,8)"), 4).cast("double").alias(
+            "quality_score"
+        ),
+        (n_stop / n_tok).alias("stopword_ratio"),
+    )
+
+
+QUALITY_SCORE_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         {TOKENS_SQL.format(c='text')} AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq,
+         CAST(len(list_filter(toks, x -> list_contains({_sql_list(STOPWORDS)}, x)))
+              AS DOUBLE) AS n_stop
+  FROM t
+)
+SELECT doc_id,
+       CAST(round(CAST(
+         0.4 * (n_uniq / n_tok)
+         + 0.3 * (1.0 - least(abs(n_stop / n_tok - 0.4) / 0.4, 1.0))
+         + 0.3 * (least(n_tok, 300.0) / 300.0)
+       AS DECIMAL(20,8)), 4) AS DOUBLE) AS quality_score,
+       n_stop / n_tok AS stopword_ratio
+FROM c
+"""
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-marker language ID: count marker hits per language, argmax
+    with deterministic precedence (LANG_MARKERS order); 'und' when no
+    marker matches. The fixtures' ``lang`` column is kept alongside as the
+    ground-truth label."""
+    t = tokens(F.col("text"))
+
+    def _in(words: tuple[str, ...]):
+        # single-arg lambda: Spark's HOF wrapper maps each lambda parameter
+        # to a bound variable, so the word list must be a closure
+        return lambda x: x.isin(*words)
+
+    counts = {
+        lang: F.size(F.filter(t, _in(ws))).cast("bigint")
+        for lang, ws in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = F.lit("und")
+    best_cnt = F.lit(0).cast("bigint")
+    # precedence: earlier language wins ties -> fold from the LAST lang up,
+    # replacing `best` whenever count >= max(best_count, 1)
+    for lang in reversed(langs):
+        c = counts[lang]
+        best = F.when(
+            c >= F.greatest(best_cnt, F.lit(1).cast("bigint")), F.lit(lang)
+        ).otherwise(best)
+        best_cnt = F.greatest(c, best_cnt)
+    out = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        best.alias("lang_pred"),
+        *[counts[lang].alias(f"hits_{lang}") for lang in langs],
+    )
+    return out
+
+
+def _language_id_sql() -> str:
+    hits = ",\n         ".join(
+        f"CAST(len(list_filter(toks, x -> list_contains({_sql_list(ws)}, x))) AS BIGINT) AS hits_{lang}"
+        for lang, ws in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    # fold identical to the Spark loop: iterate langs from last to first,
+    # replacing 'best' when count >= max(best_cnt, 1)
+    best = "'und'"
+    best_cnt = "CAST(0 AS BIGINT)"
+    for lang in reversed(langs):
+        c = f"hits_{lang}"
+        best = f"CASE WHEN {c} >= greatest({best_cnt}, 1) THEN '{lang}' ELSE {best} END"
+        best_cnt = f"greatest({c}, {best_cnt})"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         lang,
+         {TOKENS_SQL.format(c='text')} AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         lang,
+         {hits}
+  FROM t
+)
+SELECT doc_id,
+       lang AS lang_true,
+       {best} AS lang_pred,
+       {", ".join(f"hits_{lang}" for lang in langs)}
+FROM h
+"""
+
+
+LANGUAGE_ID_SQL = _language_id_sql()
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """60-bit md5 fingerprint of the whitespace-normalized text — the
+    cheap exact-dedup key at scale (group on a long, not on multi-KB
+    strings)."""
+    norm = F.concat_ws(" ", tokens(F.col("text")))
+    return docs.select(
+        "doc_id",
+        fingerprint64(norm).alias("fingerprint"),
+    )
+
+
+DOC_FINGERPRINTS_SQL = f"""
+SELECT doc_id,
+       {fingerprint64_sql(f"array_to_string({TOKENS_SQL.format(c='text')}, ' ')")}
+         AS fingerprint
+FROM documents
+"""
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """SimHash document signature (near-dup fingerprinting).
+
+    Plan shape (all JVM, two shuffles):
+    explode distinct tokens -> 60-bit token hash -> explode bit positions
+    -> per (doc, bit) majority vote of +-1 -> OR the winning bits back into
+    one BIGINT per doc. At 100 TB the explode factor (tokens x 60) is the
+    cost driver; SIMHASH_BITS and the distinct-token prefilter bound it.
+    """
+    t = F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    toks = docs.select("doc_id", t)
+    hashed = toks.select(
+        "doc_id", fingerprint64(F.col("tok")).alias("h")
+    )
+    bits = hashed.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+    ).select(
+        "doc_id",
+        "b",
+        F.when(F.expr("shiftright(h, b) & 1") == 1, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("vote"),
+    )
+    return (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias("simhash")
+        )
+    )
+
+
+SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({TOKENS_SQL.format(c='text')})) AS tok
+  FROM documents
+), hashed AS (
+  SELECT doc_id, {fingerprint64_sql('tok')} AS h
+  FROM toks
+), bits AS (
+  SELECT doc_id,
+         b,
+         CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END AS vote
+  FROM hashed, unnest(range(0, {SIMHASH_BITS})) AS r(b)
+), votes AS (
+  SELECT doc_id, b, SUM(vote) AS v
+  FROM bits
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM votes
+GROUP BY doc_id
+"""

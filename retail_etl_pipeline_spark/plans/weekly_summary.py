@@ -47,9 +47,10 @@ SUMMARY_COLUMNS = [
 ]
 
 
-def merged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1-J4: sales ⋈ inventory (prod, store, date — Q1 intended semantics)
-    ⋈ calendar, with the low-stock flag (O3) derived on the joined row.
+def merged_from(sales: DataFrame, inv: DataFrame, cal: DataFrame) -> DataFrame:
+    """J1-J4 over canonical retail frames: sales ⋈ inventory (prod, store,
+    date — Q1 intended semantics) ⋈ calendar, with the low-stock flag (O3)
+    derived on the joined row.
 
     Join strategy for 100 TB: the two facts are co-partitioned by the join
     keys via one shuffle (sort-merge; AQE may convert to shuffled-hash);
@@ -57,9 +58,6 @@ def merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary needs none of their columns, and Catalyst would prune them
     anyway; ``merged_wide`` adds them for consumers that want attributes.
     """
-    sales = fx.sales(spark, sf_dir)
-    inv = fx.inventory(spark, sf_dir)
-    cal = fx.calendar_dim(spark, sf_dir)
     m = sales.join(
         inv,
         (sales.prod_key == inv.prod_key)
@@ -77,6 +75,15 @@ def merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         cal["cal_dt"]
     )
     return m.withColumn("low_stock_flg", low_stock_flag(m))
+
+
+def merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`merged_from` over the driver-fixture role mapping."""
+    return merged_from(
+        fx.sales(spark, sf_dir),
+        fx.inventory(spark, sf_dir),
+        fx.calendar_dim(spark, sf_dir),
+    )
 
 
 def merged_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,17 +134,17 @@ def _summary_aggs() -> list:
     ]
 
 
-def weekly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All 13 metrics in ONE groupBy over the merged frame — replaces the
+def weekly_summary_from_merged(m: DataFrame) -> DataFrame:
+    """All 13 metrics in ONE groupBy over a merged frame — replaces the
     reference's 9-relation / 8-join assembly (``Data Transformation.py:
     62-175``). One shuffle for the aggregation, partial aggregation
     map-side, no repeated subtree evaluation."""
-    return (
-        merged(spark, sf_dir)
-        .groupBy(*WEEK_GRAIN)
-        .agg(*_summary_aggs())
-        .select(*SUMMARY_COLUMNS)
-    )
+    return m.groupBy(*WEEK_GRAIN).agg(*_summary_aggs()).select(*SUMMARY_COLUMNS)
+
+
+def weekly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`weekly_summary_from_merged` over the fixture role mapping."""
+    return weekly_summary_from_merged(merged(spark, sf_dir))
 
 
 def weekly_summary_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,6 +155,10 @@ def weekly_summary_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing ``cache()``, SURVEY.md §4) so the fan-out reads memory, not the
     re-planned scan+join subtree."""
     m = merged(spark, sf_dir).persist()
+    return _assembled_from_merged(m)
+
+
+def _assembled_from_merged(m: DataFrame) -> DataFrame:
     eow = F.struct(F.col("cal_dt"))
     sums = m.groupBy(*WEEK_GRAIN).agg(
         money(F.sum("sales_qty")).alias("total_sales_qty"),

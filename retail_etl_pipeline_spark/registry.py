@@ -526,3 +526,129 @@ def segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 extensions — text analysis (operators/text.py)
+# ---------------------------------------------------------------------------
+
+from .operators import dedup as dd  # noqa: E402
+from .operators import similarity as sim  # noqa: E402
+from .operators import text as tx  # noqa: E402
+from .operators import windows as win  # noqa: E402
+
+
+@_register("text_profile", tx.TEXT_PROFILE_SQL)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + lexical stats, all JVM-side string/array functions."""
+    return tx.text_profile(fx._read(spark, sf_dir, "documents"))
+
+
+@_register("quality_score", tx.QUALITY_SCORE_SQL)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (diversity/stopword/length)."""
+    return tx.quality_score(fx._read(spark, sf_dir, "documents"))
+
+
+@_register("language_id", tx.LANGUAGE_ID_SQL)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language identification with deterministic argmax."""
+    return tx.language_id(fx._read(spark, sf_dir, "documents"))
+
+
+@_register("doc_fingerprints", tx.DOC_FINGERPRINTS_SQL)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit md5 fingerprint of normalized text (exact-dedup key)."""
+    return tx.doc_fingerprints(fx._read(spark, sf_dir, "documents"))
+
+
+@_register("simhash_signatures", tx.SIMHASH_SQL)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup signatures (bit-majority over token hashes)."""
+    return tx.simhash(fx._read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# §2.10 extensions — deduplication (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+@_register("dedup_exact", dd.DEDUP_EXACT_SQL)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the 60-bit content fingerprint."""
+    return dd.dedup_exact(fx._read(spark, sf_dir, "documents"))
+
+
+@_register("ngram_jaccard_neardup", dd.NGRAM_JACCARD_SQL)
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index."""
+    return dd.ngram_jaccard_pairs(fx._read(spark, sf_dir, "documents"))
+
+
+@_register("minhash_lsh_candidates", dd.MINHASH_LSH_SQL)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (16 minhashes, 4 bands x 4 rows)."""
+    return dd.minhash_lsh_candidates(fx._read(spark, sf_dir, "documents"))
+
+
+@_register("minhash_neardup", dd.MINHASH_NEARDUP_SQL)
+def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dup: LSH candidates verified with exact Jaccard."""
+    return dd.minhash_neardup_verified(fx._read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# §2.10 extensions — similarity search (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+@_register("cosine_topk", sim.cosine_topk_sql())
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against the vec_id=0 query vector."""
+    return sim.cosine_topk(fx._read(spark, sf_dir, "embeddings"))
+
+
+@_register("ann_lsh_topk", sim.ann_lsh_topk_sql())
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: random-hyperplane LSH bucket, exact rerank in-bucket."""
+    return sim.ann_lsh_topk(fx._read(spark, sf_dir, "embeddings"))
+
+
+@_register("embedding_neardup", sim.EMBEDDING_NEARDUP_SQL)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force baseline)."""
+    return sim.embedding_neardup(fx._read(spark, sf_dir, "embeddings"))
+
+
+@_register("embedding_neardup_lsh", sim.EMBEDDING_NEARDUP_LSH_SQL)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucketed (the scale path)."""
+    return sim.embedding_neardup_lsh(fx._read(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# §2.10 extensions — event-time windows (operators/windows.py)
+# ---------------------------------------------------------------------------
+
+def _with_events_cte(body: str) -> str:
+    """Prepend the events_norm CTE, merging with the body's own WITH."""
+    body = body.strip()
+    if body.upper().startswith("WITH "):
+        return f"WITH {fx.EVENTS_STREAM_CTE.strip()},\n{body[5:]}"
+    return f"WITH {fx.EVENTS_STREAM_CTE.strip()}\n{body}"
+
+
+@_register("tumbling_hourly", _with_events_cte(win.TUMBLING_SQL))
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows per event type."""
+    return win.tumbling(fx.events_stream(spark, sf_dir))
+
+
+@_register("sliding_hourly", _with_events_cte(win.SLIDING_SQL))
+def sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h windows every 30m."""
+    return win.sliding(fx.events_stream(spark, sf_dir))
+
+
+@_register("session_windows", _with_events_cte(win.SESSION_SQL))
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (4h gap)."""
+    return win.sessionized(fx.events_stream(spark, sf_dir))
