@@ -1,0 +1,105 @@
+"""Multimodal column plumbing (SURVEY.md §2.10).
+
+Image/audio/video content rides as opaque ``binary`` columns with a typed
+metadata struct; per-item processing (decode, resize, frame-sample,
+feature-extract) runs as Arrow-batched Pandas functions over
+``mapInPandas`` — the schema, partitioning, UDF signature, and batch shape
+are real and tested. The actual media decode is STUBBED (the image/audio
+libraries are not in this container): ``decode_image`` raises
+``NotImplementedError``; ``extract_features`` uses a deterministic
+byte-level feature (length + md5) so the full pipeline is verifiable
+end-to-end — including against the DuckDB oracle, since md5 over the same
+bytes is engine-independent.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: metadata carried next to every binary payload
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+
+def attach_binary(docs: DataFrame, mime: str = "text/plain") -> DataFrame:
+    """Lift a text column into the opaque-binary layout (in production the
+    binary comes straight from the source — S3 objects, tar shards, ...)."""
+    content = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        content.alias("content"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.length(content).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(content: bytes) -> "object":
+    """STUB: media decode needs PIL/ffmpeg, not present in this container.
+    The Spark-side plumbing (binary column -> Arrow batch -> per-item call)
+    is exercised by :func:`extract_features` with a byte-level feature."""
+    raise NotImplementedError(
+        "media decode requires an image/audio library not available here; "
+        "plug a real decoder into extract_features' per-batch loop"
+    )
+
+
+def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    ``mapInPandas``: each partition arrives as an iterator of pandas
+    DataFrames (Arrow record batches); the loop is where a real decoder
+    would run. Deterministic byte features stand in for the decode so the
+    batch shape and schema are testable."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "content_md5": pdf["content"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return media.mapInPandas(_extract, schema=FEATURES_SCHEMA)
+
+
+#: oracle equivalent — md5 over the SAME bytes (utf-8 text) in DuckDB
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""

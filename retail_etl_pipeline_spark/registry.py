@@ -652,3 +652,19 @@ def sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows (4h gap)."""
     return win.sessionized(fx.events_stream(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# §2.10 extensions — multimodal plumbing (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+from .operators import multimodal as mm  # noqa: E402
+
+
+@_register("multimodal_features", mm.MULTIMODAL_FEATURES_SQL)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: text -> binary payload + metadata struct ->
+    Arrow-batched mapInPandas feature extraction (decode step stubbed;
+    byte-level features are oracle-checkable via md5)."""
+    media = mm.attach_binary(fx._read(spark, sf_dir, "documents"))
+    return mm.extract_features(media)

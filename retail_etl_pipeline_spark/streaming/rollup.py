@@ -1,0 +1,154 @@
+"""Streaming sources, windowed rollups, watermark, sinks, custom state.
+
+Scale notes: the file source with ``Trigger.AvailableNow`` is the batch-
+catchup mode (S9's "process what's there" semantics); in production the
+same code runs against Kafka with a processing-time trigger. Watermarks
+bound state: the tumbling rollup keeps only windows newer than
+(max event time - delay).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.metrics import money_sum
+
+#: watermark delay for late events
+WATERMARK_DELAY = "2 hours"
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) via nanosAsLong
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one batch
+    under AvailableNow; a directory of files streams incrementally)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the file source wants a directory; select just the events file via glob
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def stream_tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling rollup — the streaming twin of
+    ``operators.windows.tumbling`` (same aggregate expressions; watermark
+    bounds the window state)."""
+    return (
+        events.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    timeout_s: int = 120,
+):
+    """Drain all available input into an in-memory table named
+    ``query_name`` and stop. Test/drain harness."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q
+
+
+def stream_weekly_rollup_to_parquet(
+    events: DataFrame, out_dir: str, checkpoint_dir: str, timeout_s: int = 120
+):
+    """Append-mode watermarked rollup to a parquet sink via foreachBatch —
+    the streaming version of the batch publish (idempotent by batch id)."""
+    rolled = stream_tumbling_counts(events)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        rolled.writeStream.foreachBatch(_write)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_STATE_SCHEMA = "n BIGINT, total DOUBLE"
+_OUT_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
+
+
+def _update_user_state(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched per-user running totals: the custom-stateful-operator
+    escape hatch for semantics the built-in windows can't express."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) maintained in explicit state — emits
+    the updated totals for every user seen in each micro-batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_state,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,101 @@
+"""Unit tests for operator edge cases (SURVEY.md §5.2): last-per-group
+ties, zero denominators (Q7), flag counting (Q4), empty filter groups,
+plan-parity between the single-pass summary and the assembled form."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from retail_etl_pipeline_spark.functions.metrics import money, safe_div
+from retail_etl_pipeline_spark.functions.weeks import yr_wk_num
+from retail_etl_pipeline_spark.operators import retail
+
+
+def test_yr_wk_num_iso_year_boundary(spark):
+    df = spark.createDataFrame(
+        [(datetime.date(1996, 12, 31),), (datetime.date(1997, 1, 1),),
+         (datetime.date(2021, 1, 1),)],
+        "d date",
+    )
+    out = [r[0] for r in df.select(yr_wk_num("d")).collect()]
+    # 1996-12-31 and 1997-01-01 are both ISO 1997-W01;
+    # 2021-01-01 is ISO 2020-W53 (not 202101!)
+    assert out == [199701, 199701, 202053]
+
+
+def test_safe_div_null_on_zero(spark):
+    df = spark.createDataFrame([(1.0, 0.0), (4.0, 2.0)], "a double, b double")
+    out = df.select(safe_div(F.col("a"), F.col("b")).alias("q")).collect()
+    assert out[0]["q"] is None
+    assert out[1]["q"] == 2.0
+
+
+def test_money_rounds_half_up_via_decimal(spark):
+    df = spark.createDataFrame([(0.005,), (1.455,), (2.0,)], "x double")
+    out = [r[0] for r in df.select(money(F.col("x"))).collect()]
+    assert out == [0.01, 1.46, 2.0]
+
+
+def _ties_frame(spark):
+    # two observations with the SAME max date for group (1, A):
+    # tie must break on the highest event_id -> value 30.0
+    rows = [
+        (1, "A", datetime.date(2024, 1, 1), 1, 10.0),
+        (1, "A", datetime.date(2024, 1, 2), 2, 20.0),
+        (1, "A", datetime.date(2024, 1, 2), 3, 30.0),
+        (2, "B", datetime.date(2024, 1, 1), 4, 40.0),
+    ]
+    return spark.createDataFrame(
+        rows, "store_key int, prod_key string, cal_dt date, event_id int, v double"
+    )
+
+
+def test_eow_window_and_maxby_agree_on_ties(spark):
+    df = _ties_frame(spark)
+    kwargs = dict(
+        grain=["store_key", "prod_key"],
+        order_cols=["cal_dt", "event_id"],
+        value_cols={"v": "eow_v"},
+    )
+    w = retail.eow_snapshot_window(df, **kwargs)
+    m = retail.eow_snapshot_maxby(df, **kwargs)
+    expected = {(1, "A"): 30.0, (2, "B"): 40.0}
+    for out in (w, m):
+        got = {(r["store_key"], r["prod_key"]): r["eow_v"] for r in out.collect()}
+        assert got == expected
+
+
+def test_low_stock_flag_branches(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 2.0), (3.0, 2.0)],
+        "inventory_on_hand_qty double, sales_qty double",
+    )
+    out = [r[0] for r in df.select(retail.low_stock_flag(df)).collect()]
+    # flag only when on-hand strictly below sold qty
+    assert out == [1, 0, 0]
+
+
+def test_weekly_sales_agg_empty_group_semantics(spark):
+    # a group whose measures are all NULL: sums stay NULL, ratio stays NULL
+    df = spark.createDataFrame(
+        [(202401, 1, 1, None, None, None)],
+        "yr_wk_num int, store_key int, prod_key int, "
+        "sales_qty double, sales_amt double, sales_cost double",
+    )
+    row = retail.weekly_sales_agg(df).collect()[0]
+    assert row["total_sales_qty"] is None
+    assert row["avg_sales_amt"] is None
+
+
+def test_summary_single_pass_equals_assembled(spark):
+    from retail_etl_pipeline_spark.plans import weekly_summary as ws
+
+    sf = "/root/testdata/sf0.001"
+    a = ws.weekly_summary(spark, sf)
+    b = ws.weekly_summary_assembled(spark, sf)
+    assert a.columns == b.columns
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

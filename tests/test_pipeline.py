@@ -1,0 +1,129 @@
+"""Pipeline-layer tests (SURVEY.md §2.8): readiness gate, table mapping,
+end-to-end run over retail-shaped CSVs, alert callback, idempotent re-run."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from retail_etl_pipeline_spark import pipeline as pl
+
+RUN_DATE = "2024-03-15"
+DATESTR = "20240315"
+
+TMP = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".tmp", "pipeline")
+
+
+@pytest.fixture(scope="module")
+def retail_csvs(spark):
+    """Tiny retail star-schema CSVs for one run date."""
+    shutil.rmtree(TMP, ignore_errors=True)
+    indir = os.path.join(TMP, "in")
+    os.makedirs(indir, exist_ok=True)
+
+    files = {
+        "sales": (
+            "trans_id,prod_key,store_key,trans_dt,trans_time,sales_qty,"
+            "sales_price,sales_amt,discount,sales_cost,sales_mgrn,ship_cost\n"
+            "1,10,1,2024-03-11,900,2.0,5.0,10.0,0.0,8.0,2.0,1.0\n"
+            "2,10,1,2024-03-12,930,4.0,5.0,20.0,0.0,16.0,4.0,1.0\n"
+            "3,20,1,2024-03-12,940,1.0,7.0,7.0,0.0,6.0,1.0,1.0\n"
+            "4,10,2,2024-03-13,1000,3.0,5.0,15.0,0.0,12.0,3.0,1.0\n"
+        ),
+        "inventory": (
+            "cal_dt,store_key,prod_key,inventory_on_hand_qty,"
+            "inventory_on_order_qty,out_of_stock_flg,waste_qty,promotion_flg,"
+            "next_delivery_dt\n"
+            "2024-03-11,1,10,5.0,1.0,0,0.0,false,2024-03-18\n"
+            "2024-03-12,1,10,1.0,2.0,1,0.0,false,2024-03-18\n"
+            "2024-03-12,1,20,9.0,0.0,0,0.0,false,2024-03-18\n"
+            "2024-03-13,2,10,2.0,3.0,0,0.0,true,2024-03-18\n"
+        ),
+        "product": (
+            "prod_key,prod_name,vol,wgt,brand_name,status_code,"
+            "status_code_name,category_key,category_name,subcategory_key,"
+            "subcategory_name\n"
+            "10,widget,1.0,1.0,acme,1,active,1,tools,1,hand\n"
+            "20,gadget,1.0,1.0,acme,1,active,1,tools,1,hand\n"
+        ),
+        "store": (
+            "store_key,store_num,store_desc,addr,city,region,cntry_cd,"
+            "cntry_nm,postal_zip_cd,prov_state_desc,prov_state_cd,"
+            "store_type_cd,store_type_desc,frnchs_flg,store_size,market_key,"
+            "market_name,submarket_key,submarket_name,latitude,longitude\n"
+            "1,S1,main,addr,city,west,US,USA,12345,CA,CA,T1,big,false,"
+            "100.0,1,west,1,west,1.0,2.0\n"
+            "2,S2,other,addr,city,east,US,USA,12345,NY,NY,T1,big,true,"
+            "100.0,2,east,2,east,1.0,2.0\n"
+        ),
+        "calendar": (
+            "cal_dt,cal_type_desc,day_of_wk_num,day_of_wk_desc,yr_num,"
+            "wk_num,yr_wk_num,mnth_num,yr_mnth_num,qtr_num,yr_qtr_num\n"
+            "2024-03-11,day,1,Mon,2024,11,202411,3,202403,1,20241\n"
+            "2024-03-12,day,2,Tue,2024,11,202411,3,202403,1,20241\n"
+            "2024-03-13,day,3,Wed,2024,11,202411,3,202403,1,20241\n"
+        ),
+    }
+    for table, content in files.items():
+        with open(os.path.join(indir, f"{table}_{DATESTR}.csv"), "w") as f:
+            f.write(content)
+    yield indir
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_readiness_gate_missing(retail_csvs):
+    ready, missing = pl.readiness_check(retail_csvs, "2024-03-16")
+    assert not ready
+    assert f"sales_20240316.csv" in missing and len(missing) == 5
+
+
+def test_readiness_gate_ready(retail_csvs):
+    ready, missing = pl.readiness_check(retail_csvs, RUN_DATE)
+    assert ready and missing == []
+
+
+def test_table_paths(retail_csvs):
+    paths = pl.table_paths(retail_csvs, RUN_DATE)
+    assert set(paths) == {"sales", "inventory", "product", "store", "calendar"}
+    assert paths["sales"].endswith(f"sales_{DATESTR}.csv")
+
+
+def test_alert_callback_on_missing(spark, retail_csvs):
+    alerts = []
+    res = pl.run_pipeline(
+        spark, "2024-03-16", retail_csvs, os.path.join(TMP, "out"),
+        on_missing=alerts.append,
+    )
+    assert not res.ran
+    assert alerts and len(alerts[0]) == 5
+
+
+def test_run_pipeline_end_to_end(spark, retail_csvs):
+    out = os.path.join(TMP, "out")
+    res = pl.run_pipeline(spark, RUN_DATE, retail_csvs, out)
+    assert res.ran and res.output_rows == 3  # (202411) x {(1,10),(1,20),(2,10)}
+
+    summary = spark.table("weekly_summary")
+    row = (
+        summary.where("store_key = 1 AND prod_key = 10")
+        .collect()[0]
+        .asDict()
+    )
+    assert row["yr_wk_num"] == 202411
+    assert row["total_sales_qty"] == 6.0
+    assert row["total_sales_amt"] == 30.0
+    assert row["avg_sales_amt"] == 5.0
+    # end-of-week = 2024-03-12 snapshot (last date for store 1, prod 10)
+    assert row["eow_on_hand_qty"] == 1.0
+    assert row["eow_on_order_qty"] == 2.0
+    assert row["out_of_stock_days"] == 1
+    # low stock: day1 5.0>=2.0 no; day2 1.0<4.0 yes -> one line flagged
+    assert row["low_stock_count"] == 1
+    assert row["potential_low_stock_impact"] == 3.0  # 4.0 - 1.0
+    assert row["weeks_supply"] == round(1.0 / 6.0, 2)
+
+    # idempotent re-run: same partition overwritten, not duplicated
+    res2 = pl.run_pipeline(spark, RUN_DATE, retail_csvs, out)
+    assert res2.output_rows == 3
