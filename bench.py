@@ -37,6 +37,9 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"  {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # queries are timed independently: drop any relations the previous
+        # query persisted so storage memory doesn't squeeze execution memory
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

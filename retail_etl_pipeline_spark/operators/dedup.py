@@ -67,22 +67,29 @@ LSH_ROWS = 4
 # ---------------------------------------------------------------------------
 
 def shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh) — distinct 60-bit ids of word SHINGLE_N-grams."""
-    t = tokens(F.col("text"))
-    grams = F.when(
-        F.size(t) >= SHINGLE_N,
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - SHINGLE_N),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(t, i + j + 1) for j in range(SHINGLE_N)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select("doc_id", F.explode(grams).alias("gram"))
-        .select("doc_id", fingerprint64(F.col("gram")).alias("sh"))
-        .distinct()
+    """(doc_id, sh) — distinct 60-bit ids of word SHINGLE_N-grams.
+
+    Built with posexplode + lead() windows rather than a
+    transform/sequence/element_at lambda: higher-order-function lambdas are
+    interpreted row-by-row (outside whole-stage codegen) and measured ~5x
+    slower; lead() is a native window function. The window shuffle
+    co-partitions by doc_id — cheap relative to the downstream shingle
+    join, and AQE coalesces it."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
     )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tail = [F.lead("tok", j).over(w) for j in range(1, SHINGLE_N)]
+    grams = toks.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("tok"), *tail).alias("gram"),
+        tail[-1].alias("_last"),
+    ).where(F.col("_last").isNotNull())
+    return grams.select(
+        "doc_id", fingerprint64(F.col("gram")).alias("sh")
+    ).distinct()
 
 
 #: matching CTE: documents -> (doc_id, sh); 1-indexed list access in DuckDB
@@ -126,15 +133,21 @@ GROUP BY 1
 """
 
 
-def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard >= JACCARD_THRESHOLD.
 
     Inverted-index plan: self-join the (doc, shingle) relation on shingle
     (equi-join -> shuffle or broadcast, never a cross join), count common
     shingles per pair, divide by the union size. This is the exact
     verification operator; MinHash-LSH below is its sub-quadratic
-    candidate generator."""
-    sh = shingles(docs)
+    candidate generator.
+
+    The shingle relation feeds three consumers (both join sides + the
+    per-doc counts) — persisted so the tokenize+md5 subtree runs once, not
+    three times (the reference's missing-cache anti-pattern, SURVEY.md §4).
+    """
+    if sh is None:
+        sh = shingles(docs).persist()
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -183,10 +196,12 @@ WHERE CAST(common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - common AS DOUBLE)
 """
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def minhash_signatures(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """16 minhashes per doc in ONE aggregation pass (16 min() aggregates
     over the shingle relation — no per-hash shuffle)."""
-    sh = shingles(docs).withColumn("sid", F.col("sh") % MINHASH_P)
+    if sh is None:
+        sh = shingles(docs)
+    sh = sh.withColumn("sid", F.col("sh") % MINHASH_P)
     aggs = [
         F.min((F.lit(a) * F.col("sid") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_HASHERS)
@@ -199,27 +214,33 @@ def _band_key(i: int):
     return F.concat_ws("_", *[F.col(c) for c in cols])
 
 
-def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
+def minhash_lsh_candidates(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """LSH candidate pairs: docs agreeing on ALL minhashes of >=1 band.
 
     Plan: signatures -> explode to (band_id, band_key) -> self-join on the
     band bucket -> distinct pairs. The band join is the scale trick: only
     bucket collisions are compared, so cost tracks the number of true
     near-dups, not n^2."""
-    sig = minhash_signatures(docs)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_id"), _band_key(i).alias("band_key")
-                    )
-                    for i in range(LSH_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_key")
+    sig = minhash_signatures(docs, sh=sh)
+    # both sides of the self-join read this relation: persist or the whole
+    # shingle+16-minhash subtree evaluates twice
+    bands = (
+        sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_id"), _band_key(i).alias("band_key")
+                        )
+                        for i in range(LSH_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select("doc_id", "band.band_id", "band.band_key")
+        .persist()
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -278,8 +299,9 @@ def minhash_neardup_verified(docs: DataFrame) -> DataFrame:
     """The full two-stage near-dup pipeline: LSH candidates verified with
     exact Jaccard >= JACCARD_THRESHOLD. At scale the expensive exact pass
     touches only the candidate pairs."""
-    cand = minhash_lsh_candidates(docs)
-    exact = ngram_jaccard_pairs(docs)
+    sh = shingles(docs).persist()  # ONE shingle relation feeds both stages
+    cand = minhash_lsh_candidates(docs, sh=sh)
+    exact = ngram_jaccard_pairs(docs, sh=sh)
     return cand.join(exact, ["doc_a", "doc_b"], "inner").select(
         "doc_a", "doc_b", "jaccard"
     )

@@ -20,6 +20,9 @@ k-means cell id; the join shape is identical.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -54,6 +57,34 @@ def cosine(a: Column, b: Column) -> Column:
 
 def _round6(c: Column) -> Column:
     return F.round(c.cast("decimal(20,9)"), 6).cast("double")
+
+
+_dot_udf_cached = None
+
+
+def _dot_udf(a: Column, b: Column) -> Column:
+    """Arrow-vectorized dot product for the PAIRWISE operators.
+
+    The built-in zip_with/aggregate lambdas are interpreted (outside
+    whole-stage codegen) — fine for one query vector, ~30x too slow for
+    millions of pairs. numpy einsum accumulates in a different order than a
+    strict sequential loop; the 6-decimal rounding downstream absorbs the
+    <=1e-12 difference (see _round6). Built lazily: pandas_udf needs an
+    active session to parse its return type."""
+    global _dot_udf_cached
+    if _dot_udf_cached is None:
+
+        def _dot(x: pd.Series, y: pd.Series) -> pd.Series:
+            return pd.Series(np.einsum("ij,ij->i", np.stack(x.values), np.stack(y.values)))
+
+        _dot_udf_cached = F.pandas_udf(_dot, "double")
+    return _dot_udf_cached(a, b)
+
+
+def _with_norm(vecs: DataFrame) -> DataFrame:
+    """Precompute ||v|| once per vector: cosine over pairs then needs ONE
+    dot product per pair instead of three."""
+    return vecs.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
 
 
 _DOT_SQL = "list_dot_product({a}, {b})"
@@ -107,6 +138,25 @@ LIMIT {k}
 """
 
 
+def _with_buckets(vecs: DataFrame) -> DataFrame:
+    """Hyperplane bucket id as a single PROJECTION: the plane vectors are
+    tiny plan constants (collected once, inlined as array literals), so no
+    crossJoin/groupBy round-trip is needed — bucket assignment stays inside
+    one codegen stage and scales as a map over the corpus."""
+    plane_rows = (
+        vecs.where(F.col("vec_id").isin(*PLANE_IDS))
+        .select("vec_id", "v")
+        .collect()
+    )
+    planes = {r["vec_id"]: list(r["v"]) for r in plane_rows}
+    bucket = F.lit(0).cast("bigint")
+    for i, pid in enumerate(sorted(planes)):
+        pv = F.array(*[F.lit(float(x)) for x in planes[pid]])
+        bit = F.when(dot(F.col("v"), pv) > 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + F.shiftleft(bit.cast("bigint"), i)
+    return vecs.withColumn("bucket", bucket)
+
+
 def ann_lsh_topk(emb: DataFrame, query_id: int = 0, k: int = TOP_K) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH bucket, then exact cosine
     within the query's bucket only.
@@ -116,27 +166,7 @@ def ann_lsh_topk(emb: DataFrame, query_id: int = 0, k: int = TOP_K) -> DataFrame
     sum_i [dot(v, p_i) > 0] << i. At scale this turns the scan into an
     equi-lookup of one bucket (~N/2^bits vectors)."""
     vecs = _vectors(emb)
-    planes = (
-        vecs.where(F.col("vec_id").isin(*PLANE_IDS))
-        .select(F.col("vec_id").alias("plane_id"), F.col("v").alias("pv"))
-    )
-    with_bits = (
-        vecs.crossJoin(F.broadcast(planes))
-        .select(
-            "vec_id",
-            "label",
-            "v",
-            F.when(dot(F.col("v"), F.col("pv")) > 0, F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("bit"),
-            (F.col("plane_id") - min(PLANE_IDS)).cast("int").alias("i"),
-        )
-        .groupBy("vec_id", "label")
-        .agg(
-            F.sum(F.expr("shiftleft(CAST(bit AS BIGINT), i)")).alias("bucket"),
-            F.first("v").alias("v"),
-        )
-    )
+    with_bits = _with_buckets(vecs)
     qb = with_bits.where(F.col("vec_id") == query_id).select(
         F.col("bucket").alias("qbucket"), F.col("v").alias("qv")
     )
@@ -189,16 +219,55 @@ LIMIT {k}
 
 def embedding_neardup(emb: DataFrame) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (brute force): all pairs with
-    cosine >= COSINE_NEARDUP_THRESHOLD. Quadratic — the correctness
-    baseline for :func:`embedding_neardup_lsh`."""
+    cosine >= COSINE_NEARDUP_THRESHOLD — the correctness baseline for
+    :func:`embedding_neardup_lsh`.
+
+    Plan: block-matrix similarity join. The right side is collected and
+    broadcast as ONE numpy matrix (vectors are small relative to the
+    corpus); each Arrow batch of left-side vectors computes a
+    block x corpus matmul and emits only pairs above threshold. This
+    avoids materializing the quadratic pair relation in the engine — the
+    naive cross join shuffles O(n^2) rows each dragging two embedding
+    payloads (~13 GB at sf0.1), while the block join moves O(n) rows.
+    When the corpus outgrows a broadcast, use the LSH-bucketed variant.
+
+    The in-batch filter keeps a small margin below the threshold and the
+    final (rounded) threshold is applied engine-side, so boundary values
+    round identically to the oracle."""
+    spark = emb.sparkSession
     vecs = _vectors(emb)
-    a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    return pairs.select(
+    rows = vecs.select("vec_id", "v").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat_n))
+
+    def _block(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = np.stack(pdf["v"].values).astype(np.float64)
+            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+            sims = a_mat @ b_mat.T
+            ai, bi = np.where(
+                (sims >= COSINE_NEARDUP_THRESHOLD - 1e-6)
+                & (a_ids[:, None] < b_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai],
+                    "vec_b": b_ids[bi],
+                    "raw_cosine": sims[ai, bi],
+                }
+            )
+
+    scored = vecs.mapInPandas(
+        _block, schema="vec_a bigint, vec_b bigint, raw_cosine double"
+    )
+    return scored.select(
         "vec_a",
         "vec_b",
-        _round6(cosine(F.col("va"), F.col("vb"))).alias("cosine"),
+        _round6(F.col("raw_cosine")).alias("cosine"),
     ).where(F.col("cosine") >= COSINE_NEARDUP_THRESHOLD)
 
 
@@ -222,31 +291,14 @@ def embedding_neardup_lsh(emb: DataFrame) -> DataFrame:
     cross join at scale (recall < 1 by design; the oracle encodes the same
     bucketing, so the comparison is exact)."""
     vecs = _vectors(emb)
-    planes = vecs.where(F.col("vec_id").isin(*PLANE_IDS)).select(
-        F.col("vec_id").alias("plane_id"), F.col("v").alias("pv")
+    with_norm = _with_norm(_with_buckets(vecs))
+    a = with_norm.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("norm").alias("na"), "bucket",
     )
-    with_bits = (
-        vecs.crossJoin(F.broadcast(planes))
-        .select(
-            "vec_id",
-            "v",
-            F.when(dot(F.col("v"), F.col("pv")) > 0, F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("bit"),
-            (F.col("plane_id") - min(PLANE_IDS)).cast("int").alias("i"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.sum(F.expr("shiftleft(CAST(bit AS BIGINT), i)")).alias("bucket"),
-            F.first("v").alias("v"),
-        )
-    )
-    a = with_bits.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
-    )
-    b = with_bits.select(
+    b = with_norm.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-        F.col("bucket").alias("bucket_b"),
+        F.col("norm").alias("nb"), F.col("bucket").alias("bucket_b"),
     )
     pairs = a.join(
         b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b"))
@@ -254,7 +306,9 @@ def embedding_neardup_lsh(emb: DataFrame) -> DataFrame:
     return pairs.select(
         "vec_a",
         "vec_b",
-        _round6(cosine(F.col("va"), F.col("vb"))).alias("cosine"),
+        _round6(
+            _dot_udf(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        ).alias("cosine"),
     ).where(F.col("cosine") >= COSINE_NEARDUP_THRESHOLD)
 
 

@@ -154,7 +154,25 @@ def weekly_summary_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
     the benchmark contrast case. The base IS persisted (the reference's
     missing ``cache()``, SURVEY.md §4) so the fan-out reads memory, not the
     re-planned scan+join subtree."""
-    m = merged(spark, sf_dir).persist()
+    # Two manual moves Catalyst can't make across a persist boundary:
+    # - column-prune BEFORE caching (the cache would otherwise hold every
+    #   calendar/id column the aggregates never read);
+    # - repartition by the aggregation grain BEFORE persisting: the cached
+    #   hash-partitioning satisfies the distribution requirement of all
+    #   four downstream aggregates AND the grain joins, so the fan-out
+    #   re-reads memory without re-shuffling.
+    needed = [
+        *WEEK_GRAIN,
+        "cal_dt",
+        "sales_qty",
+        "sales_amt",
+        "sales_cost",
+        "inventory_on_hand_qty",
+        "inventory_on_order_qty",
+        "out_of_stock_flg",
+        "low_stock_flg",
+    ]
+    m = merged(spark, sf_dir).select(*needed).repartition(*WEEK_GRAIN).persist()
     return _assembled_from_merged(m)
 
 

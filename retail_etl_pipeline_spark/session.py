@@ -44,9 +44,13 @@ def get_spark(
             )
         )
 
+    driver_mem = os.environ.get("SPARK_DRIVER_MEMORY", "32g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode: driver == executors; the 1g default heap OOMs on the
+        # wider plans. Applied at JVM launch (first session in the process).
+        .config("spark.driver.memory", driver_mem)
         # --- adaptive execution: runtime re-planning at scale -------------
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
