@@ -668,3 +668,17 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-level features are oracle-checkable via md5)."""
     media = mm.attach_binary(fx._read(spark, sf_dir, "documents"))
     return mm.extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# §3.3: the same flagship through the SQL parser (S7/S8 catalog path)
+# ---------------------------------------------------------------------------
+
+from .plans import sql_entry as sqe  # noqa: E402
+
+
+@_register("weekly_summary_sql", _SUMMARY_ORACLE)
+def weekly_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 13-metric weekly summary as ONE spark.sql statement over
+    registered views — same Catalyst plan as the DataFrame form."""
+    return sqe.weekly_summary_sql(spark, sf_dir)

@@ -1,0 +1,105 @@
+"""Property-based checks (SURVEY.md §5.4, hypothesis):
+
+- aggregate invariance under input row order (the distributed-execution
+  property: partition order must not change results)
+- end-of-week state equals the row with the max (date, tiebreak)
+- weekly sums equal daily sums rolled up
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from retail_etl_pipeline_spark.operators import retail
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+_row = st.tuples(
+    st.integers(0, 2),                      # store_key
+    st.integers(0, 2),                      # prod_key
+    st.dates(datetime.date(2024, 1, 1), datetime.date(2024, 2, 10)),
+    st.integers(0, 50),                     # qty (integral doubles)
+    st.integers(0, 1000),                   # amt cents
+)
+
+_rows = st.lists(_row, min_size=1, max_size=25)
+
+
+def _frame(spark, rows):
+    data = [
+        (s, p, d, float(q), c / 100.0, c / 200.0)
+        for (s, p, d, q, c) in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "store_key int, prod_key int, trans_dt date, sales_qty double, "
+        "sales_amt double, sales_cost double",
+    )
+
+
+@given(rows=_rows, seed=st.randoms())
+@_settings
+def test_weekly_agg_invariant_under_row_order(spark, rows, seed):
+    df1 = retail.weekly_sales_agg(retail.add_week(_frame(spark, rows), "trans_dt"))
+    shuffled = list(rows)
+    seed.shuffle(shuffled)
+    df2 = retail.weekly_sales_agg(
+        retail.add_week(_frame(spark, shuffled), "trans_dt")
+    )
+    assert sorted(map(tuple, df1.collect())) == sorted(map(tuple, df2.collect()))
+
+
+@given(rows=_rows)
+@_settings
+def test_weekly_sum_equals_daily_rollup(spark, rows):
+    f = retail.add_week(_frame(spark, rows), "trans_dt")
+    weekly = f.groupBy("yr_wk_num").agg(F.sum("sales_qty").alias("q")).collect()
+    daily_then_weekly = (
+        f.groupBy("yr_wk_num", "trans_dt")
+        .agg(F.sum("sales_qty").alias("dq"))
+        .groupBy("yr_wk_num")
+        .agg(F.sum("dq").alias("q"))
+        .collect()
+    )
+    assert {r["yr_wk_num"]: r["q"] for r in weekly} == {
+        r["yr_wk_num"]: r["q"] for r in daily_then_weekly
+    }
+
+
+@given(rows=_rows)
+@_settings
+def test_eow_is_argmax_row(spark, rows):
+    # unique tiebreaker: row index
+    data = [
+        (s, p, d, float(i), float(q))
+        for i, (s, p, d, q, _c) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "store_key int, prod_key int, cal_dt date, rid double, v double"
+    )
+    got = {
+        (r["store_key"], r["prod_key"]): r["eow_v"]
+        for r in retail.eow_snapshot_maxby(
+            df,
+            grain=["store_key", "prod_key"],
+            order_cols=["cal_dt", "rid"],
+            value_cols={"v": "eow_v"},
+        ).collect()
+    }
+    expected: dict = {}
+    best: dict = {}
+    for s, p, d, rid, v in data:
+        k = (s, p)
+        if k not in best or (d, rid) > best[k]:
+            best[k] = (d, rid)
+            expected[k] = v
+    assert got == expected
