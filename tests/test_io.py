@@ -85,3 +85,17 @@ def test_register_fixtures_sql_roundtrip(spark, sf_dir):
     eio.register_fixtures(spark, sf_dir)
     n = spark.sql("SELECT COUNT(*) AS n FROM lineitem").first()["n"]
     assert n > 0
+
+
+def test_decimal_mode_schemas(spark):
+    """The DDL-faithful DecimalType(38,2) schema variant (SURVEY.md §1.2)."""
+    from retail_etl_pipeline_spark.schemas import inventory_schema, sales_schema
+
+    s = sales_schema("decimal")
+    assert s["sales_amt"].dataType.simpleString() == "decimal(38,2)"
+    inv = inventory_schema("decimal")
+    assert inv["inventory_on_hand_qty"].dataType.simpleString() == "decimal(38,2)"
+    # flags stay int so sum(flag) arithmetic works (Data Ingestion.sql:108)
+    assert inv["out_of_stock_flg"].dataType.simpleString() == "int"
+    df = spark.createDataFrame([], schema=s)
+    assert df.schema == s

@@ -1,0 +1,72 @@
+"""Plan-shape regression tests (SURVEY.md §4): the physical plans the
+100 TB design depends on. These lock in shuffle counts, column pruning,
+broadcast joins, and top-k execution so a refactor can't silently
+reintroduce the reference's anti-patterns."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from retail_etl_pipeline_spark.registry import QUERIES
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_weekly_sales_rollup_single_shuffle(spark, sf_dir):
+    """A1-A4 is scan -> partial agg -> ONE exchange -> final agg."""
+    plan = _physical(QUERIES["weekly_sales_rollup"](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_scan_is_pruned(spark, sf_dir):
+    """Column pruning must reach the parquet scan: 7 of 11 columns read."""
+    plan = _physical(QUERIES["pricing_summary"](spark, sf_dir))
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    cols = [c.split("#")[0] for c in m.group(1).split(",")]
+    assert len(cols) == 7, cols
+    assert "l_orderkey" not in cols and "l_partkey" not in cols
+
+
+def test_top_k_uses_take_ordered_not_full_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-partition
+    top-k + merge), never a global sort of the whole relation."""
+    plan = _physical(QUERIES["top_parts_by_revenue"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_dims_are_broadcast(spark, sf_dir):
+    """J2/J3 dim joins broadcast; no shuffle of the fact for dim joins."""
+    plan = _physical(QUERIES["weekly_sales_by_region"](spark, sf_dir))
+    # calendar + store on the fact, plus nation/region inside the store dim
+    assert len(re.findall(r"BroadcastHashJoin", plan)) == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_weekly_summary_is_single_aggregate(spark, sf_dir):
+    """The flagship computes 13 metrics in ONE logical Aggregate over the
+    merged frame — no self-joins of aggregate relations (the reference's
+    8-way assembly, SURVEY.md §4)."""
+    opt = _optimized(QUERIES["weekly_summary"](spark, sf_dir))
+    # aggregates: the summary itself + the derived-inventory groupBy +
+    # calendar distinct; crucially there is no join ABOVE the summary agg
+    first_agg = opt.index("Aggregate")
+    assert "Join" not in opt[:first_agg]
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """No operator may compile to a cartesian product; near-dup/similarity
+    pairs must ride equi-joins (shingle/band/bucket) or broadcast blocks."""
+    for name, fn in QUERIES.items():
+        plan = _physical(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
