@@ -338,3 +338,101 @@ JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_ROUND6_SQL.format(x=_COS_SQL.format(a='a.v', b='b.v'))}
       >= {COSINE_NEARDUP_THRESHOLD}
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse quantization into centroid cells, exact rerank
+# within the probed cell (nprobe=1). Deterministic "centroids" are fixed
+# corpus vectors (CENTROID_IDS) — a seeded k-means would slot in the same
+# way, but fp-nondeterministic training would break the cross-engine oracle.
+# ---------------------------------------------------------------------------
+
+#: vec_ids whose embeddings act as the IVF coarse centroids
+CENTROID_IDS = tuple(range(1, 9))
+
+
+def _with_cells(vecs: DataFrame) -> DataFrame:
+    """Assign each vector to its max-cosine centroid cell (ties -> lowest
+    centroid id). One small broadcast join + window; at scale this is the
+    coarse-quantizer map stage."""
+    from pyspark.sql import Window
+
+    cents = vecs.where(F.col("vec_id").isin(*CENTROID_IDS)).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "v",
+        "cid",
+        (dot(F.col("v"), F.col("cv"))
+         / F.sqrt(dot(F.col("v"), F.col("v")))
+         / F.sqrt(dot(F.col("cv"), F.col("cv")))).alias("cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "v", F.col("cid").alias("cell"))
+    )
+
+
+def ann_ivf_topk(emb: DataFrame, query_id: int = 0, k: int = TOP_K) -> DataFrame:
+    """IVF ANN top-k: probe only the query's cell, exact cosine rerank
+    inside it. The candidate scan shrinks from N to ~N/len(CENTROID_IDS);
+    recall < 1 by construction and the oracle encodes the same cells."""
+    cells = _with_cells(_vectors(emb))
+    q = cells.where(F.col("vec_id") == query_id).select(
+        F.col("cell").alias("qcell"), F.col("v").alias("qv")
+    )
+    return (
+        cells.where(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .where(F.col("cell") == F.col("qcell"))
+        .select(
+            "vec_id",
+            "label",
+            _round6(cosine(F.col("v"), F.col("qv"))).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_ivf_topk_sql(query_id: int = 0, k: int = TOP_K) -> str:
+    cid_list = ", ".join(str(c) for c in CENTROID_IDS)
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, {_VEC_SQL.format(e='embedding')} AS v FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN ({cid_list})
+),
+scored AS (
+  SELECT e.vec_id, e.label, e.v, cid,
+         {_DOT_SQL.format(a='e.v', b='cv')}
+           / sqrt({_DOT_SQL.format(a='e.v', b='e.v')})
+           / sqrt({_DOT_SQL.format(a='cv', b='cv')}) AS cs,
+         row_number() OVER (
+           PARTITION BY e.vec_id ORDER BY
+             {_DOT_SQL.format(a='e.v', b='cv')}
+               / sqrt({_DOT_SQL.format(a='e.v', b='e.v')})
+               / sqrt({_DOT_SQL.format(a='cv', b='cv')}) DESC,
+             cid ASC
+         ) AS rn
+  FROM e, cents
+),
+cells AS (
+  SELECT vec_id, label, v, cid AS cell FROM scored WHERE rn = 1
+),
+q AS (
+  SELECT cell AS qcell, v AS qv FROM cells WHERE vec_id = {query_id}
+)
+SELECT vec_id,
+       label,
+       {_ROUND6_SQL.format(x=_COS_SQL.format(a='v', b='qv'))} AS cosine
+FROM cells, q
+WHERE vec_id != {query_id} AND cell = qcell
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+"""

@@ -682,3 +682,164 @@ def weekly_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 13-metric weekly summary as ONE spark.sql statement over
     registered views — same Catalyst plan as the DataFrame form."""
     return sqe.weekly_summary_sql(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# general relational capability beyond the reference (SURVEY.md §2.7 lists
+# these as ABSENT from the reference; an engine a reference user switches to
+# still needs them): distinct, semi/anti joins, union, rollup/cube, pivot
+# ---------------------------------------------------------------------------
+
+@_register(
+    "distinct_order_priorities",
+    "SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders",
+)
+def distinct_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT = hash aggregate without aggregates (map-side combine)."""
+    return fx._read(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    ).distinct()
+
+
+@_register(
+    "customers_with_orders",
+    """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: existence probe, no row multiplication, and only the
+    probe side's columns flow — cheaper than join+distinct."""
+    c = fx._read(spark, sf_dir, "customer")
+    o = fx._read(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@_register(
+    "customers_without_orders",
+    """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (the NOT EXISTS plan)."""
+    c = fx._read(spark, sf_dir, "customer")
+    o = fx._read(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@_register(
+    "all_account_balances",
+    """
+SELECT c_custkey AS entity_key, 'customer' AS entity_kind, c_acctbal AS acctbal
+FROM customer
+UNION ALL
+SELECT s_suppkey AS entity_key, 'supplier' AS entity_kind, s_acctbal AS acctbal
+FROM supplier
+""",
+)
+def all_account_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL across heterogeneous sources with aligned schemas."""
+    c = fx._read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.lit("customer").alias("entity_kind"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = fx._read(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.lit("supplier").alias("entity_kind"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return c.unionByName(s)
+
+
+@_register(
+    "region_rollup",
+    f"""
+WITH {fx.SALES_CTE.strip()},
+{fx.STORE_CTE.strip()}
+SELECT st.region,
+       st.cntry_nm,
+       {_ms("s.sales_amt")} AS total_sales_amt,
+       COUNT(*) AS line_count
+FROM sales s
+JOIN store st ON s.store_key = st.store_key
+GROUP BY ROLLUP(st.region, st.cntry_nm)
+""",
+)
+def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals: (region, country) -> region -> grand total,
+    one pass with grouping-set expansion (no self-union of aggregates)."""
+    s = fx.sales(spark, sf_dir)
+    st = fx.store_dim(spark, sf_dir)
+    return (
+        s.join(F.broadcast(st), "store_key", "inner")
+        .rollup("region", "cntry_nm")
+        .agg(
+            money_sum(F.col("sales_amt")).alias("total_sales_amt"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+@_register(
+    "flag_status_cube",
+    f"""
+SELECT l_returnflag,
+       l_linestatus,
+       {_m("SUM(l_quantity)")} AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+)
+def flag_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping sets in one aggregation."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        money(F.sum("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "returnflag_pivot",
+    f"""
+SELECT l_linestatus,
+       {_m("SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END)")} AS qty_a,
+       {_m("SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END)")} AS qty_n,
+       {_m("SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END)")} AS qty_r
+FROM lineitem
+GROUP BY l_linestatus
+""",
+)
+def returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (explicit values keep the plan a
+    single pass — no distinct-scan to discover columns)."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(money(F.sum("l_quantity")))
+    )
+    return p.select(
+        "l_linestatus",
+        F.col("A").alias("qty_a"),
+        F.col("N").alias("qty_n"),
+        F.col("R").alias("qty_r"),
+    )
+
+
+@_register("ann_ivf_topk", sim.ann_ivf_topk_sql())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse centroid cells, exact rerank in the probed
+    cell (the k-means-cell join shape with deterministic centroids)."""
+    return sim.ann_ivf_topk(fx._read(spark, sf_dir, "embeddings"))
