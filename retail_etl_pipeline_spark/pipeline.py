@@ -80,6 +80,7 @@ def run_pipeline(
     output_path: str,
     on_missing: Callable[[list[str]], None] | None = None,
     register_as: str | None = "weekly_summary",
+    measure_type: str = "double",
 ) -> PipelineResult:
     """C3: the single entry point — readiness gate, CSV loads with explicit
     schemas, the single-pass weekly summary, idempotent date-partitioned
@@ -96,7 +97,7 @@ def run_pipeline(
 
     paths = table_paths(input_dir, run_date)
     frames = {
-        t: eio.read_csv(spark, paths[t], RETAIL_SCHEMAS[t]())
+        t: eio.read_csv(spark, paths[t], RETAIL_SCHEMAS[t](measure_type))
         for t in RETAIL_TABLES
     }
     m = merged_from(frames["sales"], frames["inventory"], frames["calendar"])

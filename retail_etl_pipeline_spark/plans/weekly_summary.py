@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.metrics import decimal_sum, money, money_sum, safe_div
+from ..functions.weeks import yr_wk_num
 from ..operators import fixtures_adapter as fx
 from ..operators.retail import WEEK_GRAIN, low_stock_flag
 
@@ -47,16 +48,24 @@ SUMMARY_COLUMNS = [
 ]
 
 
-def merged_from(sales: DataFrame, inv: DataFrame, cal: DataFrame) -> DataFrame:
-    """J1-J4 over canonical retail frames: sales ⋈ inventory (prod, store,
-    date — Q1 intended semantics) ⋈ calendar, with the low-stock flag (O3)
-    derived on the joined row.
+def merged_from(
+    sales: DataFrame, inv: DataFrame, cal: DataFrame | None = None
+) -> DataFrame:
+    """J1 (+J2) over canonical retail frames: sales ⋈ inventory (prod,
+    store, date — Q1 intended semantics), with the low-stock flag (O3)
+    derived on the joined row and the week key attached.
+
+    The week key comes from the calendar dimension when one is supplied
+    (the reference's J2 path, ``Data Transformation.py:52``) and is derived
+    directly from the date otherwise (Q8 fallback) — one projection instead
+    of a distinct-build + broadcast join when no calendar exists.
 
     Join strategy for 100 TB: the two facts are co-partitioned by the join
     keys via one shuffle (sort-merge; AQE may convert to shuffled-hash);
-    calendar is broadcast. Store/product dims are NOT joined here — the
-    summary needs none of their columns, and Catalyst would prune them
-    anyway; ``merged_wide`` adds them for consumers that want attributes.
+    calendar, when present, is broadcast. Store/product dims are NOT joined
+    here — the summary needs none of their columns, and Catalyst would
+    prune them anyway; ``merged_wide`` adds them for consumers that want
+    attributes.
     """
     m = sales.join(
         inv,
@@ -71,19 +80,20 @@ def merged_from(sales: DataFrame, inv: DataFrame, cal: DataFrame) -> DataFrame:
         inv["inventory_on_order_qty"],
         inv["out_of_stock_flg"],
     )
-    m = m.join(F.broadcast(cal), m.trans_dt == cal.cal_dt, "inner").drop(
-        cal["cal_dt"]
-    )
+    if cal is not None:
+        m = m.join(F.broadcast(cal), m.trans_dt == cal.cal_dt, "inner").drop(
+            cal["cal_dt"]
+        )
+    else:
+        m = m.withColumn("yr_wk_num", yr_wk_num(F.col("trans_dt")))
     return m.withColumn("low_stock_flg", low_stock_flag(m))
 
 
 def merged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """:func:`merged_from` over the driver-fixture role mapping."""
-    return merged_from(
-        fx.sales(spark, sf_dir),
-        fx.inventory(spark, sf_dir),
-        fx.calendar_dim(spark, sf_dir),
-    )
+    """:func:`merged_from` over the driver-fixture role mapping (no
+    calendar table ships with the fixtures -> derived week key, exactly as
+    the oracle's merged CTE computes it)."""
+    return merged_from(fx.sales(spark, sf_dir), fx.inventory(spark, sf_dir))
 
 
 def merged_wide(spark: SparkSession, sf_dir: str) -> DataFrame:

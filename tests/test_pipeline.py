@@ -127,3 +127,20 @@ def test_run_pipeline_end_to_end(spark, retail_csvs):
     # idempotent re-run: same partition overwritten, not duplicated
     res2 = pl.run_pipeline(spark, RUN_DATE, retail_csvs, out)
     assert res2.output_rows == 3
+
+
+def test_run_pipeline_decimal_mode(spark, retail_csvs):
+    """DDL-faithful DECIMAL(38,2) measures end-to-end (SURVEY.md §1.4)."""
+    out = os.path.join(TMP, "out_decimal")
+    res = pl.run_pipeline(
+        spark, RUN_DATE, retail_csvs, out,
+        register_as="weekly_summary_dec", measure_type="decimal",
+    )
+    assert res.ran and res.output_rows == 3
+    row = (
+        spark.table("weekly_summary_dec")
+        .where("store_key = 1 AND prod_key = 10")
+        .collect()[0]
+    )
+    assert float(row["total_sales_amt"]) == 30.0
+    assert float(row["eow_on_hand_qty"]) == 1.0

@@ -1,0 +1,70 @@
+"""Salted aggregation / skew-join utilities: results must equal the direct
+(unsalted) plans on skewed data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from retail_etl_pipeline_spark.functions.skew import (
+    salted_agg,
+    salted_broadcast_left,
+    with_salt,
+)
+
+
+def _skewed(spark):
+    # one hot key (90% of rows) + a long tail
+    hot = spark.range(9000).select(
+        F.lit(7).alias("k"), (F.col("id") % 100).cast("double").alias("x")
+    )
+    tail = spark.range(1000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").cast("double").alias("x")
+    )
+    return hot.unionByName(tail)
+
+
+def test_salt_is_deterministic(spark):
+    df = _skewed(spark)
+    a = with_salt(df).groupBy("_salt").count().collect()
+    b = with_salt(df).groupBy("_salt").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_salted_agg_equals_direct(spark):
+    df = _skewed(spark)
+    direct = {
+        (r["k"]): (r["s"], r["c"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("x").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+            F.max("x").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["k"]): (r["s"], r["c"], r["mx"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"s": F.sum("x"), "c": F.count(F.lit(1)), "mx": F.max("x")},
+            {"s": F.sum("s"), "c": F.sum("c"), "mx": F.max("mx")},
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_salted_join_equals_direct(spark):
+    big = _skewed(spark)
+    small = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    direct = big.join(small, "k", "inner").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    salted = salted_broadcast_left(big, small, "k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
