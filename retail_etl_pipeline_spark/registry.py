@@ -843,3 +843,60 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse centroid cells, exact rerank in the probed
     cell (the k-means-cell join shape with deterministic centroids)."""
     return sim.ann_ivf_topk(fx._read(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# §2.9 as-written / README variants — the reference's divergent semantics,
+# exposed alongside the intended-primary forms so parity is checkable for
+# BOTH readings (Q4, Q5)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "low_stock_count_aswritten",
+    f"""
+WITH {fx.EVENTS_INV_CTE.strip()}
+SELECT store_key,
+       COUNT(low_stock_flg) AS low_stock_count
+FROM events_inv
+GROUP BY store_key
+""",
+)
+def low_stock_count_aswritten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 AS WRITTEN (Q4): count() of non-null flags (i.e. all rows) on the
+    weekless (store-only) grain — reproduces ``Data Transformation.py:117``
+    including its dropped week key. The intended form is ``low_stock_count``."""
+    inv = fx.events_inventory(spark, sf_dir)
+    return inv.groupBy("store_key").agg(
+        F.count("low_stock_flg").alias("low_stock_count")
+    )
+
+
+@_register(
+    "potential_low_stock_impact_readme",
+    f"""
+WITH {fx.SALES_CTE.strip()},
+{fx.INVENTORY_CTE.strip()},
+{_MERGED_CTE.strip()}
+SELECT yr_wk_num,
+       store_key,
+       prod_key,
+       {_ms("sales_amt - inventory_on_hand_qty")} AS potential_low_stock_impact
+FROM merged
+WHERE low_stock_flg = 1
+GROUP BY 1, 2, 3
+""",
+)
+def potential_low_stock_impact_readme(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10, README form (Q5): ``SUM(sales_amt - stock_on_hand)`` over
+    low-stock rows (``README.md:56``) — the executed code's quantity-based
+    form is the primary ``potential_low_stock_impact``."""
+    m = ws.merged(spark, sf_dir)
+    return (
+        m.where(F.col("low_stock_flg") == 1)
+        .groupBy(*retail.WEEK_GRAIN)
+        .agg(
+            money_sum(
+                F.col("sales_amt") - F.col("inventory_on_hand_qty")
+            ).alias("potential_low_stock_impact")
+        )
+    )
