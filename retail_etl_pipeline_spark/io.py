@@ -46,6 +46,35 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSON-lines scan with explicit schema (no inference pass — same
+    policy as S1; schema-on-read without the extra scan)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — columnar alternative sink/source; predicate pushdown and
+    column pruning apply as with parquet."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else partition_by
+        writer = writer.partitionBy(*cols)
+    writer.orc(path)
+
+
 def load_fixtures(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = FIXTURE_TABLES
 ) -> dict[str, DataFrame]:

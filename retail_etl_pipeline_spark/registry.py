@@ -900,3 +900,53 @@ def potential_low_stock_impact_readme(spark: SparkSession, sf_dir: str) -> DataF
             ).alias("potential_low_stock_impact")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# approximate distinct counting — deterministic linear-counting sketch.
+# Spark's approx_count_distinct (HLL++) can't be oracle-matched (engine-
+# specific sketch state); linear counting over md5 buckets is the same
+# class of estimator with bit-identical results in any engine, so the
+# oracle check stays exact. Native approx_count_distinct remains available
+# to users; this is the cross-engine-checkable form.
+# ---------------------------------------------------------------------------
+
+_LC_BUCKETS = 4096
+
+
+@_register(
+    "approx_distinct_parts",
+    f"""
+WITH occupied AS (
+  SELECT COUNT(DISTINCT CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                             AS BIGINT) % {_LC_BUCKETS}) AS m
+  FROM lineitem
+)
+SELECT m AS occupied_buckets,
+       CAST(round(CAST(-{_LC_BUCKETS} * ln(1.0 - CAST(m AS DOUBLE) / {_LC_BUCKETS})
+                       AS DECIMAL(20,6)), 1) AS DOUBLE) AS approx_distinct
+FROM occupied
+""",
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-counting estimate of distinct l_partkey: hash each key into
+    {_LC_BUCKETS} buckets, count occupied buckets m, estimate
+    -K*ln(1-m/K). One exact-distinct over a tiny key space replaces the
+    full distinct at scale (the sketch state is K bits, mergeable across
+    partitions)."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % _LC_BUCKETS
+    )
+    occ = li.agg(F.count_distinct(bucket).alias("m"))
+    k = float(_LC_BUCKETS)
+    est = -k * F.log(F.lit(1.0) - F.col("m").cast("double") / k)
+    return occ.select(
+        F.col("m").alias("occupied_buckets"),
+        F.round(est.cast("decimal(20,6)"), 1).cast("double").alias(
+            "approx_distinct"
+        ),
+    )

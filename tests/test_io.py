@@ -99,3 +99,29 @@ def test_decimal_mode_schemas(spark):
     assert inv["out_of_stock_flg"].dataType.simpleString() == "int"
     df = spark.createDataFrame([], schema=s)
     assert df.schema == s
+
+
+def test_json_roundtrip_explicit_schema(spark):
+    from pyspark.sql import types as T
+
+    out = os.path.join(TMP, "json")
+    df = spark.range(20).select(
+        F.col("id"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+    eio.write_json(df, out)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    back = eio.read_json(spark, out, schema)
+    assert back.count() == 20
+    assert back.schema == schema
+
+
+def test_orc_roundtrip_partitioned(spark):
+    out = os.path.join(TMP, "orc")
+    df = spark.range(40).select(F.col("id"), (F.col("id") % 4).alias("part"))
+    eio.write_orc(df, out, partition_by="part")
+    assert any(d.startswith("part=") for d in os.listdir(out))
+    back = eio.read_orc(spark, out)
+    assert back.count() == 40
+    assert back.where(F.col("part") == 1).count() == 10

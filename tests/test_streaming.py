@@ -124,3 +124,81 @@ def test_stream_session_windows_equals_batch(spark, sf_dir):
         assert streamed.count() > 0
     finally:
         q.stop()
+
+
+def test_watermark_drops_late_events(spark):
+    """Late-data semantics: with maxFilesPerTrigger=1 the second file's
+    events that fall behind the watermark established by the first file
+    must be excluded from their (already finalized) windows."""
+    import os as _os
+    import shutil as _shutil
+    import pandas as _pd
+
+    base = _os.path.join(TMP, "late")
+    src = _os.path.join(base, "src")
+    _shutil.rmtree(base, ignore_errors=True)
+    _os.makedirs(src)
+
+    def _write(name, rows):
+        pdf = _pd.DataFrame(rows, columns=["ts", "user_id", "value"])
+        pdf["ts"] = _pd.to_datetime(pdf["ts"])
+        sdf = spark.createDataFrame(pdf)
+        sdf.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(base, "tmp_" + name)
+        )
+        part = [
+            f for f in _os.listdir(_os.path.join(base, "tmp_" + name))
+            if f.endswith(".parquet")
+        ][0]
+        dst = _os.path.join(src, name + ".parquet")
+        _os.rename(_os.path.join(base, "tmp_" + name, part), dst)
+        return dst
+
+    from pyspark.sql import functions as F
+
+    ckpt = _os.path.join(base, "ckpt")
+
+    def _run(qname):
+        stream = spark.readStream.schema(
+            "ts timestamp, user_id long, value double"
+        ).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+            .select(F.col("w.start").alias("ws"), "n", "v")
+        )
+        emitted: list = []
+
+        def _sink(batch_df, batch_id):
+            emitted.extend(batch_df.collect())
+
+        q = (
+            agg.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return emitted
+
+    # run 1: events up to 12:00 -> checkpointed watermark 11:50
+    _write("b1", [("2024-01-01 09:30:00", 1, 1.0),
+                  ("2024-01-01 12:00:00", 1, 1.0)])
+    _run("late_run1")
+
+    # run 2 resumes from the checkpoint: the watermark survives the
+    # restart, so the very late 08:15 event (< 11:50) is dropped while the
+    # on-time 12:10 event updates its window
+    _write("b2", [("2024-01-01 12:10:00", 1, 1.0),
+                  ("2024-01-01 08:15:00", 1, 100.0)])
+    run2 = _run("late_run2")
+    try:
+        rows2 = {str(r["ws"]): (r["n"], r["v"]) for r in run2}
+        assert all(v < 100.0 for (_n, v) in rows2.values()), rows2
+        assert "2024-01-01 08:00:00" not in rows2, rows2
+        assert rows2.get("2024-01-01 12:00:00") == (2, 2.0), rows2
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
