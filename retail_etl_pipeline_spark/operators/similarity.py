@@ -353,27 +353,35 @@ CENTROID_IDS = tuple(range(1, 9))
 
 def _with_cells(vecs: DataFrame) -> DataFrame:
     """Assign each vector to its max-cosine centroid cell (ties -> lowest
-    centroid id). One small broadcast join + window; at scale this is the
-    coarse-quantizer map stage."""
-    from pyspark.sql import Window
-
-    cents = vecs.where(F.col("vec_id").isin(*CENTROID_IDS)).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    centroid id) as a single PROJECTION: centroids are tiny plan constants
+    (collected once, inlined as array literals) and the argmax is an
+    expression fold — no crossJoin, no window shuffle; at scale this is a
+    pure map over the corpus."""
+    cent_rows = (
+        vecs.where(F.col("vec_id").isin(*CENTROID_IDS))
+        .select("vec_id", "v")
+        .collect()
     )
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "label",
-        "v",
-        "cid",
-        (dot(F.col("v"), F.col("cv"))
-         / F.sqrt(dot(F.col("v"), F.col("v")))
-         / F.sqrt(dot(F.col("cv"), F.col("cv")))).alias("cs"),
+    cents = {r["vec_id"]: list(r["v"]) for r in cent_rows}
+    cids = sorted(cents)
+    # ONE 2-D literal + a transform keeps the expression tree tiny (vs 8
+    # separate 64-literal arrays, whose codegen cost dominated first-run)
+    cent_mat = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in cents[cid]])
+            for cid in cids
+        ]
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "label", "v", F.col("cid").alias("cell"))
+    vnorm = F.sqrt(dot(F.col("v"), F.col("v")))
+    scores = F.transform(
+        cent_mat, lambda cv: dot(F.col("v"), cv) / vnorm / F.sqrt(dot(cv, cv))
+    )
+    # array_position returns the FIRST index of the max -> lowest cid wins
+    # exact ties, identical to the oracle's (cs DESC, cid ASC) ranking
+    idx = F.array_position(scores, F.array_max(scores))
+    cid_arr = F.array(*[F.lit(c).cast("bigint") for c in cids])
+    return vecs.select(
+        "vec_id", "label", "v", F.element_at(cid_arr, idx.cast("int")).alias("cell")
     )
 
 
