@@ -70,3 +70,27 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def configure_object_store(
+    spark: SparkSession,
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style_access: bool | None = None,
+) -> None:
+    """S3/S6: object-store (s3a) access on an existing session — the
+    reference wires credentials inline on the builder
+    (``Data Transformation.py:16-18``) and defines a storage integration in
+    the warehouse (``Storage Integration.sql:5-22``). Here it is one
+    explicit, optional call; in production prefer instance-profile or
+    environment credential providers over literal keys."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    if endpoint is not None:
+        hconf.set("fs.s3a.endpoint", endpoint)
+    if access_key is not None:
+        hconf.set("fs.s3a.access.key", access_key)
+    if secret_key is not None:
+        hconf.set("fs.s3a.secret.key", secret_key)
+    if path_style_access is not None:
+        hconf.set("fs.s3a.path.style.access", str(path_style_access).lower())

@@ -125,3 +125,37 @@ def test_orc_roundtrip_partitioned(spark):
     back = eio.read_orc(spark, out)
     assert back.count() == 40
     assert back.where(F.col("part") == 1).count() == 10
+
+
+def test_configure_object_store(spark):
+    """S3/S6: s3a settings land on the live Hadoop configuration."""
+    from retail_etl_pipeline_spark.session import configure_object_store
+
+    configure_object_store(
+        spark, endpoint="http://localhost:9000",
+        access_key="ak", secret_key="sk", path_style_access=True,
+    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.endpoint") == "http://localhost:9000"
+    assert hconf.get("fs.s3a.path.style.access") == "true"
+
+
+def test_csv_to_table_and_sql_over_it(spark):
+    """S4 (COPY INTO analog) + S8 (SQL over the catalog table)."""
+    path = os.path.join(TMP, "s4.csv")
+    with open(path, "w") as f:
+        f.write(
+            "trans_id,prod_key,store_key,trans_dt,trans_time,sales_qty,"
+            "sales_price,sales_amt,discount,sales_cost,sales_mgrn,ship_cost\n"
+            "1,10,1,2024-03-11,900,2.0,5.0,10.0,0.0,8.0,2.0,1.0\n"
+            "2,11,1,2024-03-12,901,1.0,5.0,5.0,0.0,4.0,1.0,1.0\n"
+        )
+    spark.sql("DROP TABLE IF EXISTS sales_loaded")
+    eio.csv_to_table(spark, path, sales_schema(), "sales_loaded")
+    try:
+        got = spark.sql(
+            "SELECT SUM(sales_amt) AS s FROM sales_loaded WHERE store_key = 1"
+        ).first()["s"]
+        assert got == 15.0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sales_loaded")
