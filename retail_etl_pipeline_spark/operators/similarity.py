@@ -390,17 +390,20 @@ def ann_ivf_topk(emb: DataFrame, query_id: int = 0, k: int = TOP_K) -> DataFrame
     inside it. The candidate scan shrinks from N to ~N/len(CENTROID_IDS);
     recall < 1 by construction and the oracle encodes the same cells."""
     cells = _with_cells(_vectors(emb))
-    q = cells.where(F.col("vec_id") == query_id).select(
-        F.col("cell").alias("qcell"), F.col("v").alias("qv")
-    )
+    # resolve the query row driver-side (1 row) and inline it: avoids a
+    # self-join of `cells` with itself, which both adds a join stage and
+    # trips Spark's attribute dedup on the outer column captured by the
+    # cell-assignment transform lambda (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
+    qrow = cells.where(F.col("vec_id") == query_id).select("cell", "v").first()
+    qv = F.array(*[F.lit(float(x)) for x in qrow["v"]])
     return (
-        cells.where(F.col("vec_id") != query_id)
-        .crossJoin(F.broadcast(q))
-        .where(F.col("cell") == F.col("qcell"))
+        cells.where(
+            (F.col("vec_id") != query_id) & (F.col("cell") == F.lit(qrow["cell"]))
+        )
         .select(
             "vec_id",
             "label",
-            _round6(cosine(F.col("v"), F.col("qv"))).alias("cosine"),
+            _round6(cosine(F.col("v"), qv)).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
