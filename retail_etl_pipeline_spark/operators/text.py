@@ -316,3 +316,46 @@ SELECT doc_id,
 FROM votes
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex tokenization (north-star text analysis: whitespace + a
+# BPE-style pre-tokenizer). The pattern is the GPT-2 pre-tokenizer's shape
+# reduced to syntax shared by Java regex (Spark) and RE2 (DuckDB):
+# letter runs | digit runs | single non-alnum-non-space marks. The class
+# uses a literal space (not \s): Spark SQL string literals process
+# backslash escapes while DuckDB's do not, so any backslash in the pattern
+# would mean different regexes on the two sides.
+# ---------------------------------------------------------------------------
+
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_tokens(c: Column) -> Column:
+    return F.expr(f"regexp_extract_all({c._jc.toString()}, '{BPE_PATTERN}', 0)")
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace AND BPE-ish token counts per document, plus their ratio
+    (a cheap tokenizer-fertility proxy used for corpus mix monitoring)."""
+    ws = tokens(F.col("text"))
+    bpe = F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")
+    n_ws = F.size(ws).cast("bigint")
+    n_bpe = F.size(bpe).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_ws.alias("ws_tokens"),
+        n_bpe.alias("bpe_tokens"),
+        (n_bpe.cast("double") / n_ws).alias("fertility"),
+    )
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       CAST(len({TOKENS_SQL.format(c='text')}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT)
+         AS bpe_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS DOUBLE)
+         / len({TOKENS_SQL.format(c='text')}) AS fertility
+FROM documents
+"""

@@ -950,3 +950,9 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_distinct"
         ),
     )
+
+
+@_register("token_counts", tx.TOKEN_COUNTS_SQL)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting with fertility ratio."""
+    return tx.token_counts(fx._read(spark, sf_dir, "documents"))
