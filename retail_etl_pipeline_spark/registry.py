@@ -956,3 +956,103 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish regex token counting with fertility ratio."""
     return tx.token_counts(fx._read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# classic multi-join analytics (shipping priority / local supplier volume
+# shapes): deeper join trees under one aggregation, AQE-ordered
+# ---------------------------------------------------------------------------
+
+@_register(
+    "shipping_priority",
+    f"""
+SELECT l.l_orderkey,
+       {_ms("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+       o.o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+  AND CAST(l.l_shipdate AS DATE) > DATE '1998-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+""",
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-table join with filters on every input (all pushed to the scans),
+    one aggregation, global top-10 via TakeOrderedAndProject."""
+    c = fx._read(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = fx._read(spark, sf_dir, "orders").where(
+        F.to_date("o_orderdate") < F.lit("1998-03-15").cast("date")
+    )
+    li = fx._read(spark, sf_dir, "lineitem").where(
+        F.to_date("l_shipdate") > F.lit("1998-03-15").cast("date")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "local_supplier_volume",
+    f"""
+SELECT n.n_name,
+       {_ms("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name ASC
+""",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-table join: two large facts plus four broadcast dims, the
+    customer-nation = supplier-nation condition riding the supplier join;
+    one aggregation on a 25-value key."""
+    c = fx._read(spark, sf_dir, "customer")
+    o = fx._read(spark, sf_dir, "orders").where(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = fx._read(spark, sf_dir, "lineitem")
+    s = fx._read(spark, sf_dir, "supplier")
+    n = fx._read(spark, sf_dir, "nation")
+    r = fx._read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
