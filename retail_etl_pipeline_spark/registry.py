@@ -1056,3 +1056,84 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+# ---------------------------------------------------------------------------
+# as-of join (operators/asof.py): every event annotated with the latest
+# at-or-before 'purchase' value of the same user
+# ---------------------------------------------------------------------------
+
+from .operators.asof import asof_join  # noqa: E402
+
+
+@_register(
+    "events_asof_last_purchase",
+    f"""
+WITH {fx.EVENTS_STREAM_CTE.strip()},
+lt AS (
+  SELECT event_id, ts, user_id, event_type, value,
+         1 AS _side, CAST(NULL AS DOUBLE) AS _pv
+  FROM events_norm
+),
+rt AS (
+  SELECT event_id, ts, user_id, CAST(NULL AS VARCHAR) AS event_type,
+         CAST(NULL AS DOUBLE) AS value, 0 AS _side, value AS _pv
+  FROM events_norm WHERE event_type = 'purchase'
+),
+combined AS (SELECT * FROM lt UNION ALL BY NAME SELECT * FROM rt),
+filled AS (
+  SELECT *,
+         last_value(_pv IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts, _side, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS last_purchase_value
+  FROM combined
+)
+SELECT event_id, ts, user_id, event_type, value, last_purchase_value
+FROM filled
+WHERE _side = 1
+""",
+)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join demo: events ⋈asof purchases per user (at-or-before
+    event time, deterministic tie-break on event_id)."""
+    ev = fx.events_stream(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return asof_join(
+        ev,
+        purchases,
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+        value_col="value",
+        out_col="last_purchase_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# range join via time-bucketing (operators/rangejoin.py)
+# ---------------------------------------------------------------------------
+
+from .operators import rangejoin as rj  # noqa: E402
+
+
+@_register(
+    "orders_in_promo_windows",
+    f"""
+WITH {rj.PROMO_WINDOWS_SQL.strip()}
+SELECT p.promo_id,
+       p.rate,
+       COUNT(*) AS order_count,
+       {_ms("o.o_totalprice")} AS total_price
+FROM orders o
+JOIN promos p
+  ON CAST(o.o_orderdate AS DATE) >= p.start_dt
+ AND CAST(o.o_orderdate AS DATE) < p.end_dt
+GROUP BY p.promo_id, p.rate
+""",
+)
+def orders_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join rewritten as a bucketed equi-join (the oracle runs the
+    naive BETWEEN join — same result, quadratic plan)."""
+    return rj.orders_in_promo_windows(spark, fx._read(spark, sf_dir, "orders"))

@@ -99,3 +99,39 @@ def test_summary_single_pass_equals_assembled(spark):
     assert a.columns == b.columns
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_asof_join_semantics(spark):
+    """At-or-before matching, NULL before any right row, equal-ts rows
+    visible, deterministic tie-break."""
+    import datetime as dt
+
+    from retail_etl_pipeline_spark.operators.asof import asof_join
+
+    T = lambda s: dt.datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [
+            (1, T("2024-01-01 09:00:00"), 10, "e"),   # before any right -> NULL
+            (2, T("2024-01-01 10:00:00"), 10, "e"),   # == right ts -> sees 1.0
+            (3, T("2024-01-01 11:30:00"), 10, "e"),   # between -> 1.0
+            (4, T("2024-01-01 12:00:00"), 10, "e"),   # tie of two rights at 12:00
+            (5, T("2024-01-01 09:00:00"), 99, "e"),   # other key -> NULL
+        ],
+        "event_id int, ts timestamp, user_id int, event_type string",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, T("2024-01-01 10:00:00"), 10, 1.0),
+            (101, T("2024-01-01 12:00:00"), 10, 2.0),
+            (102, T("2024-01-01 12:00:00"), 10, 3.0),  # higher id wins the tie
+        ],
+        "event_id int, ts timestamp, user_id int, value double",
+    )
+    out = {
+        r["event_id"]: r["v"]
+        for r in asof_join(
+            left, right, key="user_id", ts="ts", tiebreak="event_id",
+            value_col="value", out_col="v",
+        ).collect()
+    }
+    assert out == {1: None, 2: 1.0, 3: 1.0, 4: 3.0, 5: None}
