@@ -1137,3 +1137,56 @@ def orders_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join rewritten as a bucketed equi-join (the oracle runs the
     naive BETWEEN join — same result, quadratic plan)."""
     return rj.orders_in_promo_windows(spark, fx._read(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# hierarchical rollup: monthly re-aggregated FROM daily partials — the
+# continuous-aggregate / hypertable-rollup pattern. At scale the daily
+# relation is a materialized incremental table; correctness requires the
+# re-aggregation of partials to equal the direct aggregate, which the
+# oracle checks (daily decimal sums round-trip double->decimal exactly at
+# these magnitudes, so sum-of-daily == direct sum bit-for-bit).
+# ---------------------------------------------------------------------------
+
+@_register(
+    "monthly_from_daily_rollup",
+    f"""
+WITH {fx.SALES_CTE.strip()},
+daily AS (
+  SELECT trans_dt,
+         store_key,
+         {_ds("sales_amt")} AS day_amt,
+         {_m("SUM(sales_qty)")} AS day_qty
+  FROM sales
+  GROUP BY 1, 2
+)
+SELECT CAST(year(trans_dt) * 100 + month(trans_dt) AS INTEGER) AS yr_mnth_num,
+       store_key,
+       {_ms("day_amt")} AS total_sales_amt,
+       {_m("SUM(day_qty)")} AS total_sales_qty,
+       COUNT(*) AS active_days
+FROM daily
+GROUP BY 1, 2
+""",
+)
+def monthly_from_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level rollup: daily partials -> monthly, plus a day-grain
+    metric (active_days) only the hierarchy can provide."""
+    s = fx.sales(spark, sf_dir)
+    daily = s.groupBy("trans_dt", "store_key").agg(
+        decimal_sum(F.col("sales_amt")).alias("day_amt"),
+        money(F.sum("sales_qty")).alias("day_qty"),
+    )
+    return (
+        daily.groupBy(
+            (F.year("trans_dt") * 100 + F.month("trans_dt"))
+            .cast("int")
+            .alias("yr_mnth_num"),
+            "store_key",
+        )
+        .agg(
+            money_sum(F.col("day_amt")).alias("total_sales_amt"),
+            money(F.sum("day_qty")).alias("total_sales_qty"),
+            F.count(F.lit(1)).alias("active_days"),
+        )
+    )
