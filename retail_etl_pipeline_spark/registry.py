@@ -1190,3 +1190,44 @@ def monthly_from_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("active_days"),
         )
     )
+
+
+@_register(
+    "weekly_category_sales",
+    f"""
+WITH {fx.SALES_CTE.strip()},
+{fx.PRODUCT_CTE.strip()},
+agg AS (
+  SELECT {_W_TRANS} AS yr_wk_num,
+         prod_key,
+         {_ds("sales_amt")} AS amt
+  FROM sales
+  GROUP BY 1, 2
+)
+SELECT a.yr_wk_num,
+       p.category_name,
+       {_ms("a.amt")} AS total_sales_amt,
+       COUNT(*) AS product_count
+FROM agg a
+JOIN product p ON a.prod_key = p.prod_key
+GROUP BY 1, 2
+""",
+)
+def weekly_category_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-THEN-join: the fact is rolled up to (week, product)
+    BEFORE the product dim joins in, so the join probes the compact
+    aggregate instead of every fact row — the right order at 100 TB when
+    the dim attributes aren't needed inside the aggregation itself."""
+    s = retail.add_week(fx.sales(spark, sf_dir), "trans_dt")
+    agg = s.groupBy("yr_wk_num", "prod_key").agg(
+        decimal_sum(F.col("sales_amt")).alias("amt")
+    )
+    p = fx.product_dim(spark, sf_dir)
+    return (
+        agg.join(F.broadcast(p), "prod_key", "inner")
+        .groupBy("yr_wk_num", "category_name")
+        .agg(
+            money_sum(F.col("amt")).alias("total_sales_amt"),
+            F.count(F.lit(1)).alias("product_count"),
+        )
+    )

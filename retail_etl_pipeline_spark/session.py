@@ -44,7 +44,7 @@ def get_spark(
             )
         )
 
-    driver_mem = os.environ.get("SPARK_DRIVER_MEMORY", "32g")
+    driver_mem = os.environ.get("SPARK_DRIVER_MEMORY", "64g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -159,3 +159,23 @@ def test_csv_to_table_and_sql_over_it(spark):
         assert got == 15.0
     finally:
         spark.sql("DROP TABLE IF EXISTS sales_loaded")
+
+
+def test_csv_permissive_on_malformed_rows(spark):
+    """Dirty input must not kill the scan: PERMISSIVE mode nulls the
+    unparseable cells and keeps the row."""
+    path = os.path.join(TMP, "dirty.csv")
+    with open(path, "w") as f:
+        f.write(
+            "trans_id,prod_key,store_key,trans_dt,trans_time,sales_qty,"
+            "sales_price,sales_amt,discount,sales_cost,sales_mgrn,ship_cost\n"
+            "1,10,1,2024-03-11,900,2.0,5.0,10.0,0.0,8.0,2.0,1.0\n"
+            "oops,not,a,number,row,x,y,z,q,w,e,r\n"
+            "3,11,1,2024-03-12,901,1.0,5.0,5.0,0.0,4.0,1.0,1.0\n"
+        )
+    df = eio.read_csv(spark, path, sales_schema())
+    rows = df.collect()
+    assert len(rows) == 3
+    good = [r for r in rows if r["trans_id"] is not None]
+    assert len(good) == 2
+    assert sum(r["sales_amt"] for r in good) == 15.0
