@@ -1231,3 +1231,52 @@ def weekly_category_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("product_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling — rand()-based sampling is
+# irreproducible across runs and engines; hashing the stable key gives the
+# identical sample everywhere and survives task retries. Rates per stratum
+# (language), shared between both sides.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES: dict[str, int] = {"en": 50, "de": 25, "fr": 25, "es": 25, "zh": 25}
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{l}' THEN {r}" for l, r in _SAMPLE_RATES.items()
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+@_register(
+    "documents_stratified_sample",
+    f"""
+WITH rated AS (
+  SELECT doc_id,
+         lang,
+         n_chars,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 100 AS h
+  FROM documents
+)
+SELECT doc_id, lang, n_chars
+FROM rated
+WHERE h < {_rate_case_sql()}
+""",
+)
+def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling rates via a hash of the stable key: the
+    selected set is a pure function of the data — rerunnable, engine-
+    independent, retry-safe (none of which rand()-sampling gives)."""
+    docs = fx._read(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = F.lit(0)
+    for lang, r in _SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return docs.select("doc_id", "lang", "n_chars").where(h < rate)
