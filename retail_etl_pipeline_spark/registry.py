@@ -1280,3 +1280,47 @@ def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang, r in _SAMPLE_RATES.items():
         rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
     return docs.select("doc_id", "lang", "n_chars").where(h < rate)
+
+
+# ---------------------------------------------------------------------------
+# data profiling — per-column health metrics (null rate, distinct count,
+# min/max lengths), the standard pre-training corpus audit
+# ---------------------------------------------------------------------------
+
+@_register(
+    "documents_profile",
+    """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_text,
+       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_lang,
+       COUNT(DISTINCT lang) AS distinct_langs,
+       COUNT(DISTINCT source) AS distinct_sources,
+       CAST(MIN(length(text)) AS BIGINT) AS min_len,
+       CAST(MAX(length(text)) AS BIGINT) AS max_len,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+""",
+)
+def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus profile: null rates, cardinalities, length bounds.
+    All aggregates combine map-side; distincts expand to grouping-set
+    partials internally — still a single job."""
+    d = fx._read(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_text"),
+        F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_lang"),
+        F.count_distinct(F.col("lang")).alias("distinct_langs"),
+        F.count_distinct(F.col("source")).alias("distinct_sources"),
+        F.min(F.length("text")).cast("bigint").alias("min_len"),
+        F.max(F.length("text")).cast("bigint").alias("max_len"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )

@@ -9,6 +9,7 @@ source, watermark, trigger, and sink plumbing.
 """
 
 from .rollup import (
+    stream_stream_purchase_join,
     run_available_now,
     stream_events,
     stream_tumbling_counts,

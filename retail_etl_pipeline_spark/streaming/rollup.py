@@ -152,3 +152,34 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_stream_purchase_join(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join: every event paired with purchases by the
+    same user in the preceding hour. Both sides watermarked so Spark can
+    bound the join state (rows older than watermark + interval are
+    evicted) — the canonical enrich-stream-with-stream pattern."""
+    left = events.select(
+        F.col("event_id").alias("l_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("user_id").alias("l_user"),
+        F.col("event_type").alias("l_type"),
+    ).withWatermark("l_ts", WATERMARK_DELAY)
+    right = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("r_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("user_id").alias("r_user"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("r_ts", WATERMARK_DELAY)
+    )
+    return left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("l_id") != F.col("r_id")),
+        "inner",
+    ).select("l_id", "l_ts", "l_user", "l_type", "r_id", "purchase_value")

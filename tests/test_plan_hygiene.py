@@ -70,3 +70,12 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
     for name, fn in QUERIES.items():
         plan = _physical(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def test_window_merged_summary_plan_shape(spark, sf_dir):
+    """The window-derived merged plan is join-free: one exchange for the
+    snapshot window, one for the count-distinct expansion, one for the
+    final weekly aggregation — and nothing else."""
+    plan = _physical(QUERIES["weekly_summary"](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3, plan
+    assert "Join" not in plan

@@ -202,3 +202,24 @@ def test_watermark_drops_late_events(spark):
         assert rows2.get("2024-01-01 12:00:00") == (2, 2.0), rows2
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """Stream-stream interval join drains to the same pairs a batch join
+    produces (single AvailableNow batch -> no state eviction losses)."""
+    from retail_etl_pipeline_spark.streaming.rollup import (
+        stream_stream_purchase_join,
+    )
+
+    events = st.stream_events(spark, sf_dir)
+    joined = stream_stream_purchase_join(events)
+    q = st.run_available_now(joined, "ss_join", output_mode="append")
+    try:
+        streamed = spark.table("ss_join")
+        # the same join logic over the static frame is the expected output
+        batch = stream_stream_purchase_join(fx.events_stream(spark, sf_dir))
+        assert streamed.count() > 0
+        assert streamed.exceptAll(batch).count() == 0
+        assert batch.exceptAll(streamed).count() == 0
+    finally:
+        q.stop()
