@@ -103,3 +103,35 @@ SELECT doc_id,
        md5(text) AS content_md5
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped-map (applyInPandas): per-group feature normalization — the batch
+# twin of applyInPandasWithState. Each group arrives as ONE pandas frame.
+# ---------------------------------------------------------------------------
+
+ZSCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("zscore", T.DoubleType()),
+    ]
+)
+
+
+def zscore_per_user(events: DataFrame) -> DataFrame:
+    """Per-user z-score of event values via applyInPandas: the grouped-map
+    path for feature engineering that needs the whole group in memory
+    (population std, ddof=0). Groups shuffle once on the key; each group
+    must fit an executor — for heavy-tailed group sizes prefer the
+    two-pass aggregate+join form."""
+
+    def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=0)
+        z = (pdf["value"] - mu) / sd if sd > 0 else pdf["value"] * 0.0
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "zscore": z}
+        )
+
+    return events.groupBy("user_id").applyInPandas(_norm, schema=ZSCORE_SCHEMA)

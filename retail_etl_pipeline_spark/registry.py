@@ -1324,3 +1324,31 @@ def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
     )
+
+
+@_register(
+    "events_zscore_per_user",
+    f"""
+WITH {fx.EVENTS_STREAM_CTE.strip()},
+stats AS (
+  SELECT user_id,
+         avg(value) AS mu,
+         stddev_pop(value) AS sd
+  FROM events_norm
+  GROUP BY user_id
+)
+SELECT e.event_id,
+       e.user_id,
+       {MONEY_SQL.format(x="CASE WHEN s.sd > 0 THEN (e.value - s.mu) / s.sd ELSE 0.0 END")}
+         AS zscore
+FROM events_norm e
+JOIN stats s ON e.user_id = s.user_id
+""",
+)
+def events_zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas per-user z-scores; the oracle computes
+    the same normalization as an aggregate+join. Values rounded to cents
+    via the decimal route — pandas and SQL accumulate in different orders."""
+    ev = fx.events_stream(spark, sf_dir)
+    z = mm.zscore_per_user(ev)
+    return z.select("event_id", "user_id", money(F.col("zscore")).alias("zscore"))
