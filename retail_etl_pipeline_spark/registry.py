@@ -1352,3 +1352,342 @@ def events_zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = fx.events_stream(spark, sf_dir)
     z = mm.zscore_per_user(ev)
     return z.select("event_id", "user_id", money(F.col("zscore")).alias("zscore"))
+
+
+# ---------------------------------------------------------------------------
+# Window analytics / string / JSON / statistics coverage (§2.10 extensions).
+# The reference has no analytic windows beyond W1 (SURVEY.md §2.6) and zero
+# string/JSON functions (§2.7 "absent" list); a training-data pipeline needs
+# them, so they are first-class oracle-backed operators here.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.window import Window  # noqa: E402
+
+from .functions.weeks import yr_wk_num  # noqa: E402
+
+_WEEKLY_REV_CTE = f"""
+weekly AS (
+  SELECT store_key,
+         {_W_TRANS} AS yr_wk_num,
+         {{ms_amt}} AS wk_rev
+  FROM sales
+  GROUP BY 1, 2
+)""".format(ms_amt=MONEY_SUM_SQL.format(x="sales_amt"))
+
+
+def _weekly_store_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = fx.sales(spark, sf_dir)
+    return s.groupBy(
+        "store_key", yr_wk_num("trans_dt").alias("yr_wk_num")
+    ).agg(money_sum(F.col("sales_amt")).alias("wk_rev"))
+
+
+@_register(
+    "running_revenue_by_store",
+    f"""
+WITH {fx.SALES_CTE.strip()},
+{_WEEKLY_REV_CTE.strip()}
+SELECT store_key,
+       yr_wk_num,
+       wk_rev,
+       CAST(round(SUM(CAST(wk_rev AS DECIMAL(30,6))) OVER (
+              PARTITION BY store_key ORDER BY yr_wk_num
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+         AS cum_rev
+FROM weekly
+""",
+)
+def running_revenue_by_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative weekly revenue per store: running-total frame window.
+
+    The window partitions on store_key, so the cumulative scan is fully
+    parallel across stores (no global sort); the inner sum rides DECIMAL so
+    both engines accumulate exactly regardless of frame evaluation order.
+    """
+    weekly = _weekly_store_revenue(spark, sf_dir)
+    w = (
+        Window.partitionBy("store_key")
+        .orderBy("yr_wk_num")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return weekly.withColumn(
+        "cum_rev",
+        F.round(F.sum(F.col("wk_rev").cast("decimal(30,6)")).over(w), 2).cast(
+            "double"
+        ),
+    )
+
+
+@_register(
+    "wow_revenue_change",
+    f"""
+WITH {fx.SALES_CTE.strip()},
+{_WEEKLY_REV_CTE.strip()}
+SELECT store_key,
+       yr_wk_num,
+       wk_rev,
+       {_m("wk_rev - LAG(wk_rev) OVER (PARTITION BY store_key ORDER BY yr_wk_num)")}
+         AS wow_delta
+FROM weekly
+""",
+)
+def wow_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue delta per store via lag(); NULL on each
+    store's first week (no default), matching SQL LAG semantics."""
+    weekly = _weekly_store_revenue(spark, sf_dir)
+    w = Window.partitionBy("store_key").orderBy("yr_wk_num")
+    return weekly.withColumn(
+        "wow_delta", money(F.col("wk_rev") - F.lag("wk_rev").over(w))
+    )
+
+
+@_register(
+    "top3_parts_per_brand",
+    """
+SELECT p_brand, p_partkey, p_retailprice, rn
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY p_brand
+           ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rn
+  FROM part
+) t
+WHERE rn <= 3
+""",
+)
+def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k-per-group beyond W1's k=1: row_number rank with a
+    deterministic (price DESC, key ASC) tie-break, filter rn <= k.
+    Catalyst pushes the rn <= 3 filter into the window as a group limit."""
+    p = fx._read(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        p.select("p_brand", "p_partkey", "p_retailprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@_register(
+    "order_quartiles_by_priority",
+    f"""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         CAST(ntile(4) OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+  FROM orders
+)
+SELECT o_orderpriority,
+       quartile,
+       COUNT(*) AS n_orders,
+       {_ms("o_totalprice")} AS total_value,
+       {_m("MIN(o_totalprice)")} AS min_value,
+       {_m("MAX(o_totalprice)")} AS max_value
+FROM ranked
+GROUP BY o_orderpriority, quartile
+""",
+)
+def order_quartiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) value-quartiles within each order priority, then per-bucket
+    stats. Partitioning by priority keeps the ranking window parallel (a
+    global ntile would serialize into one task — see SCALE.md)."""
+    o = fx._read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        o.select("o_orderpriority", "o_totalprice", "o_orderkey")
+        .withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(F.col("o_totalprice")).alias("total_value"),
+            money(F.min("o_totalprice")).alias("min_value"),
+            money(F.max("o_totalprice")).alias("max_value"),
+        )
+    )
+
+
+@_register(
+    "part_name_features",
+    """
+SELECT p_partkey,
+       upper(p_brand) AS brand_uc,
+       substr(p_name, 1, 4) AS name_prefix,
+       CAST(length(p_name) AS INTEGER) AS name_len,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END AS is_red,
+       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word
+FROM part
+""",
+)
+def part_name_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface (absent from the reference, §2.7): case
+    mapping, substring, length, concat_ws, LIKE containment, regex capture
+    — all JVM-native expressions inside one codegen stage, no UDFs."""
+    p = fx._read(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_uc"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.when(F.col("p_name").like("%red%"), 1).otherwise(0).alias("is_red"),
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+    )
+
+
+@_register(
+    "grouping_sets_brand_type",
+    f"""
+SELECT p_brand,
+       p_type,
+       CAST(GROUPING(p_brand) * 2 + GROUPING(p_type) AS INTEGER) AS gid,
+       {_ms("l_extendedprice * (1 - l_discount)")} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY GROUPING SETS ((p_brand), (p_type), ())
+""",
+)
+def grouping_sets_brand_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): brand totals, type
+    totals, and the grand total in ONE aggregation pass, with an explicit
+    bit-composed gid so both engines' grouping() conventions align.
+    Runs through spark.sql over registered views (S7/S8 path)."""
+    fx._read(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    fx._read(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        f"""
+SELECT p_brand,
+       p_type,
+       CAST(grouping(p_brand) * 2 + grouping(p_type) AS INT) AS gid,
+       {_ms("l_extendedprice * (1 - l_discount)")} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY GROUPING SETS ((p_brand), (p_type), ())
+"""
+    )
+
+
+@_register(
+    "quantity_percentiles",
+    f"""
+SELECT l_returnflag,
+       {_m("quantile_cont(l_quantity, 0.25)")} AS qty_p25,
+       {_m("quantile_cont(l_quantity, 0.50)")} AS qty_p50,
+       {_m("quantile_cont(l_quantity, 0.75)")} AS qty_p75,
+       {_m("quantile_cont(l_extendedprice, 0.50)")} AS price_p50,
+       {_m("MIN(l_quantity)")} AS qty_min,
+       {_m("MAX(l_quantity)")} AS qty_max
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (linear interpolation) per return flag.
+    Spark's `percentile` and DuckDB's `quantile_cont` implement the same
+    ANSI interpolation; quantities are integral doubles so interpolated
+    values are exact binary fractions — bit-identical across engines."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        money(F.expr("percentile(l_quantity, 0.25)")).alias("qty_p25"),
+        money(F.expr("percentile(l_quantity, 0.50)")).alias("qty_p50"),
+        money(F.expr("percentile(l_quantity, 0.75)")).alias("qty_p75"),
+        money(F.expr("percentile(l_extendedprice, 0.50)")).alias("price_p50"),
+        money(F.min("l_quantity")).alias("qty_min"),
+        money(F.max("l_quantity")).alias("qty_max"),
+    )
+
+
+@_register(
+    "acctbal_stats_by_segment",
+    f"""
+WITH moments AS (
+  SELECT c_mktsegment,
+         COUNT(*) AS n,
+         {_ds("c_acctbal")} AS sx,
+         {_ds("c_acctbal * c_acctbal")} AS sxx,
+         {_ds("CAST(c_nationkey AS DOUBLE)")} AS sy,
+         {_ds("CAST(c_nationkey AS DOUBLE) * CAST(c_nationkey AS DOUBLE)")} AS syy,
+         {_ds("c_acctbal * CAST(c_nationkey AS DOUBLE)")} AS sxy
+  FROM customer
+  GROUP BY c_mktsegment
+)
+SELECT c_mktsegment,
+       n AS n_customers,
+       {_m("sx / n")} AS avg_bal,
+       {_m("sqrt((sxx - sx * sx / n) / (n - 1))")} AS std_bal,
+       {_m("(n * sxy - sx * sy) / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0)")}
+         AS corr_bal_nation
+FROM moments
+""",
+)
+def acctbal_stats_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution stats per market segment via single-pass moment sums
+    (n, Σx, Σx², Σxy...) — the distributed-stable formulation: partial
+    moments combine map-side and are order-independent in DECIMAL, so
+    stddev/corr are bit-identical across engines and cluster sizes
+    (a naive stddev_samp/corr call differs in the last ulp per engine)."""
+    c = fx._read(spark, sf_dir, "customer")
+    x = F.col("c_acctbal")
+    y = F.col("c_nationkey").cast("double")
+    m = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        decimal_sum(x).alias("sx"),
+        decimal_sum(x * x).alias("sxx"),
+        decimal_sum(y).alias("sy"),
+        decimal_sum(y * y).alias("syy"),
+        decimal_sum(x * y).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "c_mktsegment",
+        n.alias("n_customers"),
+        money(sx / n).alias("avg_bal"),
+        money(F.sqrt((sxx - sx * sx / n) / (n - 1))).alias("std_bal"),
+        money(
+            (n * sxy - sx * sy)
+            / F.nullif(
+                F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), F.lit(0.0)
+            )
+        ).alias("corr_bal_nation"),
+    )
+
+
+@_register(
+    "event_props_json",
+    f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k,
+       {_m("CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*)")}
+         AS avg_k
+FROM events
+GROUP BY event_type
+""",
+)
+def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column surface: parse the events.props JSON payload
+    JVM-side (get_json_object — no Python in the path) and aggregate the
+    extracted field per event type."""
+    ev = fx._read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    kv = ev.select("event_type", k.alias("k"))
+    return kv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        money(F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+    )

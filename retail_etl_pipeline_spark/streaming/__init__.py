@@ -15,6 +15,7 @@ from .rollup import (
     stream_tumbling_counts,
     stream_weekly_rollup_to_parquet,
     stateful_user_totals,
+    stateful_sessions,
 )
 
 __all__ = [
@@ -23,4 +24,5 @@ __all__ = [
     "stream_weekly_rollup_to_parquet",
     "run_available_now",
     "stateful_user_totals",
+    "stateful_sessions",
 ]

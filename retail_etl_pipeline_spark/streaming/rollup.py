@@ -183,3 +183,75 @@ def stream_stream_purchase_join(events: DataFrame) -> DataFrame:
         & (F.col("l_id") != F.col("r_id")),
         "inner",
     ).select("l_id", "l_ts", "l_user", "l_type", "r_id", "purchase_value")
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator with event-time TIMEOUT: gap-based sessionizer
+# ---------------------------------------------------------------------------
+
+#: inactivity gap that closes a session
+SESSION_GAP_MS = 30 * 60 * 1000
+
+_SESS_STATE_SCHEMA = "start_ms BIGINT, end_ms BIGINT, n BIGINT"
+_SESS_OUT_SCHEMA = (
+    "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, "
+    "n_events BIGINT"
+)
+
+
+def _update_session_state(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Session accumulator with GroupStateTimeout.EventTimeTimeout.
+
+    While a user stays active the state only accumulates (nothing is
+    emitted); when the watermark passes last-event-time + gap, Spark calls
+    this function once more with ``state.hasTimedOut`` and an empty batch
+    iterator — the closed session is emitted exactly once and its state
+    removed. This is the semantics `F.session_window` gives declaratively,
+    re-expressed as an explicit state machine (the escape hatch for custom
+    per-session logic the built-in can't express)."""
+    if state.hasTimedOut:
+        start_ms, end_ms, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                "n_events": [n],
+            }
+        )
+        return
+    start_ms, end_ms, n = state.get if state.exists else (None, None, 0)
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        ts_ms = pdf["ts"].astype("int64") // 1_000_000
+        lo, hi = int(ts_ms.min()), int(ts_ms.max())
+        start_ms = lo if start_ms is None else min(start_ms, lo)
+        end_ms = hi if end_ms is None else max(end_ms, hi)
+        n += len(pdf)
+    state.update((start_ms, end_ms, n))
+    state.setTimeoutTimestamp(end_ms + SESSION_GAP_MS)
+    yield from ()
+
+
+def stateful_sessions(events: DataFrame) -> DataFrame:
+    """Gap-based user sessions via applyInPandasWithState + event-time
+    timeout. Requires a watermark on ``ts`` (the timeout clock IS the
+    watermark). Emits one row per CLOSED session; open sessions stay in
+    state across micro-batches (and across restarts via the checkpoint)."""
+    return (
+        events.withWatermark("ts", "1 second")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_session_state,
+            outputStructType=_SESS_OUT_SCHEMA,
+            stateStructType=_SESS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

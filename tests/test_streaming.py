@@ -223,3 +223,72 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
         assert batch.exceptAll(streamed).count() == 0
     finally:
         q.stop()
+
+
+def test_stateful_sessions_event_time_timeout(spark):
+    """applyInPandasWithState + EventTimeTimeout: a session closes (and is
+    emitted exactly once) only when the watermark passes its last event +
+    gap; still-active sessions stay in state and emit nothing."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+    import pandas as _pd
+
+    from retail_etl_pipeline_spark.streaming import stateful_sessions
+
+    base = _os.path.join(TMP, "sess_timeout")
+    src = _os.path.join(base, "src")
+    _shutil.rmtree(base, ignore_errors=True)
+    _os.makedirs(src)
+
+    def _write(name, rows, mtime):
+        pdf = _pd.DataFrame(rows, columns=["ts", "user_id"])
+        pdf["ts"] = _pd.to_datetime(pdf["ts"])
+        sdf = spark.createDataFrame(pdf)
+        tmp = _os.path.join(base, "tmp_" + name)
+        sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in _os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = _os.path.join(src, name + ".parquet")
+        _os.rename(_os.path.join(tmp, part), dst)
+        _os.utime(dst, (mtime, mtime))  # file-source batches order by modTime
+
+    now = _time.time()
+    # batch 1: user 1 active 09:00-09:10 (gap closes at 09:40)
+    _write("b1", [("2024-01-01 09:00:00", 1), ("2024-01-01 09:10:00", 1)], now - 30)
+    # batch 2: advances the watermark to ~19:00 AFTER the batch
+    _write("b2", [("2024-01-01 19:00:00", 2)], now - 20)
+    # batch 3: while it runs, watermark ~19:00 > 09:40 -> user 1 times out
+    _write("b3", [("2024-01-01 23:00:00", 3)], now - 10)
+
+    stream = spark.readStream.schema("ts timestamp, user_id long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    emitted: list = []
+
+    def _sink(batch_df, batch_id):
+        emitted.extend(batch_df.collect())
+
+    q = (
+        stateful_sessions(stream)
+        .writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+        _shutil.rmtree(base, ignore_errors=True)
+
+    by_user = {r["user_id"]: r for r in emitted}
+    # user 1 times out mid-stream (watermark 19:00 > 09:40); user 2 closes
+    # in the AvailableNow final flush (watermark 23:00 > 19:30); user 3's
+    # timeout (23:30) is past the last watermark -> stays open, emits nothing
+    assert set(by_user) == {1, 2}, emitted
+    s1 = by_user[1]
+    assert s1["n_events"] == 2
+    assert str(s1["session_start"]) == "2024-01-01 09:00:00"
+    assert str(s1["session_end"]) == "2024-01-01 09:10:00"
+    assert by_user[2]["n_events"] == 1
