@@ -1691,3 +1691,348 @@ def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         money(F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: date/scalar functions, set ops, explode, analytic ranks, arrays
+# ---------------------------------------------------------------------------
+
+@_register(
+    "order_date_features",
+    """
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_month,
+       CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr
+FROM orders
+""",
+)
+def order_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface: truncation, month arithmetic, ISO
+    day-of-week, day-of-year, quarter — all JVM-native (O6/O7 family)."""
+    o = fx._read(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 MONTH"))
+        .cast("date")
+        .alias("next_month"),
+        (F.expr("weekday(o_orderdate)") + F.lit(1)).cast("int").alias("iso_dow"),
+        F.dayofyear("o_orderdate").cast("int").alias("doy"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+    )
+
+
+@_register(
+    "priorities_intersect",
+    """
+SELECT o_orderpriority
+FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_orderpriority
+FROM orders WHERE o_orderstatus = 'O'
+""",
+)
+def priorities_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (absent from the reference, §2.7): priorities that
+    occur under both order statuses. Catalyst plans it as a left-semi
+    aggregate join — no distinct-then-join by hand."""
+    o = fx._read(spark, sf_dir, "orders")
+    f = o.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    p = o.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    return f.intersect(p)
+
+
+@_register(
+    "priorities_except",
+    """
+SELECT o_orderpriority
+FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_orderpriority
+FROM orders WHERE o_orderstatus = 'P'
+""",
+)
+def priorities_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op: priorities under status F never seen under status P
+    (left-anti aggregate join under the hood)."""
+    o = fx._read(spark, sf_dir, "orders")
+    f = o.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    p = o.where(F.col("o_orderstatus") == "P").select("o_orderpriority")
+    return f.subtract(p)
+
+
+@_register(
+    "part_word_counts",
+    """
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+GROUP BY word
+""",
+)
+def part_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral expansion: split each name into words and explode one row
+    per word (generator expression — Spark's UNNEST), then count. The
+    explode runs inside the scan stage; only the word counts shuffle."""
+    p = fx._read(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "store_first_last_week",
+    f"""
+WITH {fx.SALES_CTE.strip()},
+{_WEEKLY_REV_CTE.strip()}
+SELECT store_key,
+       yr_wk_num,
+       wk_rev,
+       FIRST_VALUE(wk_rev) OVER w AS first_wk_rev,
+       LAST_VALUE(wk_rev) OVER w AS last_wk_rev,
+       NTH_VALUE(wk_rev, 2) OVER w AS second_wk_rev
+FROM weekly
+WINDOW w AS (PARTITION BY store_key ORDER BY yr_wk_num
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def store_first_last_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an unbounded frame —
+    every weekly row annotated with its store's first, last, and second
+    week revenue (frame-spec coverage beyond W1's ranking window)."""
+    weekly = _weekly_store_revenue(spark, sf_dir)
+    w = (
+        Window.partitionBy("store_key")
+        .orderBy("yr_wk_num")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return weekly.select(
+        "store_key",
+        "yr_wk_num",
+        "wk_rev",
+        F.first("wk_rev").over(w).alias("first_wk_rev"),
+        F.last("wk_rev").over(w).alias("last_wk_rev"),
+        F.nth_value("wk_rev", 2).over(w).alias("second_wk_rev"),
+    )
+
+
+@_register(
+    "order_price_percentrank",
+    f"""
+SELECT o_orderkey,
+       o_orderpriority,
+       {_m("PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)")}
+         AS pr,
+       {_m("CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)")}
+         AS cd,
+       CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS INTEGER)
+         AS dr
+FROM orders
+""",
+)
+def order_price_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank analytics (percent_rank, cume_dist, dense_rank) per
+    priority. Rank functions are tie-stable: equal prices share a rank, so
+    no tiebreaker column is needed for determinism."""
+    o = fx._read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        money(F.percent_rank().over(w)).alias("pr"),
+        money(F.cume_dist().over(w)).alias("cd"),
+        F.dense_rank().over(w).alias("dr"),
+    )
+
+
+@_register(
+    "supplier_scalar_functions",
+    f"""
+SELECT s_suppkey,
+       {_m("coalesce(nullif(s_acctbal, 0.0), -1.0)")} AS bal_or_sentinel,
+       {_m("greatest(s_acctbal, 0.0)")} AS bal_floor0,
+       {_m("least(s_acctbal, 1000.0)")} AS bal_cap,
+       {_m("abs(s_acctbal)")} AS bal_abs,
+       CAST(ceil(s_acctbal) AS BIGINT) AS bal_ceil,
+       CAST(floor(s_acctbal) AS BIGINT) AS bal_floor,
+       CAST(sign(s_acctbal) AS INTEGER) AS bal_sign,
+       CAST(s_suppkey % 10 AS BIGINT) AS key_mod
+FROM supplier
+""",
+)
+def supplier_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar/null-handling surface: coalesce, nullif, greatest/least,
+    abs/ceil/floor/sign, modulo — single codegen projection."""
+    s = fx._read(spark, sf_dir, "supplier")
+    bal = F.col("s_acctbal")
+    return s.select(
+        "s_suppkey",
+        money(F.coalesce(F.nullif(bal, F.lit(0.0)), F.lit(-1.0))).alias(
+            "bal_or_sentinel"
+        ),
+        money(F.greatest(bal, F.lit(0.0))).alias("bal_floor0"),
+        money(F.least(bal, F.lit(1000.0))).alias("bal_cap"),
+        money(F.abs(bal)).alias("bal_abs"),
+        F.ceil(bal).cast("bigint").alias("bal_ceil"),
+        F.floor(bal).cast("bigint").alias("bal_floor"),
+        F.signum(bal).cast("int").alias("bal_sign"),
+        (F.col("s_suppkey") % 10).cast("bigint").alias("key_mod"),
+    )
+
+
+@_register(
+    "segment_priority_lists",
+    """
+SELECT c_mktsegment,
+       list(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def segment_priority_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-aggregation surface: the distinct priorities per segment as a
+    SORTED array (collect_set is unordered — sort_array makes the result
+    deterministic and cross-engine comparable)."""
+    c = fx._read(spark, sf_dir, "customer")
+    o = fx._read(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.count_distinct("o_orderpriority").alias("n_priorities"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom connector (Python DataSource API): the source-extension surface
+# ---------------------------------------------------------------------------
+
+from .sources.synthetic import (  # noqa: E402
+    SYNTHETIC_ORACLE_CTE,
+    register_synthetic_source,
+)
+
+_SYNTH_ROWS = 20_000
+
+
+@_register(
+    "synthetic_source_rollup",
+    f"""
+WITH {SYNTHETIC_ORACLE_CTE.format(last=_SYNTH_ROWS - 1).strip()}
+SELECT kind,
+       user_id,
+       COUNT(*) AS n,
+       {_ms("value")} AS total_value,
+       {_m(_ds("value") + " / COUNT(*)")} AS avg_value
+FROM synthetic
+GROUP BY kind, user_id
+""",
+)
+def synthetic_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup over a CUSTOM Python DataSource connector: partitioned
+    parallel generation executor-side, aggregated like any other relation.
+    The oracle replays the same deterministic generator with DuckDB
+    generate_series — proving the connector's contract, not just its
+    plumbing. (sf_dir is unused: the source is synthetic by construction.)"""
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("numRows", _SYNTH_ROWS)
+        .option("numPartitions", 8)
+        .load()
+    )
+    return df.groupBy("kind", "user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum(F.col("value")).alias("total_value"),
+        money(decimal_sum(F.col("value")) / F.count(F.lit(1))).alias(
+            "avg_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDTF (table function) + SCD2 interval build
+# ---------------------------------------------------------------------------
+
+@_register(
+    "udtf_part_words",
+    """
+SELECT p_partkey, word, CAST(pos AS INTEGER) AS pos
+FROM (
+  SELECT p_partkey,
+         unnest(string_split(p_name, ' ')) AS word,
+         unnest(generate_series(0, length(p_name) - length(replace(p_name, ' ', '')))) AS pos
+  FROM part
+)
+""",
+)
+def udtf_part_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): one input row -> many output
+    rows with per-row Python logic, used LATERALLY from SQL. The work here
+    (positional word split) is deliberately also expressible natively —
+    the oracle proves the UDTF contract. UDTFs are the row-path escape
+    hatch; keep them off 100 TB hot paths (this one runs over the part dim)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, name: str):
+            if name is None:
+                return
+            for i, w in enumerate(name.split(" ")):
+                yield w, i
+
+    spark.udtf.register("split_words", SplitWords)
+    fx._read(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, s.word, s.pos
+        FROM part p, LATERAL split_words(p.p_name) s
+        """
+    )
+
+
+@_register(
+    "inventory_scd2_intervals",
+    f"""
+WITH {fx.INVENTORY_CTE.strip()}
+SELECT store_key,
+       prod_key,
+       cal_dt AS valid_from,
+       COALESCE(
+         CAST(LEAD(cal_dt) OVER (PARTITION BY store_key, prod_key
+                                 ORDER BY cal_dt)
+              - INTERVAL 1 DAY AS DATE),
+         DATE '9999-12-31') AS valid_to,
+       {_m("inventory_on_hand_qty")} AS on_hand_qty
+FROM inventory
+""",
+)
+def inventory_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension) interval build: point-in-time daily
+    snapshots become [valid_from, valid_to] validity ranges via lead() —
+    open intervals capped at the sentinel high date. One window per
+    (store, prod) partition; the as-of join (events_asof_last_purchase)
+    is the read-side companion."""
+    inv = fx.inventory(spark, sf_dir)
+    w = Window.partitionBy("store_key", "prod_key").orderBy("cal_dt")
+    lead_dt = F.lead("cal_dt").over(w)
+    return inv.select(
+        "store_key",
+        "prod_key",
+        F.col("cal_dt").alias("valid_from"),
+        F.coalesce(
+            F.date_sub(lead_dt, 1), F.lit("9999-12-31").cast("date")
+        ).alias("valid_to"),
+        money(F.col("inventory_on_hand_qty")).alias("on_hand_qty"),
+    )

@@ -179,3 +179,29 @@ def test_csv_permissive_on_malformed_rows(spark):
     good = [r for r in rows if r["trans_id"] is not None]
     assert len(good) == 2
     assert sum(r["sales_amt"] for r in good) == 15.0
+
+
+def test_python_datasource_partitioned_read(spark):
+    """Custom Python DataSource: numPartitions row-range splits become real
+    input partitions, and the generated relation is deterministic."""
+    from retail_etl_pipeline_spark.sources import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("numRows", 1000)
+        .option("numPartitions", 5)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 1000
+    first = df.where("event_id = 7").first()
+    assert first["user_id"] == 7 and first["kind"] == "odd"
+    # replay is bit-identical
+    again = (
+        spark.read.format("synthetic_events")
+        .option("numRows", 1000)
+        .option("numPartitions", 3)  # different partitioning, same data
+        .load()
+    )
+    assert df.exceptAll(again).count() == 0

@@ -79,3 +79,71 @@ def test_window_merged_summary_plan_shape(spark, sf_dir):
     plan = _physical(QUERIES["weekly_summary"](spark, sf_dir))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3, plan
     assert "Join" not in plan
+
+
+def test_top3_per_brand_uses_window_group_limit(spark, sf_dir):
+    """rn <= k over a ranking window must push into the window operator as
+    a group limit (partial top-k before the shuffle), not filter all ranked
+    rows post-hoc."""
+    plan = _physical(QUERIES["top3_parts_per_brand"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_running_total_aggregates_before_window_shuffle(spark, sf_dir):
+    """Shape: partial-agg -> exchange(store,week) -> final agg ->
+    exchange(store) -> window. Exactly two hash exchanges, and the partial
+    aggregate must sit BELOW the first one — the fact table is map-side
+    combined before anything shuffles, so both exchanges move only the
+    weekly aggregate (a repartition-first single-shuffle plan would move
+    every raw row instead; at 100 TB that is the wrong trade)."""
+    plan = _physical(QUERIES["running_revenue_by_store"](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    assert "Exchange rangepartitioning" not in plan
+    first_exchange = plan.index("Exchange hashpartitioning")
+    assert "partial_sum" in plan[first_exchange:], plan
+
+
+def test_grouping_sets_single_expand_aggregate(spark, sf_dir):
+    """GROUPING SETS compiles to one Expand + one aggregation pass — not a
+    union of per-set aggregates."""
+    plan = _physical(QUERIES["grouping_sets_brand_type"](spark, sf_dir))
+    assert "Expand" in plan
+    assert "Union" not in plan
+
+
+def test_moment_stats_single_pass(spark, sf_dir):
+    """stddev/corr via moment sums: one aggregation, one shuffle, no joins."""
+    plan = _physical(QUERIES["acctbal_stats_by_segment"](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan
+
+
+def test_dynamic_partition_pruning_on_date_layout(spark, sf_dir, tmp_path):
+    """A date-partitioned fact joined to a filtered calendar dim must get a
+    runtime PartitionFilter (dynamic partition pruning): only the weeks the
+    dim filter selects are scanned — the 100 TB read-path contract for the
+    date={run} layout (io.write_run_partition)."""
+    from pyspark.sql import functions as F
+
+    from retail_etl_pipeline_spark.operators import fixtures_adapter as fx
+
+    path = str(tmp_path / "sales_by_month")
+    month = (F.year("trans_dt") * 100 + F.month("trans_dt")).cast("int")
+    fx.sales(spark, sf_dir).withColumn("yr_mnth", month).write.partitionBy(
+        "yr_mnth"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    cal = (
+        fx.calendar_dim(spark, sf_dir)
+        .select("yr_mnth_num", "yr_num")
+        .distinct()
+        .where("yr_num = 1997")
+    )
+    joined = (
+        fact.join(cal, fact.yr_mnth == cal.yr_mnth_num, "inner")
+        .groupBy("yr_num")
+        .agg(F.sum("sales_qty").alias("q"))
+    )
+    plan = _physical(joined)
+    assert "dynamicpruningexpression" in plan, plan
+    assert "SubqueryAdaptiveBroadcast" in plan, plan
