@@ -2036,3 +2036,131 @@ def inventory_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         money(F.col("inventory_on_hand_qty")).alias("on_hand_qty"),
     )
+
+
+@_register(
+    "event_props_variant",
+    """
+SELECT event_type,
+       COUNT(*) AS n_high,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_high_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+GROUP BY event_type
+""",
+)
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT path (Spark 4): parse the JSON payload once into the binary
+    variant encoding, then typed variant_get extraction — the schema-on-read
+    form that scales past get_json_object when many fields are pulled from
+    one payload (single parse, not one per field)."""
+    ev = fx._read(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .where(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_high"),
+            F.sum("k").alias("sum_high_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classic multi-join analytics (TPC-H Q7/Q9 shapes) — join-ordering and
+# broadcast-planning exercise over the full star schema
+# ---------------------------------------------------------------------------
+
+@_register(
+    "nation_trade_volume",
+    f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS yr,
+       {_ms("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_nationkey <> n2.n_nationkey
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+""",
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-nation trade volume (TPC-H Q7 shape): fact joined through
+    orders->customer and supplier, nation dim broadcast on BOTH sides
+    (aliased twice), filtered to cross-border pairs. The only big-big join
+    is lineitem ⋈ orders; everything else broadcasts."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    o = fx._read(spark, sf_dir, "orders")
+    c = fx._read(spark, sf_dir, "customer")
+    s = fx._read(spark, sf_dir, "supplier")
+    n = fx._read(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "inner")
+        .join(F.broadcast(n1), s.s_nationkey == F.col("sn_key"), "inner")
+        .join(F.broadcast(n2), c.c_nationkey == F.col("cn_key"), "inner")
+        .where(F.col("sn_key") != F.col("cn_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("yr"),
+        )
+        .agg(
+            money_sum(rev).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "nation_product_profit",
+    f"""
+SELECT n_name AS nation,
+       CAST(year(l_shipdate) AS INTEGER) AS yr,
+       {_ms("l_extendedprice * (1 - l_discount) - p_retailprice * 0.1 * l_quantity")}
+         AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(l_shipdate)
+""",
+)
+def nation_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-line profit per supplier nation and year (TPC-H Q9 shape;
+    no partsupp fixture, so unit cost is modeled as 10% of retail price).
+    The selective p_name filter prunes part BEFORE the broadcast, so the
+    fact join probes a small hash table."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    p = fx._read(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = fx._read(spark, sf_dir, "supplier")
+    n = fx._read(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.lit(0.1) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "inner")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "inner")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "inner")
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("yr"),
+        )
+        .agg(money_sum(profit).alias("profit"))
+    )

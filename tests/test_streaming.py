@@ -292,3 +292,58 @@ def test_stateful_sessions_event_time_timeout(spark):
     assert str(s1["session_start"]) == "2024-01-01 09:00:00"
     assert str(s1["session_end"]) == "2024-01-01 09:10:00"
     assert by_user[2]["n_events"] == 1
+
+
+def test_foreachbatch_upsert_latest(spark):
+    """foreachBatch merge-into emulation: after streaming two out-of-order
+    micro-batches, the keyed table holds exactly the latest value per user,
+    and only touched bucket partitions were rewritten."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+    import pandas as _pd
+
+    from pyspark.sql import functions as F
+    from retail_etl_pipeline_spark.streaming.rollup import stream_upsert_latest
+
+    base = _os.path.join(TMP, "upsert")
+    src = _os.path.join(base, "src")
+    out = _os.path.join(base, "table")
+    _shutil.rmtree(base, ignore_errors=True)
+    _os.makedirs(src)
+
+    def _write(name, rows, mtime):
+        pdf = _pd.DataFrame(rows, columns=["ts", "user_id", "value"])
+        pdf["ts"] = _pd.to_datetime(pdf["ts"])
+        sdf = spark.createDataFrame(pdf)
+        tmp = _os.path.join(base, "tmp_" + name)
+        sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in _os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = _os.path.join(src, name + ".parquet")
+        _os.rename(_os.path.join(tmp, part), dst)
+        _os.utime(dst, (mtime, mtime))
+
+    now = _time.time()
+    _write("b1", [("2024-01-01 10:00:00", 1, 10.0),
+                  ("2024-01-01 11:00:00", 2, 20.0)], now - 20)
+    # user 1 updated with a NEWER ts; user 2 gets an OLDER (stale) event
+    # that must NOT win; user 3 is new
+    _write("b2", [("2024-01-01 12:00:00", 1, 11.0),
+                  ("2024-01-01 09:00:00", 2, 99.0),
+                  ("2024-01-01 10:30:00", 3, 30.0)], now - 10)
+
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id long, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = stream_upsert_latest(spark, stream, out, _os.path.join(base, "ckpt"))
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    got = {
+        r["user_id"]: r["value"]
+        for r in spark.read.parquet(out).select("user_id", "value").collect()
+    }
+    _shutil.rmtree(base, ignore_errors=True)
+    assert got == {1: 11.0, 2: 20.0, 3: 30.0}, got
