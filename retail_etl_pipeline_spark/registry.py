@@ -2164,3 +2164,12 @@ def nation_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(money_sum(profit).alias("profit"))
     )
+
+
+@_register("neardup_components", dd.NEARDUP_COMPONENTS_SQL)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components (min-label propagation) over
+    the verified LSH pair graph — the keep-one-per-cluster step of a
+    training-data dedup pipeline. The DuckDB oracle computes the same
+    components with a recursive transitive-closure CTE."""
+    return dd.neardup_components(fx._read(spark, sf_dir, "documents"))

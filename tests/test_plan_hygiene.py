@@ -147,3 +147,23 @@ def test_dynamic_partition_pruning_on_date_layout(spark, sf_dir, tmp_path):
     plan = _physical(joined)
     assert "dynamicpruningexpression" in plan, plan
     assert "SubqueryAdaptiveBroadcast" in plan, plan
+
+
+def test_nation_trade_at_most_one_big_join(spark, sf_dir):
+    """Q7 shape: customer/supplier/nation (x2) broadcast, so at MOST one
+    non-broadcast join survives (lineitem ⋈ orders; at tiny SF stats let
+    even orders broadcast, which is also fine — never more than one)."""
+    plan = _physical(QUERIES["nation_trade_volume"](spark, sf_dir))
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 4, plan
+    big_joins = len(re.findall(r"SortMergeJoin|ShuffledHashJoin", plan))
+    assert big_joins <= 1, plan
+
+
+def test_nation_profit_filter_before_broadcast(spark, sf_dir):
+    """Q9 shape: the p_name LIKE filter must reach the part SCAN as a
+    pushed filter (prune before the broadcast ships), and no big-big join
+    remains."""
+    plan = _physical(QUERIES["nation_product_profit"](spark, sf_dir))
+    assert len(re.findall(r"BroadcastHashJoin", plan)) == 3, plan
+    assert "SortMergeJoin" not in plan
+    assert "StringContains(p_name,red)" in plan, plan

@@ -103,3 +103,46 @@ def test_eow_is_argmax_row(spark, rows):
             best[k] = (d, rid)
             expected[k] = v
     assert got == expected
+
+
+def test_scd2_intervals_partition_the_timeline(spark, sf_dir):
+    """SCD2 invariants per (store, prod): one interval per snapshot,
+    no overlaps (next valid_from = prev valid_to + 1 day), exactly one
+    open interval capped at the sentinel."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from retail_etl_pipeline_spark.registry import QUERIES
+
+    iv = QUERIES["inventory_scd2_intervals"](spark, sf_dir)
+    w = Window.partitionBy("store_key", "prod_key").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w)
+    gaps = iv.withColumn("next_from", nxt).where(
+        F.col("next_from").isNotNull()
+        & (F.col("next_from") != F.date_add(F.col("valid_to"), 1))
+    )
+    assert gaps.count() == 0
+    open_per_key = (
+        iv.where(F.col("valid_to") == F.lit("9999-12-31").cast("date"))
+        .groupBy("store_key", "prod_key")
+        .count()
+        .where(F.col("count") != 1)
+    )
+    assert open_per_key.count() == 0
+
+
+def test_running_total_ends_at_group_sum(spark, sf_dir):
+    """The last cumulative value per store equals the store's total weekly
+    revenue (decimal-summed, like the operator)."""
+    from pyspark.sql import functions as F
+
+    from retail_etl_pipeline_spark.registry import QUERIES
+
+    run = QUERIES["running_revenue_by_store"](spark, sf_dir)
+    final = run.groupBy("store_key").agg(
+        F.max_by("cum_rev", "yr_wk_num").alias("last_cum"),
+        F.round(F.sum(F.col("wk_rev").cast("decimal(30,6)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+    assert final.where(F.col("last_cum") != F.col("total")).count() == 0

@@ -347,3 +347,49 @@ def test_foreachbatch_upsert_latest(spark):
     }
     _shutil.rmtree(base, ignore_errors=True)
     assert got == {1: 11.0, 2: 20.0, 3: 30.0}, got
+
+
+def test_custom_streaming_datasource_exactly_once(spark):
+    """The custom connector's stream reader: offset-tracked micro-batches
+    from the deterministic generator arrive gap-free and duplicate-free,
+    matching the batch reader's rows for the same index range."""
+    import os as _os
+    import shutil as _shutil
+
+    from retail_etl_pipeline_spark.sources import register_synthetic_source
+
+    register_synthetic_source(spark)
+    base = _os.path.join(TMP, "synthstream")
+    _shutil.rmtree(base, ignore_errors=True)
+    _os.makedirs(base)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rowsPerBatch", 250)
+        .load()
+    )
+    emitted: list = []
+
+    def _sink(batch_df, batch_id):
+        emitted.extend(batch_df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time as _time
+
+        deadline = _time.time() + 60
+        while len(emitted) < 500 and _time.time() < deadline:
+            _time.sleep(1)
+    finally:
+        q.stop()
+        _shutil.rmtree(base, ignore_errors=True)
+
+    assert len(emitted) >= 500
+    ids = sorted(r["event_id"] for r in emitted)
+    assert ids == list(range(len(ids))), "gaps or duplicates in offsets"
+    by_id = {r["event_id"]: r for r in emitted}
+    assert by_id[7]["kind"] == "odd" and by_id[7]["user_id"] == 7
