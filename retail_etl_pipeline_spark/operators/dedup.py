@@ -325,20 +325,28 @@ _CC_MAX_ITERS = 20
 
 def neardup_components(docs: DataFrame) -> DataFrame:
     """Cluster near-duplicate documents: connected components over the
-    verified LSH pair graph via iterative min-label propagation, the step
-    that turns pairwise near-dup hits into keep-one-per-cluster groups.
+    verified LSH pair graph — the step that turns pairwise near-dup hits
+    into keep-one-per-cluster groups.
+
+    Returns (doc_id, component) where component = min doc_id reachable.
+    """
+    pairs = minhash_neardup_verified(docs).select("doc_a", "doc_b")
+    return connected_components(pairs)
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Connected components over an undirected pair list (doc_a, doc_b) by
+    iterative min-label propagation.
 
     Each iteration joins the current labels across the (symmetrized) edge
     list and takes the per-node min — label values flood a component in
     O(diameter) rounds, and near-dup clusters are tiny (usually 2-5 docs),
     so this converges in 2-4 rounds. The loop is driver-controlled but all
     data work is distributed joins/aggregations; the convergence check is a
-    single count per round. At 100 TB the same loop runs unchanged — or
+    single aggregate per round. At 100 TB the same loop runs unchanged — or
     swap in GraphFrames' large-star/small-star if components get huge.
-
-    Returns (doc_id, component) where component = min doc_id reachable.
     """
-    pairs = minhash_neardup_verified(docs).select("doc_a", "doc_b").persist()
+    pairs = pairs.persist()
     # the pair graph is a sliver of the corpus (near-dups are rare): size
     # the iteration partitioning to the GRAPH, not the corpus, or every
     # round pays full shuffle-task overhead to move a few hundred rows

@@ -135,3 +135,26 @@ def test_asof_join_semantics(spark):
         ).collect()
     }
     assert out == {1: None, 2: 1.0, 3: 1.0, 4: 3.0, 5: None}
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation must close multi-hop chains (transitivity),
+    keep disjoint clusters separate, and label every node with the
+    component's min id."""
+    from retail_etl_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (40, 50),  # 5-node chain
+         (100, 200),                               # island pair
+         (7, 8), (8, 7)],                          # duplicate/reversed edge
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        10: 10, 20: 10, 30: 10, 40: 10, 50: 10,
+        100: 100, 200: 100,
+        7: 7, 8: 7,
+    }
