@@ -2173,3 +2173,504 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data dedup pipeline. The DuckDB oracle computes the same
     components with a recursive transitive-closure CTE."""
     return dd.neardup_components(fx._read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# classic decision-support patterns (TPC-H Q4/Q6/Q8/Q10/Q13/Q14/Q15/Q17/Q18/
+# Q19/Q22 shapes, adapted to the fixture schema — no partsupp/comment/phone
+# columns). These widen SURVEY.md §2.5's relational surface with EXISTS
+# semi-joins, correlated aggregates, scalar subqueries, conditional-agg
+# ratios, disjunctive pushdown, and anti-join + scalar-threshold filters.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "forecast_revenue",
+    f"""
+SELECT {_ms("l_extendedprice * l_discount")} AS revenue
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-table filter + one global aggregate (TPC-H Q6 shape): the
+    discount-elimination what-if. All three predicates reach the parquet
+    scan as pushed filters; the agg is a one-row partial->final combine —
+    the cheapest possible distributed plan, no join, one tiny shuffle."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@_register(
+    "order_priority_exists",
+    """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-driven priority census (TPC-H Q4 shape): LEFT SEMI join is
+    the distributed form of the correlated EXISTS — no row multiplication
+    when an order has several returned lines, and only the probe side's
+    columns flow. The returnflag filter prunes the build side BEFORE the
+    shuffle."""
+    o = fx._read(spark, sf_dir, "orders").where(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1996-07-01").cast("date"))
+    )
+    li = (
+        fx._read(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "returned_item_revenue",
+    f"""
+SELECT c.c_custkey,
+       c.c_name,
+       {_ms("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+       c.c_acctbal,
+       n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+""",
+)
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by returned-merchandise revenue in a quarter
+    (TPC-H Q10 shape). Both selective filters (quarter, returnflag) are
+    applied before their joins; nation broadcasts; the final TopK is a
+    TakeOrderedAndProject, not a full sort."""
+    c = fx._read(spark, sf_dir, "customer")
+    o = fx._read(spark, sf_dir, "orders").where(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    li = fx._read(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = fx._read(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@_register(
+    "customer_order_distribution",
+    """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-count histogram over ALL customers including zeros (TPC-H Q13
+    shape): the non-equi part of the ON clause rides the LEFT join (orders
+    filtered BEFORE the join, which preserves customers with no surviving
+    orders), then two cascaded aggregations — the second one is tiny."""
+    c = fx._read(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        fx._read(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@_register(
+    "promo_revenue_share",
+    f"""
+SELECT {MONEY_SQL.format(x="100.0 * "
+  + DECIMAL_SUM_SQL.format(x="CASE WHEN p.p_type = 'PROMO' "
+    "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")
+  + " / NULLIF(" + DECIMAL_SUM_SQL.format(
+      x="l.l_extendedprice * (1 - l.l_discount)") + ", 0)")}
+  AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-03-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1996-04-01'
+""",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share for one ship-month (TPC-H Q14 shape): a
+    conditional-aggregate ratio computed in ONE pass — no second scan or
+    self-join for the numerator. Both sums are exact decimals so the
+    ratio's last bits match the oracle on any partitioning."""
+    li = fx._read(spark, sf_dir, "lineitem").where(
+        (F.to_date("l_shipdate") >= F.lit("1996-03-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    p = fx._read(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            money(
+                F.lit(100.0)
+                * safe_div(
+                    decimal_sum(
+                        F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                            F.lit(0.0)
+                        )
+                    ),
+                    decimal_sum(rev),
+                )
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@_register(
+    "top_supplier",
+    f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         {_ms("l_extendedprice * (1 - l_discount)")} AS total_revenue
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+""",
+)
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum quarterly revenue (TPC-H Q15 shape).
+    The scalar-subquery MAX is a global window over the ALREADY-AGGREGATED
+    per-supplier relation (~#suppliers rows, a sliver of the fact) — the
+    naive plan broadcasts a separate MAX aggregate and scans lineitem
+    TWICE; this one scans it once. Revenue is rounded to exact cents
+    BEFORE the equality, so ties are engine-stable."""
+    from pyspark.sql.window import Window
+
+    li = fx._read(spark, sf_dir, "lineitem").where(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    s = fx._read(spark, sf_dir, "supplier")
+    return (
+        rev.withColumn(
+            "_mx", F.max("total_revenue").over(Window.partitionBy())
+        )
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "small_qty_revenue",
+    f"""
+SELECT {_m(DECIMAL_SUM_SQL.format(x="l.l_extendedprice") + " / 7.0")}
+  AS avg_yearly
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS qty_sum,
+         COUNT(*) AS cnt
+  FROM lineitem
+  GROUP BY l_partkey
+) pa ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity * 5.0 * pa.cnt < pa.qty_sum
+""",
+)
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue for one brand (TPC-H Q17 shape): the
+    correlated per-part AVG becomes a grouped aggregate joined back to the
+    fact. The threshold test is the multiply form
+    ``5 * qty * cnt < sum(qty)`` — division-free, and with an exact decimal
+    sum both engines evaluate the SAME comparison bit-for-bit (a raw
+    double AVG's accumulation order is not cross-engine-stable)."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    p = fx._read(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    per_part = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("qty_sum"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pa_partkey"))
+        .where(
+            F.col("l_quantity") * F.lit(5.0) * F.col("cnt") < F.col("qty_sum")
+        )
+        .agg(
+            money(decimal_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@_register(
+    "large_volume_customers",
+    """
+SELECT c.c_custkey,
+       c.c_name,
+       o.o_orderkey,
+       o.o_totalprice,
+       SUM(l.l_quantity) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+HAVING SUM(l.l_quantity) > 250
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 20
+""",
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers behind the largest orders (TPC-H Q18 shape): aggregate
+    lineitem by order FIRST (map-side combinable, shrinks ~4x), filter with
+    HAVING, and only then join the survivors to orders/customer — the join
+    probes ~1% of the orders instead of every lineitem row. Quantities are
+    integer-valued doubles, so SUM is exact in both engines."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    o = fx._read(spark, sf_dir, "orders")
+    c = fx._read(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@_register(
+    "disjunctive_revenue",
+    f"""
+SELECT {_ms("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunction of brand/size/quantity conjuncts (TPC-H Q19 shape).
+    Catalyst extracts the common part-side implicant
+    (brand IN (...) AND size <= 15) below the join, so the broadcast build
+    holds only candidate parts; the mixed-table OR is evaluated once as a
+    post-join filter instead of three unioned scans."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    p = fx._read(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    branch = lambda b, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return j.where(
+        branch("Brand#12", 5, 1, 11)
+        | branch("Brand#23", 10, 10, 20)
+        | branch("Brand#34", 15, 20, 30)
+    ).agg(
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+
+
+@_register(
+    "idle_rich_customers",
+    f"""
+WITH thr AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+           / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment,
+       COUNT(*) AS numcust,
+       {_ms("c.c_acctbal")} AS totacctbal
+FROM customer c, thr
+WHERE c.c_acctbal > thr.avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+  )
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers who never ordered (TPC-H Q22 shape):
+    scalar-subquery threshold -> broadcast 1-row aggregate; NOT EXISTS ->
+    LEFT ANTI join on the orders key projection. The average is
+    decimal-sum / count so the threshold double is identical in both
+    engines regardless of accumulation order."""
+    c = fx._read(spark, sf_dir, "customer")
+    o = fx._read(spark, sf_dir, "orders").select("o_custkey")
+    thr = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            (decimal_sum(F.col("c_acctbal")) / F.count("*")).alias("avg_bal")
+        )
+    )
+    return (
+        c.join(F.broadcast(thr), F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            money_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@_register(
+    "asia_market_share",
+    f"""
+SELECT year(CAST(o.o_orderdate AS DATE)) AS yr,
+       {MONEY_SQL.format(x="100.0 * "
+  + DECIMAL_SUM_SQL.format(x="CASE WHEN sn.n_name = 'NATION_3' "
+    "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")
+  + " / NULLIF(" + DECIMAL_SUM_SQL.format(
+      x="l.l_extendedprice * (1 - l.l_discount)") + ", 0)")}
+  AS mkt_share_pct
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN region r ON cn.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE r.r_name = 'ASIA'
+  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+GROUP BY yr
+ORDER BY yr
+""",
+)
+def asia_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One nation's share of ASIA-region revenue per year (TPC-H Q8 shape):
+    a conditional-aggregate ratio over a 7-table join — numerator selected
+    WITH a CASE inside the same aggregation pass, never a second join. All
+    dimensions broadcast; only the two facts shuffle."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    o = fx._read(spark, sf_dir, "orders").where(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    c = fx._read(spark, sf_dir, "customer")
+    s = fx._read(spark, sf_dir, "supplier")
+    n = fx._read(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_nationkey"),
+        F.col("n_regionkey").alias("cn_regionkey"),
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_nationkey"),
+        F.col("n_name").alias("sn_name"),
+    )
+    r = fx._read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_nationkey"))
+        .join(F.broadcast(r), F.col("cn_regionkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_nationkey"))
+        .groupBy(F.year(F.to_date("o_orderdate")).cast("int").alias("yr"))
+        .agg(
+            money(
+                F.lit(100.0)
+                * safe_div(
+                    decimal_sum(
+                        F.when(F.col("sn_name") == "NATION_3", rev).otherwise(
+                            F.lit(0.0)
+                        )
+                    ),
+                    decimal_sum(rev),
+                )
+            ).alias("mkt_share_pct")
+        )
+        .orderBy("yr")
+    )

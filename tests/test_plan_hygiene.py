@@ -167,3 +167,46 @@ def test_nation_profit_filter_before_broadcast(spark, sf_dir):
     assert len(re.findall(r"BroadcastHashJoin", plan)) == 3, plan
     assert "SortMergeJoin" not in plan
     assert "StringContains(p_name,red)" in plan, plan
+
+
+def test_forecast_revenue_filters_reach_scan(spark, sf_dir):
+    """Q6 shape: all three predicates pushed to parquet; no join, no hash
+    exchange — just partial->final global agg."""
+    plan = _physical(QUERIES["forecast_revenue"](spark, sf_dir))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)", plan).group(1)
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_order_priority_exists_is_semi_join(spark, sf_dir):
+    """EXISTS compiles to a LeftSemi hash join (no row multiplication),
+    with the returnflag filter pushed below it."""
+    plan = _physical(QUERIES["order_priority_exists"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_large_volume_aggregates_before_join(spark, sf_dir):
+    """Q18 shape: the lineitem agg (1 exchange) runs BELOW the joins, so
+    only qualifying orders are probed; final top-k is TakeOrdered."""
+    plan = _physical(QUERIES["large_volume_customers"](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "TakeOrderedAndProject" in plan
+    # the HAVING filter must sit between the aggregate and the join
+    assert re.search(r"total_qty#\d+ > 250", plan)
+
+
+def test_disjunctive_or_predicate_pushed(spark, sf_dir):
+    """Q19 shape: the OR-of-conjuncts lands in the parquet scan's pushed
+    filters (quantity ranges) instead of a union of three scans."""
+    plan = _physical(QUERIES["disjunctive_revenue"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 2  # lineitem + part, once each
+    assert re.search(r"PushedFilters: \[[^\]]*Or\(", plan)
+
+
+def test_top_supplier_single_fact_scan(spark, sf_dir):
+    """Q15 shape: the scalar MAX is a window over the aggregated relation —
+    lineitem is scanned exactly once."""
+    plan = _physical(QUERIES["top_supplier"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
