@@ -1,0 +1,151 @@
+"""User-behavior analytics over the events stream table: funnel
+conversion, weekly cohort retention, and event-type transition counts.
+
+These are the batch forms of the session/window analytics in
+``operators/windows.py`` — the same event-time semantics expressed as
+grouped aggregations, so they run identically over a bounded table or a
+``foreachBatch`` micro-batch. Reference parity: the reference's only
+event-shaped processing is its pipeline trigger (SURVEY.md §2.10); these
+extend the surface the way a training-data/product-analytics pipeline
+needs.
+
+Scale notes (100 TB): every operator here is a groupBy on ``user_id``
+(high-cardinality, well-distributed — no skew mitigation needed) followed
+by an aggregation on a tiny key space (event types, week keys). The only
+window function (``lag`` in transitions) is partitioned by ``user_id``,
+so its sort is per-user-partition, never global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.weeks import YR_WK_NUM_SQL, yr_wk_num
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_conversion(events: DataFrame) -> DataFrame:
+    """Ordered-mins funnel: users whose first view precedes their first
+    click precedes their first purchase.
+
+    One pass: per-user conditional MIN per stage (map-side combinable),
+    then a single global roll-up. The "ordered mins" definition (first
+    click after first view, not *every* click after a view) is the
+    standard one-pass approximation — it needs no per-user event sort.
+    """
+    per_user = events.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(
+                f"t_{s}"
+            )
+            for s in FUNNEL_STAGES
+        ]
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = F.col("t_click") > F.col("t_view")
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.when(viewed, 1)).alias("viewed"),
+        F.count(F.when(clicked, 1)).alias("clicked_after_view"),
+        F.count(F.when(purchased, 1)).alias("purchased_after_click"),
+    )
+
+
+FUNNEL_SQL = """
+per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events_norm
+  GROUP BY user_id
+)
+SELECT COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS viewed,
+       COUNT(*) FILTER (WHERE t_click > t_view) AS clicked_after_view,
+       COUNT(*) FILTER (WHERE t_click > t_view AND t_purchase > t_click)
+         AS purchased_after_click
+FROM per_user
+"""
+
+
+def weekly_cohort_retention(events: DataFrame) -> DataFrame:
+    """Cohort activity matrix: users grouped by their first active ISO
+    week, counted in every week they return.
+
+    Two aggregations, both keyed by user: per-user cohort week (min), and
+    the distinct (user, week) activity pairs; the final count runs on the
+    tiny (cohort, week) cross grain. The raw week key pair (not a
+    derived offset) keeps year-boundary arithmetic out of the operator —
+    downstream can pivot however it likes.
+    """
+    wk = yr_wk_num(F.to_date("ts")).alias("active_week")
+    activity = events.select("user_id", wk).distinct()
+    cohorts = activity.groupBy("user_id").agg(
+        F.min("active_week").alias("cohort_week")
+    )
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count("*").alias("users"))
+        .orderBy("cohort_week", "active_week")
+    )
+
+
+_WK = YR_WK_NUM_SQL.format(d="CAST(ts AS DATE)")
+
+COHORT_SQL = f"""
+activity AS (
+  SELECT DISTINCT user_id, {_WK} AS active_week
+  FROM events_norm
+),
+cohorts AS (
+  SELECT user_id, MIN(active_week) AS cohort_week
+  FROM activity
+  GROUP BY user_id
+)
+SELECT c.cohort_week, a.active_week, COUNT(*) AS users
+FROM activity a
+JOIN cohorts c ON a.user_id = c.user_id
+GROUP BY c.cohort_week, a.active_week
+ORDER BY c.cohort_week, a.active_week
+"""
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order transition counts between consecutive events of the
+    same user (the Markov-chain view of user behavior).
+
+    ``lag`` over (user_id, ts, event_id) — the event_id tie-break makes
+    same-timestamp ordering deterministic across engines and
+    partitionings. The window sort is per user partition; the final
+    aggregation has at most |types|² rows.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    )
+    return (
+        seq.where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("transitions"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+TRANSITIONS_SQL = """
+seq AS (
+  SELECT event_type AS to_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS from_type
+  FROM events_norm
+)
+SELECT from_type, to_type, COUNT(*) AS transitions
+FROM seq
+WHERE from_type IS NOT NULL
+GROUP BY from_type, to_type
+ORDER BY from_type, to_type
+"""

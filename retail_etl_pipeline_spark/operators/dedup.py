@@ -429,3 +429,93 @@ SELECT a AS doc_id, MIN(b) AS component
 FROM reach
 GROUP BY a
 """
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup: pigeonhole block join over the 60-bit signatures
+# ---------------------------------------------------------------------------
+
+#: SimHash blocks for the pigeonhole candidate join (60 bits / 4 = 15 each)
+SIMHASH_BLOCKS = 4
+_SIMHASH_BLOCK_BITS = 15
+_SIMHASH_BLOCK_MASK = (1 << _SIMHASH_BLOCK_BITS) - 1
+#: report pairs at Hamming distance <= this (pigeonhole: any pair within
+#: SIMHASH_BLOCKS - 1 bit flips shares at least one identical block)
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_neardup(docs: DataFrame) -> DataFrame:
+    """SimHash near-dup pairs: candidates by pigeonhole block equi-join,
+    verified by exact Hamming distance.
+
+    With 4 blocks of 15 bits, any two signatures within 3 bit flips agree
+    on >= 1 whole block, so the equi-join on (block index, block value)
+    finds ALL qualifying pairs — no quadratic comparison. The verify step
+    is one JVM expression (``bit_count(a XOR b)``) on the candidates. At
+    100 TB this is the cheapest near-dup path: one 8-byte signature per
+    doc, a 4x-exploded self-join on 2-byte keys, and the distinct() that
+    collapses multi-block hits runs on the (tiny) verified pair set.
+    """
+    from .text import simhash  # local import: avoid cycle at module load
+
+    sigs = simhash(docs)
+    blocks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(SIMHASH_BLOCKS - 1))
+        ).alias("blk"),
+    ).withColumn(
+        "chunk",
+        F.expr(
+            f"shiftright(simhash, blk * {_SIMHASH_BLOCK_BITS})"
+            f" & {_SIMHASH_BLOCK_MASK}"
+        ),
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sig_a"),
+        "blk",
+        "chunk",
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sig_b"),
+        "blk",
+        "chunk",
+    )
+    return (
+        a.join(b, ["blk", "chunk"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast(
+                "int"
+            ),
+        )
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )
+
+
+from .text import SIMHASH_SQL as _SIMHASH_SIG_SQL  # noqa: E402
+
+SIMHASH_NEARDUP_SQL = f"""
+WITH sigs AS ({_SIMHASH_SIG_SQL.strip()}),
+blocks AS (
+  SELECT doc_id,
+         simhash,
+         b AS blk,
+         (simhash >> (b * {_SIMHASH_BLOCK_BITS})) & {_SIMHASH_BLOCK_MASK}
+           AS chunk
+  FROM sigs, unnest(range(0, {SIMHASH_BLOCKS})) AS r(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a,
+       b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM blocks a
+JOIN blocks b
+  ON a.blk = b.blk AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""

@@ -2674,3 +2674,200 @@ def asia_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+# ---------------------------------------------------------------------------
+# behavior analytics (operators/behavior.py): funnel, cohort retention,
+# transition matrix — batch forms of the event-stream surface
+# ---------------------------------------------------------------------------
+
+from .operators import behavior as bh  # noqa: E402
+
+
+@_register("funnel_conversion", _with_events_cte(f"WITH {bh.FUNNEL_SQL.strip()}"))
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel by ordered per-user first times."""
+    return bh.funnel_conversion(fx.events_stream(spark, sf_dir))
+
+
+@_register("weekly_cohort_retention", _with_events_cte(f"WITH {bh.COHORT_SQL.strip()}"))
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort activity matrix: first-active ISO week x active week."""
+    return bh.weekly_cohort_retention(fx.events_stream(spark, sf_dir))
+
+
+@_register("event_transitions", _with_events_cte(f"WITH {bh.TRANSITIONS_SQL.strip()}"))
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive events."""
+    return bh.event_transitions(fx.events_stream(spark, sf_dir))
+
+
+@_register("simhash_neardup", dd.SIMHASH_NEARDUP_SQL)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: pigeonhole block join + Hamming verify."""
+    return dd.simhash_neardup(fx._read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# customer-value analytics: RFM segmentation and Pareto concentration
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "rfm_segments",
+    """
+WITH per AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_dt,
+         COUNT(*) AS freq,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS monetary
+  FROM orders
+  GROUP BY o_custkey
+),
+q AS (
+  SELECT NTILE(4) OVER (ORDER BY last_dt DESC, o_custkey) AS r_q,
+         NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+         NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+  FROM per
+)
+SELECT r_q, f_q, m_q, COUNT(*) AS customers
+FROM q
+GROUP BY r_q, f_q, m_q
+ORDER BY r_q, f_q, m_q
+""",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quartiles per ordering
+    customer, counted per segment cell (<= 64 rows out).
+
+    Every NTILE ordering carries a full tie-break (metric, custkey) so
+    quartile boundaries are identical across engines and partitionings;
+    the monetary sum is exact decimal for the same reason. The three
+    global NTILEs each need a total order — at cluster scale that is a
+    range-partitioned sort of the ALREADY-AGGREGATED per-customer relation
+    (~customers rows, not orders), which is the cheap side of the plan."""
+    o = fx._read(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    per = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_dt"),
+        F.count("*").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    q = per.select(
+        F.ntile(4)
+        .over(Window.partitionBy().orderBy(F.desc("last_dt"), F.asc("o_custkey")))
+        .alias("r_q"),
+        F.ntile(4)
+        .over(Window.partitionBy().orderBy(F.desc("freq"), F.asc("o_custkey")))
+        .alias("f_q"),
+        F.ntile(4)
+        .over(Window.partitionBy().orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .alias("m_q"),
+    )
+    return (
+        q.groupBy("r_q", "f_q", "m_q")
+        .agg(F.count("*").alias("customers"))
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+@_register(
+    "pareto_customers",
+    """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DECIMAL(30,2))
+           AS rev
+  FROM orders
+  GROUP BY o_custkey
+),
+w AS (
+  SELECT rev,
+         SUM(rev) OVER (
+           ORDER BY rev DESC, o_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS running,
+         SUM(rev) OVER () AS total
+  FROM per
+)
+SELECT COUNT(*) AS pareto_customers
+FROM w
+WHERE (running - rev) * 5 < total * 4
+""",
+)
+def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many top customers cover 80% of revenue (Pareto concentration).
+
+    The cumulative sum runs in DECIMAL, so it is exact and identical in
+    both engines regardless of accumulation strategy (a double cumsum
+    differs between Spark's running accumulation and DuckDB's segment
+    tree). The 80% boundary test is the multiply form
+    ``5 * running_before < 4 * total`` — division-free, exact. A customer
+    is counted iff the threshold wasn't reached before their row."""
+    from pyspark.sql.window import Window
+
+    o = fx._read(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .cast("decimal(30,2)")
+        .alias("rev")
+    )
+    wcum = (
+        Window.partitionBy()
+        .orderBy(F.desc("rev"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy()
+    w = per.select(
+        "rev",
+        F.sum("rev").over(wcum).alias("running"),
+        F.sum("rev").over(wall).alias("total"),
+    )
+    return w.where(
+        (F.col("running") - F.col("rev")) * 5 < F.col("total") * 4
+    ).agg(F.count("*").alias("pareto_customers"))
+
+
+@_register(
+    "orders_data_quality",
+    f"""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT o_orderstatus) AS n_statuses,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL
+                                OR o_totalprice <= 0) AS BIGINT)
+         AS bad_totalprice,
+       MIN(CAST(o_orderdate AS DATE)) AS min_date,
+       MAX(CAST(o_orderdate AS DATE)) AS max_date,
+       {MONEY_SQL.format(x="MIN(o_totalprice)")} AS min_price,
+       {MONEY_SQL.format(x="MAX(o_totalprice)")} AS max_price
+FROM orders
+""",
+)
+def orders_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality profile of the orders feed — the engine
+    side of the reference's file-readiness gate (``Lambda Function.py``,
+    SURVEY.md §2.8): row volume, key/enum cardinalities, invalid-measure
+    count, date coverage, price envelope. Multiple COUNT(DISTINCT)s run
+    in one Expand-based aggregate, still one scan of the table."""
+    o = fx._read(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(
+            F.when(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0),
+                1,
+            )
+        ).alias("bad_totalprice"),
+        F.min(F.to_date("o_orderdate")).alias("min_date"),
+        F.max(F.to_date("o_orderdate")).alias("max_date"),
+        money(F.min("o_totalprice")).alias("min_price"),
+        money(F.max("o_totalprice")).alias("max_price"),
+    )

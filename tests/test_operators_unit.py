@@ -158,3 +158,80 @@ def test_connected_components_chain_and_islands(spark):
         100: 100, 200: 100,
         7: 7, 8: 7,
     }
+
+
+def test_simhash_neardup_finds_small_edits(spark):
+    """Pigeonhole blocking must surface pairs within the Hamming budget:
+    identical docs (distance 0) and one-word edits; unrelated docs must
+    not pair."""
+    from retail_etl_pipeline_spark.operators.dedup import simhash_neardup
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # identical -> hamming 0
+            (3, base.replace("lazy", "sleepy", 1)),  # near-identical
+            (4, "completely different text about database engines and "
+                "distributed query planning with no shared vocabulary"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_neardup(docs).collect()
+    }
+    assert got.get((1, 2)) == 0
+    assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
+
+
+def test_funnel_requires_stage_order(spark):
+    """A user whose purchase precedes their click must not count as
+    converted; the strictly-increasing chain must."""
+    import datetime as dt
+
+    from retail_etl_pipeline_spark.operators.behavior import (
+        funnel_conversion,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: view -> click -> purchase (converts fully)
+        (1, 1, "view", t(0)), (2, 1, "click", t(1)), (3, 1, "purchase", t(2)),
+        # user 2: purchase BEFORE click (stops at clicked_after_view)
+        (4, 2, "view", t(0)), (5, 2, "purchase", t(1)), (6, 2, "click", t(2)),
+        # user 3: click with no view (counts nowhere)
+        (7, 3, "click", t(0)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    )
+    out = funnel_conversion(ev).collect()[0]
+    assert out["viewed"] == 2
+    assert out["clicked_after_view"] == 2
+    assert out["purchased_after_click"] == 1
+
+
+def test_event_transitions_lag_ordering(spark):
+    """Transitions follow per-user event-time order with event_id
+    tie-break; the first event of each user emits no transition."""
+    import datetime as dt
+
+    from retail_etl_pipeline_spark.operators.behavior import (
+        event_transitions,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, 1, "view", t(0)), (2, 1, "click", t(1)), (3, 1, "click", t(1)),
+        (4, 2, "signup", t(5)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): r["transitions"]
+        for r in event_transitions(ev).collect()
+    }
+    # same-ts events 2,3 order by event_id: view->click, click->click
+    assert got == {("view", "click"): 1, ("click", "click"): 1}
