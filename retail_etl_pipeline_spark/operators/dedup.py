@@ -297,13 +297,49 @@ JOIN bands b
 
 def minhash_neardup_verified(docs: DataFrame) -> DataFrame:
     """The full two-stage near-dup pipeline: LSH candidates verified with
-    exact Jaccard >= JACCARD_THRESHOLD. At scale the expensive exact pass
-    touches only the candidate pairs."""
+    exact Jaccard >= JACCARD_THRESHOLD.
+
+    The verify pass computes Jaccard ONLY for the candidate pairs — never
+    the full inverted-index self-join (that exact-all-pairs operator exists
+    separately as :func:`ngram_jaccard_pairs`; running it here would throw
+    away LSH's entire sub-quadratic win). Plan: the tiny candidate list is
+    broadcast against the persisted shingle relation twice — once to tag
+    each pair's A-shingles, once to match them against B-shingles — so the
+    big relation never shuffles; per-pair intersection counts and the
+    per-doc sizes then give the exact Jaccard. If the candidate set
+    outgrows the broadcast threshold, AQE degrades these to shuffle joins
+    keyed on doc ids — still linear in candidates, never quadratic."""
     sh = shingles(docs).persist()  # ONE shingle relation feeds both stages
     cand = minhash_lsh_candidates(docs, sh=sh)
-    exact = ngram_jaccard_pairs(docs, sh=sh)
-    return cand.join(exact, ["doc_a", "doc_b"], "inner").select(
-        "doc_a", "doc_b", "jaccard"
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    cand_a = sa.join(F.broadcast(cand), "doc_a")  # pair x A-shingles
+    common = (
+        sb.join(
+            F.broadcast(cand_a),
+            (sb.doc_b == cand_a.doc_b) & (F.col("sh_b") == F.col("sh_a")),
+        )
+        .groupBy(cand_a.doc_a, cand_a.doc_b)
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("common").cast("double")
+                / (
+                    F.col("n_a") + F.col("n_b") - F.col("common")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -334,23 +370,66 @@ def neardup_components(docs: DataFrame) -> DataFrame:
     return connected_components(pairs)
 
 
-def connected_components(pairs: DataFrame) -> DataFrame:
-    """Connected components over an undirected pair list (doc_a, doc_b) by
-    iterative min-label propagation.
+#: below this edge count the pair graph is union-found on the driver —
+#: a near-dup graph this small costs more in per-round job overhead than
+#: the whole computation (measured: ~1s/round x 4 rounds for 500 edges)
+_CC_DRIVER_MAX_EDGES = 1_000_000
 
-    Each iteration joins the current labels across the (symmetrized) edge
-    list and takes the per-node min — label values flood a component in
-    O(diameter) rounds, and near-dup clusters are tiny (usually 2-5 docs),
-    so this converges in 2-4 rounds. The loop is driver-controlled but all
-    data work is distributed joins/aggregations; the convergence check is a
-    single aggregate per round. At 100 TB the same loop runs unchanged — or
-    swap in GraphFrames' large-star/small-star if components get huge.
+
+def connected_components(
+    pairs: DataFrame, driver_max_edges: int = _CC_DRIVER_MAX_EDGES
+) -> DataFrame:
+    """Connected components over an undirected pair list (doc_a, doc_b).
+
+    Hybrid strategy, chosen by the measured edge count:
+
+    - **small graph** (<= ``driver_max_edges``, the common case — verified
+      near-dup pairs are a sliver of any corpus): collect the edges and
+      union-find on the driver. A 1M-edge list is ~16 MB; the distributed
+      loop's per-round scheduling overhead costs more than that transfer.
+    - **large graph**: iterative min-label propagation. Each round joins
+      the current labels across the (symmetrized) edge list and takes the
+      per-node min — labels flood a component in O(diameter) rounds. All
+      data work is distributed joins/aggregations; the convergence check
+      is a single aggregate per round. Beyond this, GraphFrames'
+      large-star/small-star halves the round count on huge diameters.
+
+    Both paths return the same (doc_id, component = min reachable id).
     """
     pairs = pairs.persist()
     # the pair graph is a sliver of the corpus (near-dups are rare): size
     # the iteration partitioning to the GRAPH, not the corpus, or every
     # round pays full shuffle-task overhead to move a few hundred rows
     n_pairs = pairs.count()
+    if n_pairs <= driver_max_edges:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in pairs.select("doc_a", "doc_b").toLocalIterator():
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # the smaller id becomes the root, so the representative
+                # IS the component min — no second pass needed
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        out = pairs.sparkSession.createDataFrame(
+            [(d, find(d)) for d in parent],
+            "doc_id bigint, component bigint",
+        )
+        pairs.unpersist()
+        return out
     n_parts = max(1, min(32, n_pairs // 50_000))
     edges = (
         pairs.union(

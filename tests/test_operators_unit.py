@@ -137,10 +137,11 @@ def test_asof_join_semantics(spark):
     assert out == {1: None, 2: 1.0, 3: 1.0, 4: 3.0, 5: None}
 
 
-def test_connected_components_chain_and_islands(spark):
-    """Min-label propagation must close multi-hop chains (transitivity),
-    keep disjoint clusters separate, and label every node with the
-    component's min id."""
+@pytest.mark.parametrize("driver_max_edges", [1_000_000, 0])
+def test_connected_components_chain_and_islands(spark, driver_max_edges):
+    """Both CC paths (driver union-find and distributed min-label
+    propagation) must close multi-hop chains (transitivity), keep disjoint
+    clusters separate, and label every node with the component's min id."""
     from retail_etl_pipeline_spark.operators.dedup import connected_components
 
     pairs = spark.createDataFrame(
@@ -151,7 +152,9 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {
         r["doc_id"]: r["component"]
-        for r in connected_components(pairs).collect()
+        for r in connected_components(
+            pairs, driver_max_edges=driver_max_edges
+        ).collect()
     }
     assert got == {
         10: 10, 20: 10, 30: 10, 40: 10, 50: 10,
