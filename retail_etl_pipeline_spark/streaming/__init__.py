@@ -11,6 +11,7 @@ source, watermark, trigger, and sink plumbing.
 from .rollup import (
     stream_stream_purchase_join,
     run_available_now,
+    stream_dedup,
     stream_events,
     stream_tumbling_counts,
     stream_weekly_rollup_to_parquet,
@@ -19,6 +20,7 @@ from .rollup import (
 )
 
 __all__ = [
+    "stream_dedup",
     "stream_events",
     "stream_tumbling_counts",
     "stream_weekly_rollup_to_parquet",

@@ -312,3 +312,20 @@ def stream_upsert_latest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup(events: DataFrame, within: str = WATERMARK_DELAY) -> DataFrame:
+    """Exactly-once-per-id event stream with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` on the event id.
+
+    Plain streaming ``dropDuplicates`` keeps every seen key forever — state
+    grows without bound and the job eventually dies; the WithinWatermark
+    form expires a key once the watermark passes its event time, so state
+    holds only the last ``within`` of ids. That is the correct semantic
+    for at-least-once sources (Kafka redeliveries arrive close to the
+    original). Duplicates arriving later than the watermark delay are NOT
+    caught — that tail belongs to the batch dedup operators
+    (``operators.dedup``), which is the standard lambda split."""
+    return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

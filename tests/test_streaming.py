@@ -393,3 +393,41 @@ def test_custom_streaming_datasource_exactly_once(spark):
     assert ids == list(range(len(ids))), "gaps or duplicates in offsets"
     by_id = {r["event_id"]: r for r in emitted}
     assert by_id[7]["kind"] == "odd" and by_id[7]["user_id"] == 7
+
+
+def test_stream_dedup_within_watermark(spark):
+    """Redelivered events (same event_id, two files -> separate
+    micro-batches) must come out exactly once; distinct ids all survive."""
+    import datetime as dt
+
+    src = os.path.join(TMP, "dedup_src")
+    os.makedirs(src, exist_ok=True)
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (i, base + dt.timedelta(seconds=i), i % 7, "view", float(i))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double",
+    )
+    # same rows twice: the second file is the "redelivery"
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f1"))
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f2"))
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")  # force separate micro-batches
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = st.run_available_now(
+        st.stream_dedup(stream), "deduped_events", output_mode="append"
+    )
+    try:
+        got = spark.table("deduped_events")
+        assert got.count() == 500
+        assert got.select("event_id").distinct().count() == 500
+    finally:
+        q.stop()
