@@ -135,3 +135,93 @@ def zscore_per_user(events: DataFrame) -> DataFrame:
         )
 
     return events.groupBy("user_id").applyInPandas(_norm, schema=ZSCORE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# resize / frame-sample plumbing: the 1->1 and 1->many mapInPandas shapes.
+# Kernels are deterministic byte-level fakes (no media libs here); a real
+# implementation swaps ONLY the ndarray line inside the batch loop.
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Fixed-size "resize" of every binary payload (1 row -> 1 row).
+
+    The fake kernel cyclically repeats/truncates the source bytes to
+    width*height (``np.resize``) — deterministic, so tests can assert
+    exact output. Batch shape is the real one: Arrow batches in, uniform
+    (width*height)-byte buffers out, no Python per-row overhead beyond
+    the kernel itself."""
+    import numpy as np
+
+    n_out = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                    "pixels": pdf["content"].map(
+                        lambda b: np.resize(
+                            np.frombuffer(bytes(b), dtype=np.uint8), n_out
+                        ).tobytes()
+                    ),
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+#: fake fixed frame size for the byte-slicing stand-in decoder
+FRAME_BYTES = 64
+
+
+def sample_frames(videos: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling (1 row -> many rows): emit every ``every_n``-th
+    fixed-size frame of each payload.
+
+    The fan-out happens INSIDE the Arrow batch loop — one output frame per
+    input video row group, never a driver-side explode. The stand-in
+    decoder slices the byte stream into FRAME_BYTES chunks; a real one
+    would hand ffmpeg the buffer and yield decoded frames at the same
+    (doc_id, frame_idx, frame) grain. Partial trailing frames are kept
+    (a real decoder's short last GOP)."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                buf = bytes(content)
+                n_frames = (len(buf) + FRAME_BYTES - 1) // FRAME_BYTES
+                for k in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    frames.append(buf[k * FRAME_BYTES:(k + 1) * FRAME_BYTES])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype=object),
+                }
+            )
+
+    return videos.mapInPandas(_frames, schema=FRAMES_SCHEMA)

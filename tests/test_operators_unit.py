@@ -238,3 +238,44 @@ def test_event_transitions_lag_ordering(spark):
     }
     # same-ts events 2,3 order by event_id: view->click, click->click
     assert got == {("view", "click"): 1, ("click", "click"): 1}
+
+
+def test_resize_images_deterministic_shape(spark):
+    """1->1 mapInPandas plumbing: every payload becomes exactly
+    width*height bytes, cyclically repeated from the source."""
+    from retail_etl_pipeline_spark.operators.multimodal import (
+        attach_binary,
+        resize_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "xy")], "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in resize_images(attach_binary(docs), 4, 2).collect()
+    }
+    assert bytes(out[1]["pixels"]) == b"abcabcab"
+    assert bytes(out[2]["pixels"]) == b"xyxyxyxy"
+    assert all(r["width"] == 4 and r["height"] == 2 for r in out.values())
+
+
+def test_sample_frames_fanout_and_stride(spark):
+    """1->many mapInPandas plumbing: every 2nd FRAME_BYTES chunk, partial
+    tail kept, frame indices are the source positions."""
+    from retail_etl_pipeline_spark.operators.multimodal import (
+        FRAME_BYTES,
+        attach_binary,
+        sample_frames,
+    )
+
+    # 2.5 frames -> frames 0,1,2 exist; stride 2 keeps 0 and 2
+    text = "a" * (FRAME_BYTES * 2 + 10)
+    docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    rows = sorted(
+        sample_frames(attach_binary(docs), every_n=2).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 2]
+    assert len(bytes(rows[0]["frame"])) == FRAME_BYTES
+    assert len(bytes(rows[1]["frame"])) == 10
