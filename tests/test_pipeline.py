@@ -144,3 +144,18 @@ def test_run_pipeline_decimal_mode(spark, retail_csvs):
     )
     assert float(row["total_sales_amt"]) == 30.0
     assert float(row["eow_on_hand_qty"]) == 1.0
+
+
+def test_pipeline_observed_metrics(spark, retail_csvs):
+    """observe() counters collected during the write must agree with the
+    published partition: same row count, clean grain, no negative sales."""
+    from retail_etl_pipeline_spark.pipeline import run_pipeline
+
+    out = os.path.join(os.path.dirname(retail_csvs), "obs_out")
+    res = run_pipeline(
+        spark, RUN_DATE, retail_csvs, out, register_as="obs_summary"
+    )
+    assert res.ran and res.metrics is not None
+    assert res.metrics["rows_written"] == res.output_rows
+    assert res.metrics["null_grain_rows"] == 0
+    assert res.metrics["negative_sales_rows"] == 0
