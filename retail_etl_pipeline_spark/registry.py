@@ -2871,3 +2871,44 @@ def orders_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         money(F.min("o_totalprice")).alias("min_price"),
         money(F.max("o_totalprice")).alias("max_price"),
     )
+
+
+@_register(
+    "corpus_vocabulary",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({{tokens}}) AS tok
+  FROM documents
+)
+SELECT tok,
+       CAST(COUNT(*) AS BIGINT) AS term_freq,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM toks
+GROUP BY tok
+ORDER BY term_freq DESC, tok ASC
+LIMIT 1000
+""".format(tokens="regexp_split_to_array(trim(text), '\\s+')"),
+)
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: term and document frequency of the top-1000
+    tokens — the build-the-vocab step of a training-data pipeline. One
+    explode + one aggregate computing both frequencies in the same pass
+    (COUNT + COUNT DISTINCT share the Expand); the top-k is a
+    TakeOrderedAndProject with a token tie-break. At 100 TB the aggregate
+    key space is the vocabulary (~1e6), a sliver of the token stream —
+    partial aggregation collapses almost everything map-side."""
+    from .operators.text import tokens as _tokens
+
+    docs = fx._read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").alias("term_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_freq"), F.asc("tok"))
+        .limit(1000)
+    )
