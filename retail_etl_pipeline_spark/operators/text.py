@@ -359,3 +359,94 @@ SELECT doc_id,
          / len({TOKENS_SQL.format(c='text')}) AS fertility
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction: the per-document salient-term op of a
+# training-data pipeline (tagging, clustering features, topic seeds)
+# ---------------------------------------------------------------------------
+
+#: keywords kept per document
+TFIDF_TOP_K = 5
+
+
+def tfidf_keywords(docs: DataFrame) -> DataFrame:
+    """Top-``TFIDF_TOP_K`` tokens per document by TF-IDF.
+
+    Plan: one token explode feeds BOTH the per-(doc, token) term counts
+    and the document-frequency relation; the df table (vocabulary-sized,
+    a sliver of the token stream) broadcasts back onto the term counts,
+    and the per-doc top-k rides one window (doc-partitioned, never a
+    global sort). The idf uses ln((N+1)/(df+1)) — the same two integer
+    inputs and one double division/log in both engines, so the scores are
+    bit-identical cross-engine without decimal routing.
+
+    Ordering ties break on the token string, making the keyword set
+    deterministic at any parallelism.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_rel = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_rel), "tok")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("tf").cast("double")
+                * F.log(
+                    (F.col("n_docs") + 1).cast("double")
+                    / (F.col("df") + 1).cast("double")
+                )
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "tok", "tfidf", F.col("rn").cast("int").alias("rank"))
+    )
+
+
+TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL.format(c='text')}) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+),
+dfr AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id,
+         tf.tok,
+         CAST(tf.tf AS DOUBLE)
+           * ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(dfr.df + 1 AS DOUBLE))
+           AS tfidf
+  FROM tf JOIN dfr ON tf.tok = dfr.tok, n
+),
+ranked AS (
+  SELECT doc_id, tok, tfidf,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc_id, tok, tfidf, rank
+FROM ranked
+WHERE rank <= {TFIDF_TOP_K}
+"""

@@ -2912,3 +2912,10 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("term_freq"), F.asc("tok"))
         .limit(1000)
     )
+
+
+@_register("tfidf_keywords", tx.TFIDF_SQL)
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 keywords by TF-IDF (deterministic token
+    tie-break); df relation broadcasts, top-k is a per-doc window."""
+    return tx.tfidf_keywords(fx._read(spark, sf_dir, "documents"))

@@ -210,3 +210,30 @@ def test_top_supplier_single_fact_scan(spark, sf_dir):
     lineitem is scanned exactly once."""
     plan = _physical(QUERIES["top_supplier"](spark, sf_dir))
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_corpus_vocabulary_topk_and_single_explode(spark, sf_dir):
+    """Vocab build: the token explode runs once (one Generate), the
+    top-1000 is TakeOrdered — not a global sort."""
+    plan = _physical(QUERIES["corpus_vocabulary"](spark, sf_dir))
+    assert plan.count("Generate explode") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_tfidf_topk_is_doc_partitioned_window(spark, sf_dir):
+    """Per-doc top-k must ride a doc-partitioned window group limit /
+    filter — never a global range sort of the scored relation."""
+    plan = _physical(QUERIES["tfidf_keywords"](spark, sf_dir))
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan  # vocabulary-sized df relation
+    # rank<=k is pushed below the final window as a partial group limit
+    assert "WindowGroupLimit" in plan
+
+
+def test_funnel_is_two_aggregates_no_join(spark, sf_dir):
+    """Funnel: per-user conditional mins then one global roll-up — no
+    self-joins of per-stage relations."""
+    plan = _physical(QUERIES["funnel_conversion"](spark, sf_dir))
+    assert "Join" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
