@@ -412,7 +412,11 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in pairs.select("doc_a", "doc_b").toLocalIterator():
+        # collect, not toLocalIterator: the edge list is bounded (<= ~16 MB
+        # at driver_max_edges) and toLocalIterator fetches the shuffle's
+        # partitions sequentially — measured 12.5 s vs 0.3 s for 25 edges
+        # spread over 200 partitions under a plain (driver-like) session
+        for row in pairs.select("doc_a", "doc_b").collect():
             a, b = row[0], row[1]
             parent.setdefault(a, a)
             parent.setdefault(b, b)

@@ -225,3 +225,50 @@ def sample_frames(videos: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return videos.mapInPandas(_frames, schema=FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles for the resize / frame-sample kernels. DuckDB 1.0 has no
+# md5/substring over BLOB, so both engines hash the UPPERCASE HEX encoding
+# of the bytes (2 chars per byte keeps every byte boundary at an even
+# offset, so cyclic repeat + truncate on the hex string is byte-exact):
+# Spark md5(hex(bin)) == DuckDB md5(substring(repeat(hex(encode(text)) ...).
+# ---------------------------------------------------------------------------
+
+#: default resize target used by the registered query
+RESIZE_W = 32
+RESIZE_H = 32
+
+
+def multimodal_resize_sql(width: int = RESIZE_W, height: int = RESIZE_H) -> str:
+    n_out = width * height
+    return f"""
+SELECT doc_id,
+       CAST({width} AS INTEGER) AS width,
+       CAST({height} AS INTEGER) AS height,
+       md5(substring(
+             repeat(hex(encode(text)),
+                    CAST((({n_out} + octet_length(encode(text)) - 1)
+                          // octet_length(encode(text))) AS INTEGER)),
+             1, {2 * n_out})) AS pixels_md5
+FROM documents
+"""
+
+
+def multimodal_frames_sql(every_n: int = 2, frame_bytes: int = FRAME_BYTES) -> str:
+    # unnest(range(...)) instead of generate_series: DuckDB 1.0 rejects
+    # lateral column parameters in table functions
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         hex(encode(text)) AS hx,
+         unnest(range(0, (octet_length(encode(text)) + {frame_bytes - 1})
+                         // {frame_bytes}, {every_n})) AS k
+  FROM documents
+)
+SELECT doc_id,
+       CAST(k AS INTEGER) AS frame_idx,
+       md5(substring(hx, CAST(k AS BIGINT) * {2 * frame_bytes} + 1,
+                     {2 * frame_bytes})) AS frame_md5
+FROM f
+"""

@@ -1027,9 +1027,15 @@ ORDER BY revenue DESC, n.n_name ASC
 """,
 )
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """6-table join: two large facts plus four broadcast dims, the
-    customer-nation = supplier-nation condition riding the supplier join;
-    one aggregation on a 25-value key."""
+    """6-table join: two large facts plus supplier and the bounded
+    nation/region dims, the customer-nation = supplier-nation condition
+    riding the supplier join; one aggregation on a 25-value key.
+
+    Supplier carries no broadcast hint: it scales with SF, so a forced
+    hint would override AQE's size check and OOM executors at 100 TB.
+    AQE still picks a broadcast join at any SF where supplier fits
+    under the threshold; nation/region are genuinely bounded (25/5
+    rows) and keep their hints."""
     c = fx._read(spark, sf_dir, "customer")
     o = fx._read(spark, sf_dir, "orders").where(
         (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
@@ -1043,7 +1049,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -2094,8 +2100,13 @@ GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
 def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-nation trade volume (TPC-H Q7 shape): fact joined through
     orders->customer and supplier, nation dim broadcast on BOTH sides
-    (aliased twice), filtered to cross-border pairs. The only big-big join
-    is lineitem ⋈ orders; everything else broadcasts."""
+    (aliased twice), filtered to cross-border pairs.
+
+    Only the bounded nation dim carries broadcast hints. customer and
+    supplier SCALE WITH SF — a forced hint there would override AQE's
+    size check and become an executor-OOM at 100 TB. Without hints AQE
+    broadcasts them while they fit and degrades to a shuffled join when
+    they don't; the only unavoidable big-big join is lineitem ⋈ orders."""
     li = fx._read(spark, sf_dir, "lineitem")
     o = fx._read(spark, sf_dir, "orders")
     c = fx._read(spark, sf_dir, "customer")
@@ -2110,8 +2121,8 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey, "inner")
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "inner")
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .join(s, li.l_suppkey == s.s_suppkey, "inner")
         .join(F.broadcast(n1), s.s_nationkey == F.col("sn_key"), "inner")
         .join(F.broadcast(n2), c.c_nationkey == F.col("cn_key"), "inner")
         .where(F.col("sn_key") != F.col("cn_key"))
@@ -2145,8 +2156,13 @@ GROUP BY n_name, year(l_shipdate)
 def nation_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-line profit per supplier nation and year (TPC-H Q9 shape;
     no partsupp fixture, so unit cost is modeled as 10% of retail price).
-    The selective p_name filter prunes part BEFORE the broadcast, so the
-    fact join probes a small hash table."""
+    The selective p_name filter prunes part BEFORE any join, so the fact
+    join probes a small relation.
+
+    part and supplier scale with SF, so they carry no broadcast hint —
+    AQE broadcasts the filtered part while it fits and falls back to a
+    shuffled join beyond that; only the bounded nation dim keeps its
+    hint."""
     li = fx._read(spark, sf_dir, "lineitem")
     p = fx._read(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
     s = fx._read(spark, sf_dir, "supplier")
@@ -2155,8 +2171,8 @@ def nation_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.lit(0.1) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "inner")
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "inner")
+        li.join(p, li.l_partkey == p.p_partkey, "inner")
+        .join(s, li.l_suppkey == s.s_suppkey, "inner")
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "inner")
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -2367,7 +2383,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = fx._read(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             money(
                 F.lit(100.0)
@@ -2426,7 +2442,7 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_mx", F.max("total_revenue").over(Window.partitionBy())
         )
         .where(F.col("total_revenue") == F.col("_mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -2466,7 +2482,7 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(per_part, li.l_partkey == F.col("pa_partkey"))
         .where(
             F.col("l_quantity") * F.lit(5.0) * F.col("cnt") < F.col("qty_sum")
@@ -2541,7 +2557,7 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-join filter instead of three unioned scans."""
     li = fx._read(spark, sf_dir, "lineitem")
     p = fx._read(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    j = li.join(p, p.p_partkey == li.l_partkey)
     branch = lambda b, smax, qlo, qhi: (  # noqa: E731
         (F.col("p_brand") == b)
         & F.col("p_size").between(1, smax)
@@ -2656,7 +2672,7 @@ def asia_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_nationkey"))
         .join(F.broadcast(r), F.col("cn_regionkey") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_nationkey"))
         .groupBy(F.year(F.to_date("o_orderdate")).cast("int").alias("yr"))
         .agg(
@@ -2919,3 +2935,42 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-5 keywords by TF-IDF (deterministic token
     tie-break); df relation broadcasts, top-k is a per-doc window."""
     return tx.tfidf_keywords(fx._read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal resize / frame-sample (operators/multimodal.py): the 1->1 and
+# 1->many mapInPandas shapes, oracle-checked via md5-of-hex of the
+# deterministic byte kernels (real media decode is the documented stub)
+# ---------------------------------------------------------------------------
+
+
+@_register("multimodal_resize", mm.multimodal_resize_sql())
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size resize over the opaque-binary media column (1 row ->
+    1 row, Arrow-batched mapInPandas; kernel = cyclic byte repeat, the
+    deterministic stand-in for a real decoder). Output is hashed (md5 of
+    uppercase hex) so the comparison rides strings both engines produce
+    byte-identically."""
+    media = mm.attach_binary(fx._read(spark, sf_dir, "documents"))
+    resized = mm.resize_images(media, mm.RESIZE_W, mm.RESIZE_H)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.md5(F.hex(F.col("pixels"))).alias("pixels_md5"),
+    )
+
+
+@_register("multimodal_frames", mm.multimodal_frames_sql())
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the media column (1 row -> many rows; the
+    fan-out happens inside the Arrow batch loop, never driver-side).
+    Every 2nd FRAME_BYTES-sized chunk, trailing partial kept."""
+    frames = mm.sample_frames(
+        mm.attach_binary(fx._read(spark, sf_dir, "documents")), every_n=2
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5(F.hex(F.col("frame"))).alias("frame_md5"),
+    )
