@@ -93,9 +93,7 @@ merged AS (
 # §2.5 A1-A4: weekly sales rollup (the Phase-1 end-to-end slice)
 # ---------------------------------------------------------------------------
 
-@_register(
-    "weekly_sales_rollup",
-    f"""
+_ROLLUP_ORACLE = f"""
 WITH {fx.SALES_CTE.strip()}
 SELECT {_W_TRANS} AS yr_wk_num,
        store_key,
@@ -106,8 +104,10 @@ SELECT {_W_TRANS} AS yr_wk_num,
        {_ms("sales_cost")} AS total_sales_cost
 FROM sales
 GROUP BY 1, 2, 3
-""",
-)
+"""
+
+
+@_register("weekly_sales_rollup", _ROLLUP_ORACLE)
 def weekly_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-A4+A12 (``Data Transformation.py:62-67``): one hash aggregate,
     partial map-side combine; no pre-sort (the reference's per-intermediate
@@ -614,7 +614,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("embedding_neardup", sim.EMBEDDING_NEARDUP_SQL)
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute-force baseline)."""
+    """Embedding-cosine near-dup pairs: brute-force baseline over a
+    bounded deterministic sample (sim.NEARDUP_SAMPLE_DOCS lowest
+    vec_ids, which covers the whole corpus at test SFs) — the
+    driver-side collect stays O(sample) at any scale. The unbounded
+    production path is embedding_neardup_lsh."""
     return sim.embedding_neardup(fx._read(spark, sf_dir, "embeddings"))
 
 
@@ -2973,4 +2977,109 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "frame_idx",
         F.md5(F.hex(F.col("frame"))).alias("frame_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DDL-faithful decimal mode (schemas.py measure_type="decimal"): the weekly
+# rollup with every money measure in the warehouse DDL's DECIMAL(38,2)
+# (``Snow Flake/Data Ingestion.sql:48-61``) instead of the reference job's
+# effective runtime doubles. Decimal addition is exact and
+# order-independent, so the sums are bit-identical on ANY partitioning —
+# the property that makes decimal mode the audit-grade path at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "weekly_sales_rollup_decimal",
+    f"""
+WITH {fx.SALES_CTE.strip()}
+SELECT {_W_TRANS} AS yr_wk_num,
+       store_key,
+       prod_key,
+       CAST(SUM(CAST(round(CAST(sales_qty AS DECIMAL(30,6)), 2)
+                     AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS total_sales_qty,
+       CAST(SUM(CAST(round(CAST(sales_amt AS DECIMAL(30,6)), 2)
+                     AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS total_sales_amt,
+       CAST(SUM(CAST(round(CAST(sales_cost AS DECIMAL(30,6)), 2)
+                     AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS total_sales_cost,
+       COUNT(*) AS line_count
+FROM sales
+GROUP BY 1, 2, 3
+""",
+)
+def weekly_sales_rollup_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly rollup in DDL-faithful decimal mode: measures are cast to
+    the ``schemas.sales_schema("decimal")`` DECIMAL(38,2) types at the
+    ingest boundary (via the proven money rounding hop through
+    DECIMAL(30,6)), then summed in exact decimal arithmetic end-to-end.
+    Outputs stay DECIMAL(38,2) — no double anywhere past ingest."""
+    from .schemas import sales_schema
+
+    dec_types = {
+        f.name: f.dataType for f in sales_schema("decimal").fields
+    }
+    s = retail.add_week(fx.sales(spark, sf_dir), "trans_dt")
+    measures = ("sales_qty", "sales_amt", "sales_cost")
+    dec = s.select(
+        "yr_wk_num",
+        "store_key",
+        "prod_key",
+        *[
+            F.round(F.col(c).cast("decimal(30,6)"), 2)
+            .cast(dec_types[c])
+            .alias(c)
+            for c in measures
+        ],
+    )
+    return dec.groupBy("yr_wk_num", "store_key", "prod_key").agg(
+        F.sum("sales_qty").cast("decimal(38,2)").alias("total_sales_qty"),
+        F.sum("sales_amt").cast("decimal(38,2)").alias("total_sales_amt"),
+        F.sum("sales_cost").cast("decimal(38,2)").alias("total_sales_cost"),
+        F.count(F.lit(1)).alias("line_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# skew-salted aggregation (functions/skew.py): the weekly rollup computed
+# as an explicit two-phase salted aggregate — same result relation as
+# weekly_sales_rollup (decimal partials are exact and associative), shaped
+# for a single hot group key that would overwhelm one reducer. AQE's skew
+# handling covers joins; a hot GROUP BY key needs this manual spread.
+# ---------------------------------------------------------------------------
+
+
+@_register("weekly_sales_rollup_salted", _ROLLUP_ORACLE)
+def weekly_sales_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted weekly rollup via :func:`skew.salted_agg`:
+    phase 1 partial-aggregates on (grain, salt) — a hot grain's rows
+    spread over SALT_N reducers — phase 2 merges at most SALT_N partials
+    per grain. Partials are exact decimal sums (associative), so the
+    result is bit-identical to the unsalted plan and shares its oracle."""
+    from .functions.skew import salted_agg
+
+    s = retail.add_week(fx.sales(spark, sf_dir), "trans_dt")
+    grain = ["yr_wk_num", "store_key", "prod_key"]
+    merged = salted_agg(
+        s,
+        grain,
+        partial_aggs={
+            "qty": F.sum("sales_qty"),
+            "amt": F.sum(F.col("sales_amt").cast("decimal(30,6)")),
+            "cost": F.sum(F.col("sales_cost").cast("decimal(30,6)")),
+        },
+        merge_aggs={
+            "qty": F.sum("qty"),
+            "amt": F.sum("amt"),
+            "cost": F.sum("cost"),
+        },
+    )
+    return merged.select(
+        *grain,
+        money(F.col("qty")).alias("total_sales_qty"),
+        F.round(F.col("amt"), 2).cast("double").alias("total_sales_amt"),
+        money(safe_div(F.col("amt").cast("double"), F.col("qty"))).alias(
+            "avg_sales_amt"
+        ),
+        F.round(F.col("cost"), 2).cast("double").alias("total_sales_cost"),
     )
