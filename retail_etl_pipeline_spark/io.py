@@ -160,6 +160,13 @@ def export_csv(
     ``predicate`` mirrors the ``WHERE dt <= CURRENT_DATE()`` exports (F4).
     ``single_file`` reproduces the reference's ``single=true`` knob — off by
     default (a single output task is a scale anti-pattern).
+
+    The reference also caps each unloaded file at ~103 MiB
+    (``Snow Flake/Data Load.sql:7-9`` MAX_FILE_SIZE). Spark's analog is
+    ``spark.sql.files.maxRecordsPerFile`` (rows, not bytes) on the writer,
+    or sizing output partitions upstream; a byte-exact cap is not
+    reproduced here by design — when ``single_file`` is off, output size
+    per file is governed by partitioning, which is the scale-correct knob.
     """
     if predicate is not None:
         df = df.filter(predicate)

@@ -43,8 +43,12 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session (e.g. the driver's smoke/correctness runner): events.ts is
     # parquet TIMESTAMP(NANOS) which Spark 4 only reads via nanosAsLong, and
     # instant->date conversions must be UTC to match the DuckDB oracle.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Set once per session (the flag rides the session object) — not on
+    # every read call.
+    if not getattr(spark, "_retail_fixture_confs_set", False):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark._retail_fixture_confs_set = True
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -1615,6 +1615,38 @@ def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "quantity_approx_percentiles",
+    """
+SELECT l_returnflag,
+       quantile_disc(l_quantity, 0.25) AS qty_p25,
+       quantile_disc(l_quantity, 0.50) AS qty_p50,
+       quantile_disc(l_quantity, 0.75) AS qty_p75,
+       quantile_disc(l_extendedprice, 0.50) AS price_p50
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def quantity_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (approx_percentile, Greenwald-Khanna): the
+    100 TB path — a mergeable bounded-memory sketch per group instead of
+    the exact percentile's full per-group sort. At the oracle-checked SFs
+    the group sizes are below the accuracy parameter, where GK returns the
+    exact discrete element (== DuckDB quantile_disc); at production scale
+    the same query degrades gracefully to rank-error <= 1/accuracy
+    instead of blowing memory."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    acc = 1_000_000
+    return li.groupBy("l_returnflag").agg(
+        F.expr(f"approx_percentile(l_quantity, 0.25, {acc})").alias("qty_p25"),
+        F.expr(f"approx_percentile(l_quantity, 0.50, {acc})").alias("qty_p50"),
+        F.expr(f"approx_percentile(l_quantity, 0.75, {acc})").alias("qty_p75"),
+        F.expr(f"approx_percentile(l_extendedprice, 0.50, {acc})").alias(
+            "price_p50"
+        ),
+    )
+
+
+@_register(
     "acctbal_stats_by_segment",
     f"""
 WITH moments AS (
