@@ -1,0 +1,297 @@
+"""Corpus-preparation operators for LLM training-data pipelines.
+
+Round-3 additions beyond the reference surface (SURVEY.md §2.10): the
+document-level transforms a 100 TB pretraining pipeline runs between raw
+ingestion and tokenization — chunking, repetition profiling, eval-set
+contamination checks, and corpus shape statistics. Everything here is a
+pure JVM projection/aggregation (no Python UDFs): chunking is
+sequence+explode, repetition is one windowed aggregate, contamination is
+an equi-join on 60-bit shingle fingerprints.
+
+Scale notes (100 TB):
+- ``doc_chunks`` is a map-only explode — no shuffle at all; output
+  partitioning follows the input scan.
+- ``word_repetition`` shuffles once on doc_id (the token-count groupBy);
+  the window reuses that partitioning (no second exchange).
+- ``eval_contamination`` joins on the hashed shingle id, never text, and
+  the eval side is a small fraction of the corpus — AQE picks a broadcast
+  of the eval shingles when they fit, a shuffled hash join otherwise.
+- ``token_length_histogram`` is a classic two-phase aggregate on a
+  bounded key space (lang × bucket) — partial map-side combine makes the
+  shuffle tiny regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import SHINGLES_CTE, shingles
+from .text import TOKENS_SQL, token_count, tokens
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+#: characters per chunk and stride between chunk starts (stride < size
+#: gives overlapping chunks, the usual pretraining setup)
+CHUNK_SIZE = 120
+CHUNK_STRIDE = 90
+
+
+def doc_chunks(docs: DataFrame, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE) -> DataFrame:
+    """Overlapping fixed-width character chunks: one row per (doc, chunk).
+
+    A pure projection + explode — the chunk-start offsets are generated
+    with ``sequence`` from the document length, so no shuffle and no
+    Python. Chunk i covers [1 + i*stride, 1 + i*stride + size); the last
+    chunk starts at the smallest offset whose window reaches the end of
+    the document.
+    """
+    n_extra = F.greatest(
+        F.lit(0),
+        F.ceil((F.length("text") - F.lit(size)) / F.lit(float(stride))),
+    ).cast("int")
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_extra)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            (F.lit(1) + F.col("chunk_id") * stride).alias("chunk_start"),
+            F.expr(f"substring(text, 1 + chunk_id * {stride}, {size})").alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+DOC_CHUNKS_SQL = f"""
+WITH n AS (
+  SELECT doc_id, text,
+         CAST(greatest(0, ceil((length(text) - {CHUNK_SIZE}) / {CHUNK_STRIDE}.0))
+              AS INTEGER) AS n_extra
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_id,
+       CAST(1 + i * {CHUNK_STRIDE} AS INTEGER) AS chunk_start,
+       substr(text, CAST(1 + i * {CHUNK_STRIDE} AS INTEGER), {CHUNK_SIZE})
+         AS chunk_text
+FROM n, unnest(range(0, n_extra + 1)) AS r(i)
+"""
+
+
+# ---------------------------------------------------------------------------
+# repetition profiling
+# ---------------------------------------------------------------------------
+
+def word_repetition(docs: DataFrame) -> DataFrame:
+    """Per-document repetition profile: token totals, distinct count, and
+    the most frequent token with its frequency ratio — the standard
+    "degenerate repetition" quality signal for pretraining filters.
+
+    One shuffle total: the token-count groupBy partitions by doc_id and
+    every window below reuses that partitioning (single exchange in the
+    plan). Ties on count break to the lexically smallest token so the
+    result is deterministic across engines and partitionings.
+    """
+    counts = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+    )
+    w = Window.partitionBy("doc_id")
+    ranked = counts.select(
+        "doc_id",
+        "tok",
+        "count",
+        F.sum("count").over(w).alias("n_tokens"),
+        F.count(F.lit(1)).over(w).alias("n_distinct_tokens"),
+        F.row_number()
+        .over(w.orderBy(F.desc("count"), F.asc("tok")))
+        .alias("rn"),
+    )
+    return (
+        ranked.where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_distinct_tokens").cast("bigint").alias("n_distinct_tokens"),
+            F.col("tok").alias("top_token"),
+            F.round(
+                (F.col("count") / F.col("n_tokens")).cast("decimal(20,9)"), 6
+            )
+            .cast("double")
+            .alias("top_token_ratio"),
+        )
+    )
+
+
+WORD_REPETITION_SQL = f"""
+WITH counts AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest({TOKENS_SQL.format(c='text')}) AS tok
+        FROM documents)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT)
+         AS n_distinct_tokens,
+       tok AS top_token,
+       CAST(round(CAST(CAST(cnt AS DOUBLE)
+                       / SUM(cnt) OVER (PARTITION BY doc_id)
+                       AS DECIMAL(20,9)), 6) AS DOUBLE) AS top_token_ratio
+FROM counts
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok ASC) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# eval-set contamination
+# ---------------------------------------------------------------------------
+
+#: every EVAL_MOD-th document plays the held-out eval set
+EVAL_MOD = 20
+
+
+def eval_contamination(docs: DataFrame) -> DataFrame:
+    """N-gram contamination of a held-out eval split against the training
+    corpus: for each eval document (doc_id % EVAL_MOD == 0), how many of
+    its shingles also occur in any training document, and how many
+    training documents share at least one shingle.
+
+    The join key is the 60-bit shingle fingerprint (never text), so the
+    contamination check is one equi-join however large the corpus; the
+    eval side is 1/EVAL_MOD of the data and AQE broadcasts it when small.
+    """
+    sh = shingles(docs)
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_sh = sh.where(is_eval)
+    train_sh = sh.where(~is_eval).withColumnRenamed("doc_id", "train_doc_id")
+    totals = eval_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hits = (
+        eval_sh.join(train_sh, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_contaminated"),
+            F.countDistinct("train_doc_id").alias("n_train_docs"),
+        )
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.coalesce("n_train_docs", F.lit(0)).alias("n_train_docs"),
+            F.round(
+                (
+                    F.coalesce("n_contaminated", F.lit(0))
+                    / F.col("n_shingles")
+                ).cast("decimal(20,9)"),
+                6,
+            )
+            .cast("double")
+            .alias("contamination_rate"),
+        )
+    )
+
+
+EVAL_CONTAMINATION_SQL = f"""
+WITH {SHINGLES_CTE.strip()},
+eval_sh AS (SELECT * FROM shingles WHERE doc_id % {EVAL_MOD} = 0),
+train_sh AS (SELECT doc_id AS train_doc_id, sh FROM shingles
+             WHERE doc_id % {EVAL_MOD} != 0),
+totals AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+  FROM eval_sh GROUP BY 1
+),
+hits AS (
+  SELECT e.doc_id,
+         CAST(COUNT(DISTINCT e.sh) AS BIGINT) AS n_contaminated,
+         CAST(COUNT(DISTINCT t.train_doc_id) AS BIGINT) AS n_train_docs
+  FROM eval_sh e JOIN train_sh t ON e.sh = t.sh
+  GROUP BY 1
+)
+SELECT totals.doc_id,
+       n_shingles,
+       COALESCE(n_contaminated, 0) AS n_contaminated,
+       COALESCE(n_train_docs, 0) AS n_train_docs,
+       CAST(round(CAST(CAST(COALESCE(n_contaminated, 0) AS DOUBLE)
+                       / n_shingles AS DECIMAL(20,9)), 6) AS DOUBLE)
+         AS contamination_rate
+FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus shape statistics
+# ---------------------------------------------------------------------------
+
+#: histogram bucket width in tokens
+TOKEN_BUCKET = 32
+
+
+def token_length_histogram(docs: DataFrame) -> DataFrame:
+    """Token-length histogram by language: bucketed token counts with
+    exact char averages — the "what does my corpus look like" query run
+    before every training mix decision.
+
+    Two-phase aggregate on a bounded key (lang × bucket): the map-side
+    partial keeps the shuffle a few rows per task at any corpus size.
+    Averages divide exact BIGINT sums (never AVG) so the result is
+    bit-stable across engines and partition counts.
+    """
+    n_tok = token_count(F.col("text"))
+    bucket = (F.floor(n_tok / TOKEN_BUCKET) * TOKEN_BUCKET).cast("int")
+    return (
+        docs.select(
+            "lang",
+            bucket.alias("token_bucket"),
+            n_tok.alias("n_tokens"),
+            F.col("n_chars"),
+        )
+        .groupBy("lang", "token_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                (F.sum("n_tokens") / F.count(F.lit(1))).cast("decimal(20,9)"),
+                6,
+            )
+            .cast("double")
+            .alias("avg_tokens"),
+            F.round(
+                (F.sum("n_chars") / F.count(F.lit(1))).cast("decimal(20,9)"),
+                6,
+            )
+            .cast("double")
+            .alias("avg_chars"),
+        )
+    )
+
+
+TOKEN_LENGTH_HISTOGRAM_SQL = f"""
+WITH d AS (
+  SELECT lang,
+         len({TOKENS_SQL.format(c='text')}) AS n_tokens,
+         n_chars
+  FROM documents
+)
+SELECT lang,
+       CAST((n_tokens // {TOKEN_BUCKET}) * {TOKEN_BUCKET} AS INTEGER)
+         AS token_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(round(CAST(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*)
+                       AS DECIMAL(20,9)), 6) AS DOUBLE) AS avg_tokens,
+       CAST(round(CAST(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)
+                       AS DECIMAL(20,9)), 6) AS DOUBLE) AS avg_chars
+FROM d
+GROUP BY 1, 2
+"""

@@ -143,6 +143,88 @@ LIMIT {k}
 """
 
 
+#: the fixed query batch for the batched-ANN operator
+BATCH_QUERY_IDS = (0, 17, 42, 99, 123, 256, 333, 404)
+BATCH_TOP_K = 5
+
+
+def ann_batch_topk(
+    emb: DataFrame,
+    query_ids: tuple[int, ...] = BATCH_QUERY_IDS,
+    k: int = BATCH_TOP_K,
+) -> DataFrame:
+    """Brute-force cosine top-k for a BATCH of query vectors in one scan.
+
+    The query side is a bounded literal list (|Q| vectors), so it is
+    broadcast and the corpus is scanned exactly once regardless of |Q|;
+    the per-query top-k runs as a rank window partitioned by query_id.
+    Spark's WindowGroupLimit pushes the ``rn <= k`` filter below the
+    shuffle (each task keeps only its local top-k per query before the
+    exchange), so the shuffle moves O(|Q| * k * tasks) rows, not the
+    |corpus| x |Q| scored pairs — the plan survives any corpus size.
+
+    The Arrow-vectorized dot (see _dot_udf) does the |corpus| x |Q|
+    scoring: unlike the single-query operators, the pair count here is
+    |Q|x the corpus, where the interpreted zip_with/aggregate lambda is
+    measurably the bottleneck.
+    """
+    from pyspark.sql import Window
+
+    vecs = _with_norm(_vectors(emb))
+    q = vecs.where(F.col("vec_id").isin(*query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        vecs.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            _round6(
+                _dot_udf(F.col("v"), F.col("qv"))
+                / F.col("norm")
+                / F.col("qnorm")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "vec_id", "label", "cosine")
+    )
+
+
+def ann_batch_topk_sql(
+    query_ids: tuple[int, ...] = BATCH_QUERY_IDS, k: int = BATCH_TOP_K
+) -> str:
+    id_list = ", ".join(str(q) for q in query_ids)
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, {_VEC_SQL.format(e='embedding')} AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({id_list})
+)
+SELECT query_id,
+       vec_id,
+       label,
+       {_ROUND6_SQL.format(x=_COS_SQL.format(a='v', b='qv'))} AS cosine
+FROM e, q
+WHERE vec_id != query_id
+QUALIFY row_number() OVER (
+  PARTITION BY query_id
+  ORDER BY {_ROUND6_SQL.format(x=_COS_SQL.format(a='v', b='qv'))} DESC,
+           vec_id ASC
+) <= {k}
+"""
+
+
 def _with_buckets(vecs: DataFrame) -> DataFrame:
     """Hyperplane bucket id as a single PROJECTION: the plane vectors are
     tiny plan constants (collected once, inlined as array literals), so no
