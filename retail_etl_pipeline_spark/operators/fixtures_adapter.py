@@ -52,6 +52,20 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def event_ts_micros(ev: DataFrame):
+    """Microsecond-instant ``ts`` column for the events table, across
+    fixture vintages: older generators wrote parquet TIMESTAMP(NANOS)
+    (which Spark reads as nano-epoch BIGINT under nanosAsLong — integer
+    division, ns values ~1.7e18 overflow a double mantissa), newer ones
+    write TIMESTAMP(MICROS) (read as timestamp_ntz). Both normalize to the
+    same UTC instant, matching the oracle's
+    ``make_timestamp(epoch_ns(ts) // 1000)``."""
+    if dict(ev.dtypes)["ts"] == "bigint":
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    # timestamp_ntz -> instant: session tz is pinned to UTC in _read
+    return F.col("ts").cast("timestamp")
+
+
 def sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sales fact (one row per order line)."""
     li = _read(spark, sf_dir, "lineitem")
@@ -164,7 +178,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        event_ts_micros(ev).alias("ts"),
         "user_id",
         "event_type",
         "value",
@@ -179,10 +193,7 @@ def events_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations (A6-A8). ``event_id`` is the deterministic tie-breaker for
     same-timestamp observations."""
     ev = _read(spark, sf_dir, "events")
-    # events.ts is parquet TIMESTAMP(NANOS) -> read as long nanos (see
-    # session.py nanosAsLong) and truncated to a microsecond timestamp.
-    # Integer division: ns values (~1.7e18) overflow double mantissa.
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    ts = event_ts_micros(ev)
     return ev.select(
         F.col("event_id"),
         ts.alias("ts"),

@@ -3115,3 +3115,54 @@ def weekly_sales_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("cost"), 2).cast("double").alias("total_sales_cost"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-preparation operators (operators/corpus.py): chunking, repetition
+# profiling, eval-set contamination, corpus shape statistics — the
+# document-level transforms between raw ingestion and tokenization.
+# ---------------------------------------------------------------------------
+
+from .operators import corpus as cp  # noqa: E402
+
+
+@_register("doc_chunks", cp.DOC_CHUNKS_SQL)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunks, one row per (doc, chunk) — the
+    sequence+explode pretraining chunker. Map-only (no shuffle): output
+    partitioning follows the input scan at any corpus size."""
+    return cp.doc_chunks(fx._read(spark, sf_dir, "documents"))
+
+
+@_register("word_repetition", cp.WORD_REPETITION_SQL)
+def word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition profile (token totals, distinct count, top
+    token + ratio) — the degenerate-repetition quality signal. One shuffle
+    on doc_id; the ranking windows reuse the groupBy partitioning."""
+    return cp.word_repetition(fx._read(spark, sf_dir, "documents"))
+
+
+@_register("eval_contamination", cp.EVAL_CONTAMINATION_SQL)
+def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram contamination of a held-out eval split vs the training
+    corpus: equi-join on 60-bit shingle fingerprints (never text); the
+    eval side is 1/EVAL_MOD of the data, so AQE broadcasts it when it
+    fits."""
+    return cp.eval_contamination(fx._read(spark, sf_dir, "documents"))
+
+
+@_register("token_length_histogram", cp.TOKEN_LENGTH_HISTOGRAM_SQL)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram by language — bounded-key (lang × bucket)
+    two-phase aggregate; exact BIGINT sums divided at the end keep the
+    averages bit-stable across engines and partition counts."""
+    return cp.token_length_histogram(fx._read(spark, sf_dir, "documents"))
+
+
+@_register("ann_batch_topk", sim.ann_batch_topk_sql())
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched brute-force cosine top-k: one corpus scan scores a bounded
+    broadcast batch of query vectors; per-query top-k via a rank window
+    whose rn <= k filter pushes below the shuffle (WindowGroupLimit), so
+    the exchange moves O(|Q|*k*tasks) rows, not |corpus|×|Q|."""
+    return sim.ann_batch_topk(fx._read(spark, sf_dir, "embeddings"))

@@ -16,7 +16,6 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..functions.metrics import money_sum
@@ -24,32 +23,31 @@ from ..functions.metrics import money_sum
 #: watermark delay for late events
 WATERMARK_DELAY = "2 hours"
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) via nanosAsLong
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one batch
-    under AvailableNow; a directory of files streams incrementally)."""
+    under AvailableNow; a directory of files streams incrementally).
+
+    The stream schema is inferred from a static footer read of the same
+    glob, so the source works across fixture vintages (ts as nano-epoch
+    BIGINT or as TIMESTAMP(MICROS)) — streaming file sources require an
+    explicit schema, and hard-coding one pins the generator version.
+    """
+    from ..operators.fixtures_adapter import event_ts_micros
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # the file source wants a directory; select just the events file via glob
+    static = (
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    )
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(static.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
     return raw.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        event_ts_micros(raw).alias("ts"),
         "user_id",
         "event_type",
         "value",
