@@ -94,10 +94,15 @@ def word_repetition(docs: DataFrame) -> DataFrame:
     the most frequent token with its frequency ratio — the standard
     "degenerate repetition" quality signal for pretraining filters.
 
-    One shuffle total: the token-count groupBy partitions by doc_id and
-    every window below reuses that partitioning (single exchange in the
-    plan). Ties on count break to the lexically smallest token so the
-    result is deterministic across engines and partitionings.
+    Two compact exchanges: the token-count groupBy shuffles partial
+    (doc_id, tok, cnt) rows — the map-side combine has already collapsed
+    repeated tokens, so this moves distinct-tokens-per-doc, not the raw
+    token stream — and the ranking window re-shuffles those same compact
+    rows on doc_id alone. Raw document text never crosses the wire (the
+    alternative single-exchange plan, repartition(doc_id) before the
+    explode, would shuffle full text — strictly worse at corpus scale).
+    Ties on count break to the lexically smallest token so the result is
+    deterministic across engines and partitionings.
     """
     counts = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))

@@ -3137,8 +3137,9 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("word_repetition", cp.WORD_REPETITION_SQL)
 def word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition profile (token totals, distinct count, top
-    token + ratio) — the degenerate-repetition quality signal. One shuffle
-    on doc_id; the ranking windows reuse the groupBy partitioning."""
+    token + ratio) — the degenerate-repetition quality signal. Two compact
+    exchanges of post-partial-agg (doc_id, tok, cnt) rows; raw text never
+    shuffles."""
     return cp.word_repetition(fx._read(spark, sf_dir, "documents"))
 
 

@@ -308,3 +308,42 @@ def test_nation_trade_degrades_without_hints(spark, sf_dir):
     SF the same plan falls back to a shuffled join instead of OOM)."""
     plan = _physical(QUERIES["nation_trade_volume"](spark, sf_dir))
     assert len(re.findall(r"SortMergeJoin|ShuffledHashJoin", plan)) <= 1, plan
+
+
+def test_doc_chunks_is_map_only(spark, sf_dir):
+    """Chunking is sequence+explode — a pure projection pipeline with no
+    exchange at all; output partitioning follows the scan."""
+    plan = _physical(QUERIES["doc_chunks"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert plan.count("Generate explode") == 1
+
+
+def test_word_repetition_never_shuffles_text(spark, sf_dir):
+    """Both exchanges move compact (doc_id, tok, cnt) rows: partial
+    aggregation sits below the first shuffle, and the raw text column
+    never appears in any exchange input."""
+    plan = _physical(QUERIES["word_repetition"](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    # partial agg before the shuffle: two HashAggregates around exchange 1
+    assert plan.count("HashAggregate") >= 2
+    # the `text` column is consumed by the explode projection pre-shuffle
+    for exch in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in exch
+
+
+def test_ann_batch_topk_group_limit_below_shuffle(spark, sf_dir):
+    """Per-query top-k must keep only local top-k rows before the window
+    exchange (WindowGroupLimit), so the shuffle moves O(|Q|*k*tasks) rows
+    — and the query side rides a broadcast, never a shuffled join."""
+    plan = _physical(QUERIES["ann_batch_topk"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_token_length_histogram_single_exchange(spark, sf_dir):
+    """Bounded-key (lang x bucket) two-phase aggregate: exactly one
+    exchange, partial combine below it."""
+    plan = _physical(QUERIES["token_length_histogram"](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
