@@ -300,3 +300,183 @@ SELECT lang,
 FROM d
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# boilerplate-span detection
+# ---------------------------------------------------------------------------
+
+#: a shingle occurring in >= this many distinct documents is boilerplate
+BOILERPLATE_MIN_DOCS = 3
+
+
+def boilerplate_spans(docs: DataFrame, min_docs: int = BOILERPLATE_MIN_DOCS) -> DataFrame:
+    """Per-document boilerplate fraction: the share of a document's
+    shingles that occur in >= ``min_docs`` distinct documents — the
+    common-span signal behind header/footer/licence stripping in
+    pretraining pipelines.
+
+    Scale: one shingle scan, join-free. The shingle relation is distinct
+    per (doc, sh), so document frequency is ``count(*) over (partition by
+    sh)`` — the same shuffle a groupBy(sh) would cost, but without
+    recomputing the shingles for a back-join. The per-doc roll-up is the
+    only other exchange; text itself never shuffles.
+    """
+    sh = shingles(docs)
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    return (
+        sh.select("doc_id", (df_w >= min_docs).cast("int").alias("is_boiler"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("is_boiler").cast("bigint").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_boiler",
+            F.round(
+                (F.col("n_boiler") / F.col("n_shingles")).cast(
+                    "decimal(20,9)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("boiler_rate"),
+        )
+    )
+
+
+BOILERPLATE_SPANS_SQL = f"""
+WITH {SHINGLES_CTE.strip()},
+flagged AS (
+  SELECT doc_id,
+         CASE WHEN COUNT(*) OVER (PARTITION BY sh)
+                   >= {BOILERPLATE_MIN_DOCS} THEN 1 ELSE 0 END AS is_boiler
+  FROM shingles
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(is_boiler) AS BIGINT) AS n_boiler,
+       CAST(round(CAST(CAST(SUM(is_boiler) AS DOUBLE) / COUNT(*)
+                       AS DECIMAL(20,9)), 6) AS DOUBLE) AS boiler_rate
+FROM flagged
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus split
+# ---------------------------------------------------------------------------
+
+#: Knuth multiplicative hash (same constant as sources/synthetic.py) and the
+#: integer thresholds for a 90/5/5 train/val/test split of the 32-bit space
+SPLIT_MIX = 2654435761
+SPLIT_MOD = 2**32
+SPLIT_TRAIN_LT = 3865470566  # floor(0.90 * 2^32)
+SPLIT_VAL_LT = 4080218931  # floor(0.95 * 2^32)
+
+
+def corpus_split(docs: DataFrame) -> DataFrame:
+    """Deterministic train/val/test assignment + per-(split, source) corpus
+    stats — the reproducible alternative to ``randomSplit`` (whose output
+    depends on partitioning). The split key is a multiplicative hash of
+    doc_id, so the assignment is a pure projection: stable across runs,
+    engines, partitionings, and re-shards of the corpus.
+
+    Scale: projection + one bounded-key aggregate (3 splits x sources);
+    partial map-side combine collapses everything before the shuffle.
+    """
+    h = (F.col("doc_id") * SPLIT_MIX) % SPLIT_MOD
+    split = (
+        F.when(h < SPLIT_TRAIN_LT, "train")
+        .when(h < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "source",
+            token_count(F.col("text")).alias("n_tokens"),
+            "n_chars",
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+
+
+CORPUS_SPLIT_SQL = f"""
+SELECT CASE WHEN (doc_id * {SPLIT_MIX}) % {SPLIT_MOD} < {SPLIT_TRAIN_LT}
+            THEN 'train'
+            WHEN (doc_id * {SPLIT_MIX}) % {SPLIT_MOD} < {SPLIT_VAL_LT}
+            THEN 'val'
+            ELSE 'test' END AS split,
+       source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len({TOKENS_SQL.format(c='text')})) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# shingle novelty
+# ---------------------------------------------------------------------------
+
+def shingle_novelty(docs: DataFrame) -> DataFrame:
+    """Per-document novelty: the share of a document's shingles whose
+    FIRST occurrence (smallest doc_id) is this document — the
+    marginal-contribution signal used to rank near-the-fence documents
+    when trimming an already-deduplicated corpus.
+
+    Scale: one shingle scan, join-free — ``min(doc_id) over (partition by
+    sh)`` computes first occurrence in the same shuffle a groupBy(sh)
+    would cost, with no back-join; the per-doc roll-up is the only other
+    exchange.
+    """
+    sh = shingles(docs)
+    first = F.min("doc_id").over(Window.partitionBy("sh"))
+    return (
+        sh.select(
+            "doc_id", (first == F.col("doc_id")).cast("int").alias("novel")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("novel").cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                (F.col("n_novel") / F.col("n_shingles")).cast("decimal(20,9)"),
+                6,
+            )
+            .cast("double")
+            .alias("novelty_rate"),
+        )
+    )
+
+
+SHINGLE_NOVELTY_SQL = f"""
+WITH {SHINGLES_CTE.strip()},
+marked AS (
+  SELECT doc_id,
+         CASE WHEN MIN(doc_id) OVER (PARTITION BY sh) = doc_id
+              THEN 1 ELSE 0 END AS novel
+  FROM shingles
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(novel) AS BIGINT) AS n_novel,
+       CAST(round(CAST(CAST(SUM(novel) AS DOUBLE) / COUNT(*)
+                       AS DECIMAL(20,9)), 6) AS DOUBLE) AS novelty_rate
+FROM marked
+GROUP BY 1
+"""

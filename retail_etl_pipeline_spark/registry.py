@@ -3167,3 +3167,29 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose rn <= k filter pushes below the shuffle (WindowGroupLimit), so
     the exchange moves O(|Q|*k*tasks) rows, not |corpus|×|Q|."""
     return sim.ann_batch_topk(fx._read(spark, sf_dir, "embeddings"))
+
+
+@_register("boilerplate_spans", cp.BOILERPLATE_SPANS_SQL)
+def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate fraction — share of shingles occurring in
+    >= BOILERPLATE_MIN_DOCS distinct docs. One groupBy on the 60-bit
+    fingerprint; the boilerplate set back-joins as a broadcast semi-join
+    under AQE."""
+    return cp.boilerplate_spans(fx._read(spark, sf_dir, "documents"))
+
+
+@_register("corpus_split", cp.CORPUS_SPLIT_SQL)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split via multiplicative hash
+    of doc_id (stable across runs/engines/partitionings, unlike
+    randomSplit) + per-(split, source) doc/token/char stats — one
+    bounded-key aggregate."""
+    return cp.corpus_split(fx._read(spark, sf_dir, "documents"))
+
+
+@_register("shingle_novelty", cp.SHINGLE_NOVELTY_SQL)
+def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: share of shingles whose first occurrence
+    (min doc_id) is this document — marginal-contribution ranking for
+    corpus trimming. Two fingerprint-keyed aggregates + one equi-join."""
+    return cp.shingle_novelty(fx._read(spark, sf_dir, "documents"))
