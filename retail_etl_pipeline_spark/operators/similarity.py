@@ -542,3 +542,133 @@ WHERE vec_id != {query_id} AND cell = qcell
 ORDER BY cosine DESC, vec_id ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# label centroid similarity
+# ---------------------------------------------------------------------------
+
+def label_centroid_similarity(emb: DataFrame) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroid vectors — the
+    cluster-coherence check run on an embedded corpus (are my labels
+    actually separated?).
+
+    Cosine is scale-invariant, so the centroid MEAN never needs to be
+    materialized: the cosine of the per-label component SUMS is identical,
+    and sums (unlike double means) can be made exactly order-independent
+    by accumulating in DECIMAL — the per-component sum is bit-identical
+    on any partitioning and any engine. Components come back together as
+    an idx-sorted array, so the final pairwise fold is row-local
+    deterministic double math.
+
+    Scale: one explode + one (label × dim) aggregate — bounded key space,
+    partial map-side combine; the pairwise stage is |labels|² rows, a
+    constant. The explode moves (label, idx, x) triples, never whole
+    vectors, and at 100 TB the shuffle carries only |labels| × dim
+    partial sums per task.
+    """
+    comps = (
+        _vectors(emb)
+        .select("label", F.posexplode("v").alias("idx", "x"))
+        .groupBy("label", "idx")
+        .agg(
+            F.sum(F.col("x").cast("decimal(30,15)"))
+            .cast("double")
+            .alias("comp")
+        )
+    )
+    cents = comps.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "comp"))),
+            lambda s: s["comp"],
+        ).alias("v")
+    )
+    a = cents.select(F.col("label").alias("label_a"), F.col("v").alias("va"))
+    b = cents.select(F.col("label").alias("label_b"), F.col("v").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            _round6(cosine(F.col("va"), F.col("vb"))).alias("cosine"),
+        )
+    )
+
+
+LABEL_CENTROID_SQL = f"""
+WITH comp AS (
+  SELECT label,
+         i AS idx,
+         CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,15)))
+              AS DOUBLE) AS comp
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+  GROUP BY 1, 2
+),
+cent AS (
+  SELECT label, list(comp ORDER BY idx) AS v FROM comp GROUP BY 1
+)
+SELECT a.label AS label_a,
+       b.label AS label_b,
+       {_ROUND6_SQL.format(x=_COS_SQL.format(a='a.v', b='b.v'))} AS cosine
+FROM cent a JOIN cent b ON a.label < b.label
+"""
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+# ---------------------------------------------------------------------------
+
+def embedding_quantize(emb: DataFrame) -> DataFrame:
+    """Per-vector min-max int8 quantization — the 4x storage-compression
+    pass an embedding store runs before indexing. Emits the quantization
+    params and a checksum of the codes (their sum), which pins the full
+    code array cross-engine without shipping 64 ints per row through the
+    comparison.
+
+    Every operation is row-local double math (identical IEEE results in
+    any engine): ties in the rounding are resolved with floor(z + 0.5)
+    explicitly, because round() half-up vs half-even differs between
+    engines. Pure projection — no shuffle at any scale.
+    """
+    v = _as_double(F.col("embedding"))
+    mn, mx = F.array_min(v), F.array_max(v)
+    scale = (mx - mn) / F.lit(255.0)
+    code = lambda x: (  # noqa: E731
+        F.when(mx == mn, F.lit(0))
+        .otherwise(F.floor((x - mn) / scale + F.lit(0.5)))
+        .cast("bigint")
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        _round6(mn).alias("v_min"),
+        _round6(mx).alias("v_max"),
+        F.aggregate(
+            v, F.lit(0).cast("bigint"), lambda acc, x: acc + code(x)
+        ).alias("code_sum"),
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         label,
+         {_VEC_SQL.format(e='embedding')} AS v
+  FROM embeddings
+),
+mm AS (
+  SELECT vec_id, label, v,
+         list_aggregate(v, 'min') AS mn,
+         list_aggregate(v, 'max') AS mx
+  FROM e
+)
+SELECT vec_id,
+       label,
+       {_ROUND6_SQL.format(x='mn')} AS v_min,
+       {_ROUND6_SQL.format(x='mx')} AS v_max,
+       CAST(list_sum(list_transform(v, x ->
+         CASE WHEN mx = mn THEN 0
+              ELSE CAST(floor((x - mn) / ((mx - mn) / 255.0) + 0.5)
+                        AS BIGINT) END)) AS BIGINT) AS code_sum
+FROM mm
+"""

@@ -3193,3 +3193,22 @@ def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min doc_id) is this document — marginal-contribution ranking for
     corpus trimming. Two fingerprint-keyed aggregates + one equi-join."""
     return cp.shingle_novelty(fx._read(spark, sf_dir, "documents"))
+
+
+@_register("label_centroid_similarity", sim.LABEL_CENTROID_SQL)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label centroids (cluster coherence).
+    Cosine's scale-invariance lets the plan skip the mean: decimal-exact
+    component SUMS give the identical cosine with order-independent
+    accumulation. One bounded-key (label × dim) aggregate + a |labels|²
+    broadcast pairing."""
+    return sim.label_centroid_similarity(fx._read(spark, sf_dir, "embeddings"))
+
+
+@_register("embedding_quantize", sim.EMBEDDING_QUANTIZE_SQL)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector min-max int8 quantization with a cross-engine-exact
+    code checksum — pure row-local projection, no shuffle; explicit
+    floor(z+0.5) rounding because round() tie modes differ between
+    engines."""
+    return sim.embedding_quantize(fx._read(spark, sf_dir, "embeddings"))

@@ -347,3 +347,23 @@ def test_token_length_histogram_single_exchange(spark, sf_dir):
     exchange, partial combine below it."""
     plan = _physical(QUERIES["token_length_histogram"](spark, sf_dir))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+@pytest.mark.parametrize("name", ["boilerplate_spans", "shingle_novelty"])
+def test_shingle_stat_queries_are_join_free(spark, sf_dir, name):
+    """Document frequency / first occurrence ride windows over the shingle
+    partition — one shingle scan, no self-join, exactly three exchanges
+    (doc_id for the lead()-window shingle build, sh for the stat window,
+    doc_id for the roll-up; the shingle distinct piggybacks on the
+    doc_id partitioning, no exchange of its own)."""
+    plan = _physical(QUERIES[name](spark, sf_dir))
+    assert "Join" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3, plan
+
+
+def test_corpus_split_single_bounded_aggregate(spark, sf_dir):
+    """Split assignment is a projection; the stats are one two-phase
+    aggregate — a single exchange, no join, no window."""
+    plan = _physical(QUERIES["corpus_split"](spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
