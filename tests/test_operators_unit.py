@@ -279,3 +279,114 @@ def test_sample_frames_fanout_and_stride(spark):
     assert [r["frame_idx"] for r in rows] == [0, 2]
     assert len(bytes(rows[0]["frame"])) == FRAME_BYTES
     assert len(bytes(rows[1]["frame"])) == 10
+
+
+def test_corpus_split_is_exhaustive_and_deterministic(spark):
+    """Every doc lands in exactly one split; re-running (and re-partitioning)
+    gives the identical assignment — the property randomSplit lacks."""
+    from retail_etl_pipeline_spark.operators.corpus import corpus_split
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 5, "l", f"s{i % 3}", 20) for i in range(100)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out1 = corpus_split(docs)
+    out2 = corpus_split(docs.repartition(7))
+    assert out1.selectExpr("sum(n_docs)").first()[0] == 100
+    assert sorted(map(tuple, out1.collect())) == sorted(
+        map(tuple, out2.collect())
+    )
+    splits = {r["split"] for r in out1.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+
+
+def test_boilerplate_and_novelty_on_known_corpus(spark):
+    """Hand-checkable corpus: doc 0/1/2 share one 3-gram ('a b c'), doc 3
+    is disjoint. With min_docs=3 the shared gram is boilerplate for its
+    three holders; novelty credits the smallest doc_id."""
+    from retail_etl_pipeline_spark.operators.corpus import (
+        boilerplate_spans,
+        shingle_novelty,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c x0 y0"),
+            (1, "a b c x1 y1"),
+            (2, "a b c x2 y2"),
+            (3, "p q r s t"),
+        ],
+        "doc_id long, text string",
+    )
+    boiler = {
+        r["doc_id"]: (r["n_shingles"], r["n_boiler"])
+        for r in boilerplate_spans(docs, min_docs=3).collect()
+    }
+    # each 5-token doc has 3 shingles; only 'a b c' is shared by >= 3 docs
+    assert boiler == {0: (3, 1), 1: (3, 1), 2: (3, 1), 3: (3, 0)}
+    nov = {
+        r["doc_id"]: r["n_novel"]
+        for r in shingle_novelty(docs).collect()
+    }
+    # doc 0 owns all its shingles first; docs 1/2 lose 'a b c' to doc 0
+    assert nov == {0: 3, 1: 2, 2: 2, 3: 3}
+
+
+def test_short_documents_produce_no_shingles(spark):
+    """Docs with fewer than SHINGLE_N tokens vanish from shingle-derived
+    stats on both engines (no divide-by-zero, no phantom rows)."""
+    from retail_etl_pipeline_spark.operators.corpus import (
+        boilerplate_spans,
+        shingle_novelty,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "one two"), (1, "a b c d")], "doc_id long, text string"
+    )
+    assert [r["doc_id"] for r in boilerplate_spans(docs).collect()] == [1]
+    assert [r["doc_id"] for r in shingle_novelty(docs).collect()] == [1]
+
+
+def test_embedding_quantize_known_codes_and_constant_vector(spark):
+    """Exact codes for a hand-computed vector; constant vectors quantize
+    to all-zero codes instead of dividing by zero."""
+    from retail_etl_pipeline_spark.operators.similarity import (
+        embedding_quantize,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 1.0, 2.0], 0),  # scale=2/255; codes 0,128,255
+            (1, [3.0, 3.0, 3.0], 1),  # constant -> codes 0,0,0
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r["vec_id"]: r for r in embedding_quantize(emb).collect()}
+    # (1.0 - 0.0) / (2/255) = 127.5 -> floor(128.0) = 128
+    assert rows[0]["code_sum"] == 0 + 128 + 255
+    assert rows[0]["v_min"] == 0.0 and rows[0]["v_max"] == 2.0
+    assert rows[1]["code_sum"] == 0
+
+
+def test_label_centroid_similarity_orthogonal_and_identical(spark):
+    """Two labels on the same axis -> cosine 1; orthogonal axes -> 0."""
+    from retail_etl_pipeline_spark.operators.similarity import (
+        label_centroid_similarity,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [2.0, 0.0], 0),
+            (2, [3.0, 0.0], 1),  # same axis as label 0
+            (3, [0.0, 5.0], 2),  # orthogonal
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        (r["label_a"], r["label_b"]): r["cosine"]
+        for r in label_centroid_similarity(emb).collect()
+    }
+    assert out[(0, 1)] == 1.0
+    assert out[(0, 2)] == 0.0
+    assert out[(1, 2)] == 0.0
