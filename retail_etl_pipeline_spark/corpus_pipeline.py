@@ -1,0 +1,123 @@
+"""End-to-end corpus-preparation pipeline: the LLM-data twin of the
+retail ``run_pipeline`` (SURVEY.md §2.8 / §2.10).
+
+One pass over the raw documents computes every per-doc decision as a
+column — duplicate-of (window over the content fingerprint), quality
+flags (pure projections), split assignment (multiplicative hash) — and
+the single partitioned write publishes BOTH streams: kept docs under
+``split=train|val|test`` and rejects under ``split=rejected`` with a
+``reason`` column for audit (the quarantine pattern; silently dropping
+rows loses the provenance a data-governed pipeline must keep).
+
+Data-quality counters ride the write via ``observe()`` — no validation
+re-scan (at 100 TB a second pass over the corpus is the cost of the
+whole job again).
+
+Scale notes:
+- The only shuffle before the write is the fingerprint window (same
+  exchange a dedup groupBy would cost); everything else is projection.
+- The write itself is partitioned by split with dynamic partition
+  overwrite — re-running a day is idempotent and touches only the
+  partitions it produces.
+- ``repartition(split)`` is deliberately NOT done: four giant reducers
+  would bottleneck the write; letting tasks write into all four
+  partitions keeps write parallelism at the task count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.corpus import split_assignment
+from .operators.text import fingerprint64, tokens
+
+#: quality gates (documents below/above are quarantined)
+MIN_TOKENS = 5
+MAX_TOKENS = 100_000
+#: minimum distinct-token ratio (degenerate repetition gate)
+MIN_UNIQ_RATIO = 0.2
+
+
+def prepare_corpus(docs: DataFrame) -> DataFrame:
+    """Annotate every document with its pipeline decision.
+
+    Adds: ``fingerprint``, ``n_tokens``, ``reason`` (null = kept) and
+    ``split`` (train/val/test, or 'rejected' when reason is set). The
+    duplicate keeper is the smallest doc_id per fingerprint —
+    deterministic under any partitioning, unlike ``dropDuplicates``.
+    """
+    t = tokens(F.col("text"))
+    norm = F.concat_ws(" ", t)
+    staged = docs.select(
+        "*",
+        fingerprint64(norm).alias("fingerprint"),
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("n_uniq"),
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    reason = (
+        F.when(F.col("doc_id") != keeper, "duplicate")
+        .when(F.col("n_tokens") < MIN_TOKENS, "too_short")
+        .when(F.col("n_tokens") > MAX_TOKENS, "too_long")
+        .when(
+            F.col("n_uniq") / F.col("n_tokens") < MIN_UNIQ_RATIO,
+            "repetitive",
+        )
+    )
+    return staged.select(
+        "*",
+        reason.alias("reason"),
+    ).withColumn(
+        "split",
+        F.when(F.col("reason").isNotNull(), F.lit("rejected")).otherwise(
+            split_assignment()
+        ),
+    )
+
+
+@dataclass
+class CorpusPipelineResult:
+    output_path: str
+    #: counters observed during the write: n_docs, n_rejected,
+    #: n_duplicates, n_low_quality, n_kept_tokens
+    metrics: dict
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    output_path: str,
+    register_as: str | None = "corpus",
+) -> CorpusPipelineResult:
+    """Prepare + publish: one scan, one partitioned write, audit stream
+    included, DQ counters observed on the write job itself."""
+    staged = prepare_corpus(docs)
+    obs = Observation("corpus_dq")
+    staged = staged.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("split") == "rejected").cast("long")).alias(
+            "n_rejected"
+        ),
+        F.sum((F.col("reason") == "duplicate").cast("long")).alias(
+            "n_duplicates"
+        ),
+        F.sum(F.col("reason").isin("too_short", "too_long", "repetitive").cast("long")).alias(
+            "n_low_quality"
+        ),
+        F.sum(
+            F.when(F.col("reason").isNull(), F.col("n_tokens")).otherwise(0)
+        ).alias("n_kept_tokens"),
+    )
+    (
+        staged.write.partitionBy("split")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(output_path)
+    )
+    if register_as is not None:
+        spark.read.parquet(output_path).createOrReplaceTempView(register_as)
+    return CorpusPipelineResult(output_path=output_path, metrics=dict(obs.get))

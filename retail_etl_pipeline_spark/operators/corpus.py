@@ -377,6 +377,17 @@ SPLIT_TRAIN_LT = 3865470566  # floor(0.90 * 2^32)
 SPLIT_VAL_LT = 4080218931  # floor(0.95 * 2^32)
 
 
+def split_assignment(doc_id: str = "doc_id"):
+    """train/val/test column from the multiplicative hash of ``doc_id`` —
+    a pure projection, identical on any engine/partitioning."""
+    h = (F.col(doc_id) * SPLIT_MIX) % SPLIT_MOD
+    return (
+        F.when(h < SPLIT_TRAIN_LT, "train")
+        .when(h < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+    )
+
+
 def corpus_split(docs: DataFrame) -> DataFrame:
     """Deterministic train/val/test assignment + per-(split, source) corpus
     stats — the reproducible alternative to ``randomSplit`` (whose output
@@ -387,15 +398,9 @@ def corpus_split(docs: DataFrame) -> DataFrame:
     Scale: projection + one bounded-key aggregate (3 splits x sources);
     partial map-side combine collapses everything before the shuffle.
     """
-    h = (F.col("doc_id") * SPLIT_MIX) % SPLIT_MOD
-    split = (
-        F.when(h < SPLIT_TRAIN_LT, "train")
-        .when(h < SPLIT_VAL_LT, "val")
-        .otherwise("test")
-    )
     return (
         docs.select(
-            split.alias("split"),
+            split_assignment().alias("split"),
             "source",
             token_count(F.col("text")).alias("n_tokens"),
             "n_chars",

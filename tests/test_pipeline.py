@@ -159,3 +159,46 @@ def test_pipeline_observed_metrics(spark, retail_csvs):
     assert res.metrics["rows_written"] == res.output_rows
     assert res.metrics["null_grain_rows"] == 0
     assert res.metrics["negative_sales_rows"] == 0
+
+
+def test_corpus_pipeline_end_to_end(spark, tmp_path):
+    """Quarantine-pattern corpus pipeline: dedup + quality gates + split in
+    one pass, rejects published with reasons, DQ counters observed on the
+    write, idempotent re-run."""
+    from retail_etl_pipeline_spark.corpus_pipeline import run_corpus_pipeline
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over dog", "en", "s0", 34),
+            (1, "the quick brown fox jumps over dog", "en", "s0", 34),  # dup
+            (2, "one two", "en", "s1", 7),  # too short
+            (3, "spam spam spam spam spam spam spam spam spam spam eggs", "en", "s1", 54),  # repetitive (2/11 distinct)
+            (4, "a perfectly reasonable document with many distinct words", "en", "s2", 57),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "corpus")
+    res = run_corpus_pipeline(spark, docs, out, register_as="corpus_t")
+
+    m = res.metrics
+    assert m["n_docs"] == 5
+    assert m["n_duplicates"] == 1
+    assert m["n_low_quality"] == 2
+    assert m["n_rejected"] == 3
+
+    published = spark.read.parquet(out)
+    rej = {
+        r["doc_id"]: r["reason"]
+        for r in published.where("split = 'rejected'").collect()
+    }
+    assert rej == {1: "duplicate", 2: "too_short", 3: "repetitive"}
+    kept = published.where("split != 'rejected'")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 4]
+    assert set(r["split"] for r in kept.collect()) <= {"train", "val", "test"}
+    # the catalog registration is queryable
+    assert spark.sql("SELECT count(*) FROM corpus_t").first()[0] == 5
+
+    # idempotent re-run: same partitions rewritten, same results
+    res2 = run_corpus_pipeline(spark, docs, out, register_as=None)
+    assert res2.metrics == m
+    assert spark.read.parquet(out).count() == 5
