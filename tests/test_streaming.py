@@ -431,3 +431,48 @@ def test_stream_dedup_within_watermark(spark):
         assert got.select("event_id").distinct().count() == 500
     finally:
         q.stop()
+
+
+def test_transform_with_state_totals_match_batch(spark, sf_dir):
+    """The modern-API (transformWithStateInPandas + RocksDB store) totals
+    agree with the batch groupBy — same contract the applyInPandasWithState
+    form is held to above. Requires protobuf (the state-server protocol);
+    skipped where pyspark's optional streaming extra isn't installed."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state server needs protobuf",
+    )
+    from retail_etl_pipeline_spark.streaming import stateful_v2 as sv2
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", sv2.ROCKSDB_PROVIDER
+    )
+    try:
+        events = st.stream_events(spark, sf_dir)
+        q = st.run_available_now(
+            sv2.stateful_user_totals_v2(events),
+            "user_totals_v2",
+            output_mode="update",
+        )
+        try:
+            got = spark.table("user_totals_v2")
+            expected = (
+                fx.events_stream(spark, sf_dir)
+                .groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("exp_n"))
+            )
+            joined = got.join(expected, "user_id")
+            assert joined.where(F.col("n_events") != F.col("exp_n")).count() == 0
+            assert got.count() == expected.count()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
