@@ -67,9 +67,15 @@ def test_weekly_summary_is_single_aggregate(spark, sf_dir):
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     """No operator may compile to a cartesian product; near-dup/similarity
     pairs must ride equi-joins (shingle/band/bucket) or broadcast blocks."""
-    for name, fn in QUERIES.items():
-        plan = _physical(fn(spark, sf_dir))
-        assert "CartesianProduct" not in plan, name
+    try:
+        for name, fn in QUERIES.items():
+            plan = _physical(fn(spark, sf_dir))
+            assert "CartesianProduct" not in plan, name
+    finally:
+        # several dedup queries persist shared relations while building;
+        # leftover cache entries substitute InMemoryRelation into other
+        # tests' plans and change their shape
+        spark.catalog.clearCache()
 
 
 def test_window_merged_summary_plan_shape(spark, sf_dir):
@@ -355,7 +361,10 @@ def test_shingle_stat_queries_are_join_free(spark, sf_dir, name):
     partition — one shingle scan, no self-join, exactly three exchanges
     (doc_id for the lead()-window shingle build, sh for the stat window,
     doc_id for the roll-up; the shingle distinct piggybacks on the
-    doc_id partitioning, no exchange of its own)."""
+    doc_id partitioning, no exchange of its own). Cache is cleared first:
+    a persisted shingle relation from a dedup query would be substituted
+    into this plan and add its cached subtree's exchanges."""
+    spark.catalog.clearCache()
     plan = _physical(QUERIES[name](spark, sf_dir))
     assert "Join" not in plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3, plan
