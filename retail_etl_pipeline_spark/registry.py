@@ -3212,3 +3212,38 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(z+0.5) rounding because round() tie modes differ between
     engines."""
     return sim.embedding_quantize(fx._read(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "customer_nation_salted",
+    f"""
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {_m("SUM(CAST(c.c_acctbal AS DECIMAL(30,6)))")} AS total_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def customer_nation_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant dim join through functions.skew.salted_broadcast_left:
+    the big side is salted 16 ways and the dim replicated across salts, so
+    a hot nation key spreads over 16 tasks instead of one. Salting is
+    result-neutral (same rows, different placement) — the oracle is the
+    plain join. At 100 TB this is the manual fallback when AQE's skew-join
+    splitting can't apply (e.g. the skewed side feeds an aggregation in
+    the same stage)."""
+    from .functions.skew import salted_broadcast_left
+
+    c = fx._read(spark, sf_dir, "customer").withColumnRenamed(
+        "c_nationkey", "nk"
+    )
+    n = fx._read(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "nk"
+    )
+    joined = salted_broadcast_left(c, n, "nk")
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        money(F.sum(F.col("c_acctbal").cast("decimal(30,6)"))).alias(
+            "total_acctbal"
+        ),
+    )
