@@ -379,8 +379,13 @@ SPLIT_VAL_LT = 4080218931  # floor(0.95 * 2^32)
 
 def split_assignment(doc_id: str = "doc_id"):
     """train/val/test column from the multiplicative hash of ``doc_id`` —
-    a pure projection, identical on any engine/partitioning."""
-    h = (F.col(doc_id) * SPLIT_MIX) % SPLIT_MOD
+    a pure projection, identical on any engine/partitioning.
+
+    The product is taken in DECIMAL(38,0): a corpus-scale doc_id
+    (>= ~3.5e9) times the 32-bit Knuth constant overflows BIGINT, which
+    ANSI mode (Spark 4 default) turns into a runtime error — found by the
+    hypothesis property test, invisible at fixture scale."""
+    h = (F.col(doc_id).cast("decimal(38,0)") * SPLIT_MIX) % SPLIT_MOD
     return (
         F.when(h < SPLIT_TRAIN_LT, "train")
         .when(h < SPLIT_VAL_LT, "val")
@@ -415,9 +420,11 @@ def corpus_split(docs: DataFrame) -> DataFrame:
 
 
 CORPUS_SPLIT_SQL = f"""
-SELECT CASE WHEN (doc_id * {SPLIT_MIX}) % {SPLIT_MOD} < {SPLIT_TRAIN_LT}
+SELECT CASE WHEN (CAST(doc_id AS HUGEINT) * {SPLIT_MIX}) % {SPLIT_MOD}
+                 < {SPLIT_TRAIN_LT}
             THEN 'train'
-            WHEN (doc_id * {SPLIT_MIX}) % {SPLIT_MOD} < {SPLIT_VAL_LT}
+            WHEN (CAST(doc_id AS HUGEINT) * {SPLIT_MIX}) % {SPLIT_MOD}
+                 < {SPLIT_VAL_LT}
             THEN 'val'
             ELSE 'test' END AS split,
        source,

@@ -146,3 +146,83 @@ def test_running_total_ends_at_group_sum(spark, sf_dir):
         .alias("total"),
     )
     assert final.where(F.col("last_cum") != F.col("total")).count() == 0
+
+
+_vec = st.lists(
+    st.floats(
+        min_value=-100.0,
+        max_value=100.0,
+        allow_nan=False,
+        allow_infinity=False,
+        width=32,
+    ),
+    min_size=2,
+    max_size=8,
+)
+_vecs = st.lists(_vec, min_size=1, max_size=6)
+
+
+@given(vecs=_vecs)
+@_settings
+def test_quantize_codes_bounded_and_reconstruction_error(spark, vecs):
+    """int8 codes stay in [0, 255] and dequantized values land within half
+    a quantization step of the original — the contract that makes the op
+    a usable storage path, for ANY input vector."""
+    from retail_etl_pipeline_spark.operators.similarity import (
+        _as_double,
+        embedding_quantize,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    mn, mx = F.array_min("v"), F.array_max("v")
+    scale = (mx - mn) / F.lit(255.0)
+    code = (
+        F.when(mx == mn, F.lit(0.0))
+        .otherwise(F.floor((F.col("x") - mn) / scale + F.lit(0.5)))
+    )
+    per_elem = (
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .select("vec_id", "v", F.explode("v").alias("x"))
+        .select(
+            "vec_id",
+            code.alias("q"),
+            # dequantize and compare (constant vectors reconstruct to mn)
+            (F.abs(mn + code * scale - F.col("x"))
+             / F.when(scale == 0, F.lit(1.0)).otherwise(scale)).alias("err_steps"),
+        )
+    )
+    rows = per_elem.collect()
+    assert all(0 <= r["q"] <= 255 for r in rows)
+    assert all(r["err_steps"] <= 0.5 + 1e-9 for r in rows)
+    # the registered checksum equals the sum of the per-element codes
+    got = {
+        r["vec_id"]: r["code_sum"] for r in embedding_quantize(emb).collect()
+    }
+    expect: dict[int, int] = {}
+    for r in rows:
+        expect[r["vec_id"]] = expect.get(r["vec_id"], 0) + int(r["q"])
+    assert got == expect
+
+
+@given(ids=st.sets(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=60))
+@_settings
+def test_corpus_split_partition_of_ids(spark, ids):
+    """Split assignment is a total function of doc_id: every id gets
+    exactly one of train/val/test, independent of the rest of the data."""
+    from retail_etl_pipeline_spark.operators.corpus import split_assignment
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = df.select("doc_id", split_assignment().alias("split")).collect()
+    assert len(out) == len(ids)
+    assert all(r["split"] in ("train", "val", "test") for r in out)
+    again = {
+        r["doc_id"]: r["split"]
+        for r in df.select(
+            "doc_id", split_assignment().alias("split")
+        ).collect()
+    }
+    assert {r["doc_id"]: r["split"] for r in out} == again
