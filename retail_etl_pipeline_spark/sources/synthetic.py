@@ -45,7 +45,8 @@ synthetic AS (
   SELECT i AS event_id,
          i % 50 AS user_id,
          CASE WHEN i % 2 = 0 THEN 'even' ELSE 'odd' END AS kind,
-         CAST(((i * 2654435761) % 4294967296) % 10000 AS DOUBLE) / 100.0
+         CAST(((CAST(i AS HUGEINT) * 2654435761) % 4294967296) % 10000
+              AS DOUBLE) / 100.0
            AS value
   FROM generate_series(0, {last}) t(i)
 )"""
