@@ -63,7 +63,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     seen = _last_checked_round()
     registry_pos = {name: i for i, name in enumerate(QUERIES)}
-    names = sorted(QUERIES, key=lambda n: (seen.get(n, -1), registry_pos[n]))
+    # never-checked first; within a tie, NEWEST registry entries first so
+    # each round's additions land inside the driver's bounded window the
+    # same round they ship
+    names = sorted(
+        QUERIES, key=lambda n: (seen.get(n, -1), -registry_pos[n])
+    )
     return {name: QUERIES[name] for name in names}
 
 

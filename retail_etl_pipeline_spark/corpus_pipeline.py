@@ -99,15 +99,20 @@ def run_corpus_pipeline(
     staged = staged.observe(
         obs,
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum((F.col("split") == "rejected").cast("long")).alias(
-            "n_rejected"
-        ),
-        F.sum((F.col("reason") == "duplicate").cast("long")).alias(
-            "n_duplicates"
-        ),
-        F.sum(F.col("reason").isin("too_short", "too_long", "repetitive").cast("long")).alias(
-            "n_low_quality"
-        ),
+        # when/otherwise, not bare comparisons: (NULL = x) is NULL, and a
+        # sum over all-NULL (e.g. zero rejects) would report NULL, not 0
+        F.sum(
+            F.when(F.col("split") == "rejected", 1).otherwise(0)
+        ).alias("n_rejected"),
+        F.sum(
+            F.when(F.col("reason") == "duplicate", 1).otherwise(0)
+        ).alias("n_duplicates"),
+        F.sum(
+            F.when(
+                F.col("reason").isin("too_short", "too_long", "repetitive"),
+                1,
+            ).otherwise(0)
+        ).alias("n_low_quality"),
         F.sum(
             F.when(F.col("reason").isNull(), F.col("n_tokens")).otherwise(0)
         ).alias("n_kept_tokens"),

@@ -202,3 +202,23 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     res2 = run_corpus_pipeline(spark, docs, out, register_as=None)
     assert res2.metrics == m
     assert spark.read.parquet(out).count() == 5
+
+
+def test_corpus_pipeline_on_fixture_documents(spark, sf_dir, tmp_path):
+    """The pipeline over the real documents fixture: metrics are
+    internally consistent and every published row carries a split."""
+    from retail_etl_pipeline_spark.corpus_pipeline import run_corpus_pipeline
+    from retail_etl_pipeline_spark.operators import fixtures_adapter as fx
+
+    docs = fx._read(spark, sf_dir, "documents")
+    out = str(tmp_path / "corpus_fx")
+    res = run_corpus_pipeline(spark, docs, out, register_as=None)
+    m = res.metrics
+    assert m["n_docs"] == docs.count()
+    assert m["n_rejected"] == m["n_duplicates"] + m["n_low_quality"]
+    published = spark.read.parquet(out)
+    assert published.count() == m["n_docs"]
+    assert published.where("split IS NULL").count() == 0
+    kept = published.where("split != 'rejected'")
+    assert kept.count() == m["n_docs"] - m["n_rejected"]
+    assert kept.selectExpr("sum(n_tokens)").first()[0] == m["n_kept_tokens"]
