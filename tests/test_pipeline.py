@@ -222,3 +222,21 @@ def test_corpus_pipeline_on_fixture_documents(spark, sf_dir, tmp_path):
     kept = published.where("split != 'rejected'")
     assert kept.count() == m["n_docs"] - m["n_rejected"]
     assert kept.selectExpr("sum(n_tokens)").first()[0] == m["n_kept_tokens"]
+
+
+def test_corpus_output_is_partition_pruned(spark, sf_dir, tmp_path):
+    """Consumption contract: reading one split from the published corpus
+    must scan only that split's partition (PartitionFilters at the scan),
+    so downstream training jobs never pay for the quarantine stream."""
+    from retail_etl_pipeline_spark.corpus_pipeline import run_corpus_pipeline
+    from retail_etl_pipeline_spark.operators import fixtures_adapter as fx
+
+    out = str(tmp_path / "corpus_prune")
+    run_corpus_pipeline(
+        spark, fx._read(spark, sf_dir, "documents"), out, register_as=None
+    )
+    train = spark.read.parquet(out).where("split = 'train'")
+    plan = train._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(split" in plan.replace(
+        "PartitionFilters: [ isnotnull(split", "PartitionFilters: [isnotnull(split"
+    ), plan
