@@ -3247,3 +3247,58 @@ def customer_nation_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_acctbal"
         ),
     )
+
+
+@_register(
+    "document_vector_profile",
+    f"""
+WITH e AS (
+  SELECT vec_id,
+         label,
+         sqrt(list_dot_product({{v}}, {{v}})) AS norm
+  FROM embeddings
+)
+SELECT d.lang,
+       e.label,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(round(CAST(SUM(CAST(norm AS DECIMAL(30,15)))
+                       / COUNT(*) AS DECIMAL(20,9)), 6) AS DOUBLE)
+         AS avg_norm,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+FROM documents d JOIN e ON d.doc_id = e.vec_id
+GROUP BY 1, 2
+""".format(v="list_transform(embedding, x -> CAST(x AS DOUBLE))"),
+)
+def document_vector_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: documents ⋈ embeddings on doc_id = vec_id, rolled
+    up per (lang, label) with a decimal-exact average vector norm. The
+    norm is row-local double math (deterministic fold); only the exact
+    DECIMAL sum crosses rows, so the result is partition-order-independent.
+    At scale this is a co-partitionable equi-join on the shared id — the
+    canonical text-table-meets-vector-table shape; both sides bucket by
+    the same key in a real deployment, making it shuffle-free."""
+    from .operators.similarity import _vectors, dot
+
+    d = fx._read(spark, sf_dir, "documents")
+    e = _vectors(fx._read(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("norm"),
+    )
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                (
+                    F.sum(F.col("norm").cast("decimal(30,15)"))
+                    / F.count(F.lit(1))
+                ).cast("decimal(20,9)"),
+                6,
+            )
+            .cast("double")
+            .alias("avg_norm"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
