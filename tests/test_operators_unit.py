@@ -390,3 +390,23 @@ def test_label_centroid_similarity_orthogonal_and_identical(spark):
     assert out[(0, 1)] == 1.0
     assert out[(0, 2)] == 0.0
     assert out[(1, 2)] == 0.0
+
+
+def test_event_ts_micros_handles_both_fixture_vintages(spark):
+    """events.ts arrives as nano-epoch BIGINT from older generators and as
+    TIMESTAMP(MICROS) from newer ones; both must normalize to the same UTC
+    instant (the 2^53 overflow makes float division corrupt the bigint
+    path — integer division only)."""
+    from retail_etl_pipeline_spark.operators.fixtures_adapter import (
+        event_ts_micros,
+    )
+
+    ns = 1_700_000_000_123_456_789  # 2023-11-14T22:13:20.123456789Z
+    old = spark.createDataFrame([(ns,)], "ts long")
+    new = spark.createDataFrame(
+        [("2023-11-14 22:13:20.123456",)], "ts string"
+    ).selectExpr("CAST(ts AS TIMESTAMP_NTZ) AS ts")
+    got_old = old.select(event_ts_micros(old).alias("t")).first()["t"]
+    got_new = new.select(event_ts_micros(new).alias("t")).first()["t"]
+    assert got_old == got_new
+    assert got_old.microsecond == 123456
