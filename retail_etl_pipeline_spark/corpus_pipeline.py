@@ -2,9 +2,10 @@
 retail ``run_pipeline`` (SURVEY.md §2.8 / §2.10).
 
 One pass over the raw documents computes every per-doc decision as a
-column — duplicate-of (window over the content fingerprint), quality
-flags (pure projections), split assignment (multiplicative hash) — and
-the single partitioned write publishes BOTH streams: kept docs under
+column — duplicate-of (fingerprint groupBy + skew-splittable equi-join),
+quality flags (pure projections), split assignment (multiplicative
+hash) — and the single partitioned write publishes BOTH streams: kept
+docs under
 ``split=train|val|test`` and rejects under ``split=rejected`` with a
 ``reason`` column for audit (the quarantine pattern; silently dropping
 rows loses the provenance a data-governed pipeline must keep).
@@ -14,8 +15,10 @@ re-scan (at 100 TB a second pass over the corpus is the cost of the
 whole job again).
 
 Scale notes:
-- The only shuffle before the write is the fingerprint window (same
-  exchange a dedup groupBy would cost); everything else is projection.
+- The pre-write shuffles are the fingerprint groupBy (map-side combined
+  to (fingerprint, min) pairs) and the keeper equi-join, which AQE can
+  skew-split when one document is duplicated millions of times;
+  everything else is projection.
 - The write itself is partitioned by split with dynamic partition
   overwrite — re-running a day is idempotent and touches only the
   partitions it produces.
@@ -28,7 +31,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Observation, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.corpus import split_assignment
@@ -57,9 +60,19 @@ def prepare_corpus(docs: DataFrame) -> DataFrame:
         F.size(t).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(t)).cast("bigint").alias("n_uniq"),
     )
-    keeper = F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    # Keeper via groupBy + equi-join, NOT a window over fingerprint: a
+    # mass-duplicated document (the exact case dedup exists for) makes the
+    # fingerprint a hot key, and a window partition cannot be split — one
+    # task would receive every copy with its full text. The groupBy
+    # partial-aggregates map-side to (fingerprint, min) pairs, and AQE's
+    # skew-join splitting can divide the hot fingerprint's probe rows
+    # across tasks at the join.
+    keepers = staged.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("_keeper_doc_id")
+    )
+    staged = staged.join(keepers, "fingerprint")
     reason = (
-        F.when(F.col("doc_id") != keeper, "duplicate")
+        F.when(F.col("doc_id") != F.col("_keeper_doc_id"), "duplicate")
         .when(F.col("n_tokens") < MIN_TOKENS, "too_short")
         .when(F.col("n_tokens") > MAX_TOKENS, "too_long")
         .when(
@@ -67,14 +80,18 @@ def prepare_corpus(docs: DataFrame) -> DataFrame:
             "repetitive",
         )
     )
-    return staged.select(
-        "*",
-        reason.alias("reason"),
-    ).withColumn(
-        "split",
-        F.when(F.col("reason").isNotNull(), F.lit("rejected")).otherwise(
-            split_assignment()
-        ),
+    return (
+        staged.select(
+            "*",
+            reason.alias("reason"),
+        )
+        .withColumn(
+            "split",
+            F.when(F.col("reason").isNotNull(), F.lit("rejected")).otherwise(
+                split_assignment()
+            ),
+        )
+        .drop("_keeper_doc_id")
     )
 
 

@@ -3172,9 +3172,10 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("boilerplate_spans", cp.BOILERPLATE_SPANS_SQL)
 def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document boilerplate fraction — share of shingles occurring in
-    >= BOILERPLATE_MIN_DOCS distinct docs. One groupBy on the 60-bit
-    fingerprint; the boilerplate set back-joins as a broadcast semi-join
-    under AQE."""
+    >= BOILERPLATE_MIN_DOCS distinct docs. Join-free: document frequency
+    is a count window over the shingle partition (same shuffle a
+    groupBy(sh) would cost, no shingle recomputation), then one per-doc
+    roll-up; plan-locked to three exchanges."""
     return cp.boilerplate_spans(fx._read(spark, sf_dir, "documents"))
 
 
@@ -3191,7 +3192,9 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty: share of shingles whose first occurrence
     (min doc_id) is this document — marginal-contribution ranking for
-    corpus trimming. Two fingerprint-keyed aggregates + one equi-join."""
+    corpus trimming. Join-free: min(doc_id) as a window over the shingle
+    partition, then one per-doc roll-up; plan-locked to three
+    exchanges."""
     return cp.shingle_novelty(fx._read(spark, sf_dir, "documents"))
 
 
@@ -3219,7 +3222,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 SELECT n.n_name,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
-       {_m("SUM(CAST(c.c_acctbal AS DECIMAL(30,6)))")} AS total_acctbal
+       {_ms("c.c_acctbal")} AS total_acctbal
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
 """,
@@ -3243,9 +3246,7 @@ def customer_nation_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_broadcast_left(c, n, "nk")
     return joined.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        money(F.sum(F.col("c_acctbal").cast("decimal(30,6)"))).alias(
-            "total_acctbal"
-        ),
+        money_sum(F.col("c_acctbal")).alias("total_acctbal"),
     )
 
 

@@ -332,9 +332,12 @@ def test_word_repetition_never_shuffles_text(spark, sf_dir):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
     # partial agg before the shuffle: two HashAggregates around exchange 1
     assert plan.count("HashAggregate") >= 2
-    # the `text` column is consumed by the explode projection pre-shuffle
-    for exch in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
-        assert "text" not in exch
+    # the `text` column is consumed by the explode projection pre-shuffle;
+    # scan the whole Exchange line — a paren-bounded capture would stop at
+    # the first ')' inside a nested expression and miss later columns
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
 
 
 def test_ann_batch_topk_group_limit_below_shuffle(spark, sf_dir):

@@ -462,10 +462,21 @@ def test_transform_with_state_totals_match_batch(spark, sf_dir):
             expected = (
                 fx.events_stream(spark, sf_dir)
                 .groupBy("user_id")
-                .agg(F.count(F.lit(1)).alias("exp_n"))
+                .agg(
+                    F.count(F.lit(1)).alias("exp_n"),
+                    F.sum("value").alias("exp_total"),
+                )
             )
             joined = got.join(expected, "user_id")
             assert joined.where(F.col("n_events") != F.col("exp_n")).count() == 0
+            # double accumulation order differs between the processor and
+            # the batch agg — compare within float tolerance
+            assert (
+                joined.where(
+                    F.abs(F.col("total_value") - F.col("exp_total")) > 1e-6
+                ).count()
+                == 0
+            )
             assert got.count() == expected.count()
         finally:
             q.stop()
