@@ -52,6 +52,13 @@ def prepare_corpus(docs: DataFrame) -> DataFrame:
     duplicate keeper is the smallest doc_id per fingerprint —
     deterministic under any partitioning, unlike ``dropDuplicates``.
     """
+    required = {"doc_id", "text"}
+    missing = required - set(docs.columns)
+    if missing:
+        raise ValueError(
+            f"prepare_corpus needs columns {sorted(required)}; "
+            f"input is missing {sorted(missing)}"
+        )
     t = tokens(F.col("text"))
     norm = F.concat_ws(" ", t)
     staged = docs.select(

@@ -240,3 +240,13 @@ def test_corpus_output_is_partition_pruned(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(split" in plan.replace(
         "PartitionFilters: [ isnotnull(split", "PartitionFilters: [isnotnull(split"
     ), plan
+
+
+def test_corpus_pipeline_rejects_malformed_input(spark):
+    """A frame without the contract columns fails fast with a clear
+    message, not deep inside an analysis error."""
+    from retail_etl_pipeline_spark.corpus_pipeline import prepare_corpus
+
+    bad = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="missing.*doc_id"):
+        prepare_corpus(bad)
