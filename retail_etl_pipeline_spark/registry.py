@@ -3303,3 +3303,45 @@ def document_vector_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@_register(
+    "token_length_percentiles",
+    f"""
+WITH d AS (
+  SELECT source, len({{tokens}}) AS n_tokens FROM documents
+)
+SELECT source,
+       quantile_disc(n_tokens, 0.25) AS tok_p25,
+       quantile_disc(n_tokens, 0.50) AS tok_p50,
+       quantile_disc(n_tokens, 0.90) AS tok_p90,
+       quantile_disc(n_tokens, 0.99) AS tok_p99
+FROM d
+GROUP BY source
+""".format(tokens="regexp_split_to_array(trim(text), '\\s+')"),
+)
+def token_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length distribution (p25/p50/p90/p99) via
+    approx_percentile — the mergeable Greenwald-Khanna sketch, so the
+    shuffle carries one bounded sketch per (source) instead of the raw
+    length column, and the same query degrades gracefully from exact (at
+    fixture scale, below the accuracy parameter) to rank-error <=
+    1/accuracy at corpus scale. The sequence-length histogram every
+    training-mix decision starts from."""
+    from .operators.text import token_count
+
+    acc = 1_000_000
+    d = fx._read(spark, sf_dir, "documents").select(
+        "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    return d.groupBy("source").agg(
+        *[
+            F.expr(f"approx_percentile(n_tokens, {p}, {acc})").alias(a)
+            for p, a in [
+                (0.25, "tok_p25"),
+                (0.50, "tok_p50"),
+                (0.90, "tok_p90"),
+                (0.99, "tok_p99"),
+            ]
+        ]
+    )
