@@ -74,12 +74,26 @@ def prepare_corpus(docs: DataFrame) -> DataFrame:
     # partial-aggregates map-side to (fingerprint, min) pairs, and AQE's
     # skew-join splitting can divide the hot fingerprint's probe rows
     # across tasks at the join.
-    keepers = staged.groupBy("fingerprint").agg(
-        F.min("doc_id").alias("_keeper_doc_id")
+    #
+    # Keepers are computed over VALID docs only (text and doc_id non-null):
+    # a NULL-text doc normalizes to the same fingerprint as a genuinely
+    # empty doc, and letting it win the keeper race would reject the real
+    # doc as a 'duplicate' of a quarantined one. The join is LEFT so a
+    # fingerprint with no valid keeper (only invalid docs carry it) still
+    # flows through to the 'invalid' gate instead of being dropped.
+    valid = F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    keepers = (
+        staged.where(valid)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("_keeper_doc_id"))
     )
-    staged = staged.join(keepers, "fingerprint")
+    staged = staged.join(keepers, "fingerprint", "left")
+    # 'invalid' must lead: every later predicate is NULL (hence false) on
+    # NULL text/doc_id, which would otherwise publish the doc unchecked —
+    # the exact quarantine-contract violation this gate exists to close.
     reason = (
-        F.when(F.col("doc_id") != F.col("_keeper_doc_id"), "duplicate")
+        F.when(~valid, "invalid")
+        .when(F.col("doc_id") != F.col("_keeper_doc_id"), "duplicate")
         .when(F.col("n_tokens") < MIN_TOKENS, "too_short")
         .when(F.col("n_tokens") > MAX_TOKENS, "too_long")
         .when(
@@ -133,7 +147,9 @@ def run_corpus_pipeline(
         ).alias("n_duplicates"),
         F.sum(
             F.when(
-                F.col("reason").isin("too_short", "too_long", "repetitive"),
+                F.col("reason").isin(
+                    "too_short", "too_long", "repetitive", "invalid"
+                ),
                 1,
             ).otherwise(0)
         ).alias("n_low_quality"),

@@ -384,10 +384,17 @@ def split_assignment(doc_id: str = "doc_id"):
     The product is taken in DECIMAL(38,0): a corpus-scale doc_id
     (>= ~3.5e9) times the 32-bit Knuth constant overflows BIGINT, which
     ANSI mode (Spark 4 default) turns into a runtime error — found by the
-    hypothesis property test, invisible at fixture scale."""
+    hypothesis property test, invisible at fixture scale.
+
+    A NULL ``doc_id`` yields a NULL split, not a silent ``test``
+    assignment: hash(NULL) is NULL, every ``when`` is false, and without
+    the leading guard all null-id rows would concentrate in the eval
+    split. Callers that must not publish NULL splits (the corpus
+    pipeline) quarantine null ids upstream."""
     h = (F.col(doc_id).cast("decimal(38,0)") * SPLIT_MIX) % SPLIT_MOD
     return (
-        F.when(h < SPLIT_TRAIN_LT, "train")
+        F.when(F.col(doc_id).isNull(), F.lit(None).cast("string"))
+        .when(h < SPLIT_TRAIN_LT, "train")
         .when(h < SPLIT_VAL_LT, "val")
         .otherwise("test")
     )
@@ -420,7 +427,8 @@ def corpus_split(docs: DataFrame) -> DataFrame:
 
 
 CORPUS_SPLIT_SQL = f"""
-SELECT CASE WHEN (CAST(doc_id AS HUGEINT) * {SPLIT_MIX}) % {SPLIT_MOD}
+SELECT CASE WHEN doc_id IS NULL THEN NULL
+            WHEN (CAST(doc_id AS HUGEINT) * {SPLIT_MIX}) % {SPLIT_MOD}
                  < {SPLIT_TRAIN_LT}
             THEN 'train'
             WHEN (CAST(doc_id AS HUGEINT) * {SPLIT_MIX}) % {SPLIT_MOD}

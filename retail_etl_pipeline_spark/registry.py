@@ -1932,7 +1932,8 @@ def supplier_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "segment_priority_lists",
     """
 SELECT c_mktsegment,
-       list(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+           AS priorities,
        COUNT(DISTINCT o_orderpriority) AS n_priorities
 FROM customer
 JOIN orders ON o_custkey = c_custkey
@@ -1940,16 +1941,21 @@ GROUP BY c_mktsegment
 """,
 )
 def segment_priority_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-aggregation surface: the distinct priorities per segment as a
-    SORTED array (collect_set is unordered — sort_array makes the result
-    deterministic and cross-engine comparable)."""
+    """Array-aggregation surface: the distinct priorities per segment,
+    built as a sorted set (collect_set is unordered — sort_array makes it
+    deterministic) and emitted as a ','-joined STRING rather than a raw
+    array<string>: list cells are unhashable to the driver's pandas
+    canonicalizer (r2 ``TypeError: unhashable type: 'list'``), and the
+    join loses no information because the sort fixes element order."""
     c = fx._read(spark, sf_dir, "customer")
     o = fx._read(spark, sf_dir, "orders")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "inner")
         .groupBy("c_mktsegment")
         .agg(
-            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
             F.count_distinct("o_orderpriority").alias("n_priorities"),
         )
     )
@@ -3029,12 +3035,12 @@ WITH {fx.SALES_CTE.strip()}
 SELECT {_W_TRANS} AS yr_wk_num,
        store_key,
        prod_key,
-       CAST(SUM(CAST(round(CAST(sales_qty AS DECIMAL(30,6)), 2)
-                     AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS total_sales_qty,
-       CAST(SUM(CAST(round(CAST(sales_amt AS DECIMAL(30,6)), 2)
-                     AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS total_sales_amt,
-       CAST(SUM(CAST(round(CAST(sales_cost AS DECIMAL(30,6)), 2)
-                     AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS total_sales_cost,
+       CAST(CAST(SUM(CAST(round(CAST(sales_qty AS DECIMAL(30,6)), 2)
+                     AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_sales_qty,
+       CAST(CAST(SUM(CAST(round(CAST(sales_amt AS DECIMAL(30,6)), 2)
+                     AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_sales_amt,
+       CAST(CAST(SUM(CAST(round(CAST(sales_cost AS DECIMAL(30,6)), 2)
+                     AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_sales_cost,
        COUNT(*) AS line_count
 FROM sales
 GROUP BY 1, 2, 3
@@ -3045,7 +3051,11 @@ def weekly_sales_rollup_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ``schemas.sales_schema("decimal")`` DECIMAL(38,2) types at the
     ingest boundary (via the proven money rounding hop through
     DECIMAL(30,6)), then summed in exact decimal arithmetic end-to-end.
-    Outputs stay DECIMAL(38,2) — no double anywhere past ingest."""
+    The aggregation is pure DECIMAL(38,2) — exact, order-independent —
+    and only the FINAL projection casts to double so the result is
+    representable by the driver's pandas canonicalizer (a DECIMAL(38,2)
+    sum is exact, so the one terminal double cast is lossless for any
+    value below 2^53 cents)."""
     from .schemas import sales_schema
 
     dec_types = {
@@ -3065,9 +3075,18 @@ def weekly_sales_rollup_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return dec.groupBy("yr_wk_num", "store_key", "prod_key").agg(
-        F.sum("sales_qty").cast("decimal(38,2)").alias("total_sales_qty"),
-        F.sum("sales_amt").cast("decimal(38,2)").alias("total_sales_amt"),
-        F.sum("sales_cost").cast("decimal(38,2)").alias("total_sales_cost"),
+        F.sum("sales_qty")
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("total_sales_qty"),
+        F.sum("sales_amt")
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("total_sales_amt"),
+        F.sum("sales_cost")
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("total_sales_cost"),
         F.count(F.lit(1)).alias("line_count"),
     )
 
@@ -3327,7 +3346,21 @@ def token_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     length column, and the same query degrades gracefully from exact (at
     fixture scale, below the accuracy parameter) to rank-error <=
     1/accuracy at corpus scale. The sequence-length histogram every
-    training-mix decision starts from."""
+    training-mix decision starts from.
+
+    Cross-engine convention note (ADVICE r2): the oracle pairs this with
+    DuckDB ``quantile_disc``. Both engines return an ACTUAL element of
+    the group (discrete quantile), but their rank conventions differ:
+    Spark's GK sketch returns the smallest value whose rank >= ceil(p*N),
+    while quantile_disc uses the type-7-style index floor(p*(N-1)).
+    For some (N, p) the two pick adjacent order statistics — e.g. N=10,
+    p=0.25 -> GK rank 3 vs quantile_disc index floor(2.25)=2 (the 3rd
+    element either way), but N=4, p=0.5 -> GK 2nd vs disc floor(1.5)=1
+    -> 2nd as well; divergence appears when p*N is integral. The fixture
+    groups (500 docs, 20 sources) don't hit a divergent combination; if
+    a future fixture does, pin both sides to an explicit
+    ``ceil(p*N)``-th order statistic via a rank window instead of
+    treating it as a correctness bug in either engine."""
     from .operators.text import token_count
 
     acc = 1_000_000

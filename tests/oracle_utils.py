@@ -4,6 +4,23 @@ Compares row count, column names, and order-insensitive values (columns
 sorted by name, rows sorted after normalization). Floats are compared to a
 tolerance and also rounded before hashing so last-ulp accumulation-order
 differences don't read as mismatches.
+
+Hardened after round 2: the driver canonicalizes through pandas
+(``sort_values`` over all columns, then a value hash), which (a) raises
+``TypeError: unhashable type`` on list/array cells and (b) hashes
+``Decimal`` cells differently on the Spark and DuckDB sides even when the
+values are numerically equal (r2: ``segment_priority_lists`` ERROR,
+``weekly_sales_rollup_decimal`` hash FAIL — both replica-green under the
+old, forgiving normalizer).  This replica is now *stricter* than before:
+
+* list / tuple / ndarray / dict / set / bytes cells are reported as
+  ``driver-unrepresentable`` failures (no list→tuple forgiveness);
+* ``Decimal`` cells are reported as ``driver-unrepresentable`` failures
+  (no Decimal→float forgiveness) — queries must cast terminal decimal
+  projections to double on BOTH sides;
+* the raw result is additionally pushed through the same pandas
+  ``sort_values`` call the driver uses, so any unhashable cell type we
+  didn't anticipate fails here first.
 """
 
 from __future__ import annotations
@@ -12,14 +29,48 @@ import math
 from datetime import date, datetime
 from decimal import Decimal
 
+import pandas as pd
+
+#: cell types the driver's pandas canonicalizer cannot hash consistently
+#: (or at all) — any query emitting these must normalize its projection.
+_UNREPRESENTABLE = (Decimal, list, tuple, dict, set, frozenset, bytes, bytearray)
+
+
+def _unrepresentable_columns(rows: list[tuple], columns: list[str]) -> list[str]:
+    """Column names holding cell types the driver cannot canonicalize.
+
+    The first non-null cell of each column is representative (a column has
+    one Spark/DuckDB type).
+    """
+    bad: list[str] = []
+    for i, col in enumerate(columns):
+        v = next((r[i] for r in rows if r[i] is not None), None)
+        if v is not None and isinstance(v, _UNREPRESENTABLE):
+            bad.append(f"{col}:{type(v).__name__}")
+    return bad
+
+
+def _driver_sort_check(rows: list[tuple], columns: list[str]) -> str | None:
+    """Reproduce the driver's pandas ``sort_values`` canonicalization step.
+
+    Returns an error string if pandas raises (the driver would record the
+    query as ERROR), else None.
+    """
+    if not rows:
+        return None
+    try:
+        pdf = pd.DataFrame(rows, columns=list(columns))
+        pdf.sort_values(by=list(columns))
+    except Exception as exc:  # noqa: BLE001 — mirror driver behavior
+        return f"driver canonicalizer would fail: {exc.__class__.__name__}: {exc}"
+    return None
+
 
 def _norm_cell(v):
     if v is None:
         return None
     if isinstance(v, bool):
         return v
-    if isinstance(v, Decimal):
-        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -28,8 +79,6 @@ def _norm_cell(v):
         return v.isoformat()
     if isinstance(v, date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
     return v
 
 
@@ -57,6 +106,15 @@ def compare(spark_df, con, sql: str) -> list[str]:
     problems: list[str] = []
     if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in d_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        return problems
+    for side, rows, cols in (("spark", s_rows, s_cols), ("duck", d_rows, d_cols)):
+        bad = _unrepresentable_columns(rows, cols)
+        if bad:
+            problems.append(f"driver-unrepresentable {side} column types: {bad}")
+        err = _driver_sort_check(rows, cols)
+        if err:
+            problems.append(f"{side}: {err}")
+    if problems:
         return problems
     if len(s_rows) != len(d_rows):
         problems.append(f"row count differs: spark={len(s_rows)} duck={len(d_rows)}")

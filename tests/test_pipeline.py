@@ -7,6 +7,7 @@ import os
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 from retail_etl_pipeline_spark import pipeline as pl
 
@@ -98,6 +99,83 @@ def test_alert_callback_on_missing(spark, retail_csvs):
     )
     assert not res.ran
     assert alerts and len(alerts[0]) == 5
+
+
+class _FakeSMTP:
+    """Stands in for smtplib.SMTP: records sent messages, no network."""
+
+    sent: list = []
+
+    def __init__(self, host, port):
+        self.host, self.port = host, port
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def send_message(self, msg):
+        _FakeSMTP.sent.append((self.host, self.port, msg))
+
+
+def test_smtp_alert_message_contract(spark, retail_csvs):
+    """S10 concrete transport: the SMTP callback sends the reference SES
+    subject (``AWS SES.py:15``) + body preamble (``:18``) and enumerates
+    the missing files."""
+    from retail_etl_pipeline_spark import alerts
+
+    _FakeSMTP.sent = []
+    cb = alerts.smtp_alert(
+        "etl@example.com", "oncall@example.com",
+        host="mail.example.com", port=2525,
+        location="/data/in", smtp_factory=_FakeSMTP,
+    )
+    res = pl.run_pipeline(
+        spark, "2024-03-16", retail_csvs, os.path.join(TMP, "out_alert"),
+        on_missing=cb,
+    )
+    assert not res.ran
+    assert len(_FakeSMTP.sent) == 1
+    host, port, msg = _FakeSMTP.sent[0]
+    assert (host, port) == ("mail.example.com", 2525)
+    assert msg["Subject"] == "Files missing in S3 bucket"
+    assert msg["From"] == "etl@example.com"
+    assert msg["To"] == "oncall@example.com"
+    body = msg.get_content()
+    assert "Please check Snowflake task" in body
+    assert "sales_20240316.csv" in body and "Location: /data/in" in body
+
+
+def test_webhook_alert_payload(retail_csvs):
+    """S10 webhook transport: JSON POST mirroring the reference Lambda's
+    HTTP-trigger shape (``Lambda Function.py:26-44``)."""
+    import json as _json
+
+    from retail_etl_pipeline_spark import alerts
+
+    calls = []
+
+    def fake_open(req, timeout=None):
+        calls.append((req, timeout))
+
+        class _Resp:
+            def close(self):
+                pass
+
+        return _Resp()
+
+    cb = alerts.webhook_alert("http://alerts.local/hook", opener=fake_open)
+    cb(["sales_20240316.csv", "store_20240316.csv"])
+    assert len(calls) == 1
+    req, timeout = calls[0]
+    assert req.full_url == "http://alerts.local/hook"
+    assert req.get_method() == "POST"
+    assert req.get_header("Content-type") == "application/json"
+    payload = _json.loads(req.data.decode("utf-8"))
+    assert payload["subject"] == "Files missing in S3 bucket"
+    assert payload["missing"] == ["sales_20240316.csv", "store_20240316.csv"]
+    assert "sales_20240316.csv" in payload["body"]
 
 
 def test_run_pipeline_end_to_end(spark, retail_csvs):
@@ -240,6 +318,55 @@ def test_corpus_output_is_partition_pruned(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(split" in plan.replace(
         "PartitionFilters: [ isnotnull(split", "PartitionFilters: [isnotnull(split"
     ), plan
+
+
+def test_corpus_pipeline_quarantines_null_docs(spark, tmp_path):
+    """NULL text / NULL doc_id docs must be quarantined with reason
+    'invalid', never published — and a NULL-text doc (which normalizes to
+    the empty string) must not claim the dedup keeper slot from a real
+    empty doc."""
+    from retail_etl_pipeline_spark.corpus_pipeline import run_corpus_pipeline
+
+    docs = spark.createDataFrame(
+        [
+            (0, None, "en", "s0", 0),  # NULL text, smallest id
+            (1, "", "en", "s0", 0),  # real empty doc, same fingerprint as 0
+            (None, "a perfectly reasonable document with distinct words", "en", "s1", 51),
+            (3, "another perfectly fine document with many distinct words", "en", "s2", 56),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "corpus_null")
+    res = run_corpus_pipeline(spark, docs, out, register_as=None)
+
+    published = spark.read.parquet(out)
+    assert published.where("split IS NULL").count() == 0
+    by_reason = {
+        r["reason"]: r["cnt"]
+        for r in published.groupBy("reason").agg(F.count("*").alias("cnt")).collect()
+    }
+    # doc 0 (null text) and the null-id doc are invalid; doc 1 is
+    # too_short (NOT 'duplicate' of the quarantined null-text doc);
+    # doc 3 is kept (reason null).
+    assert by_reason.get("invalid") == 2
+    assert by_reason.get("too_short") == 1
+    assert by_reason.get("duplicate") is None
+    kept = published.where("split != 'rejected'").collect()
+    assert [r["doc_id"] for r in kept] == [3]
+    assert res.metrics["n_rejected"] == 3
+    assert res.metrics["n_low_quality"] == 3
+    assert res.metrics["n_kept_tokens"] == kept[0]["n_tokens"]
+
+
+def test_split_assignment_null_doc_id(spark):
+    """A NULL doc_id yields a NULL split, not a silent 'test' bucket."""
+    from retail_etl_pipeline_spark.operators.corpus import split_assignment
+
+    df = spark.createDataFrame([(None,), (7,)], "doc_id long").select(
+        split_assignment().alias("split")
+    )
+    got = {r["split"] for r in df.collect()}
+    assert None in got and got - {None} <= {"train", "val", "test"}
 
 
 def test_corpus_pipeline_rejects_malformed_input(spark):
