@@ -1,0 +1,142 @@
+"""Scale-safe total-order operators: exact global rank, exact NTILE, and
+exact running (prefix) sums WITHOUT an empty-partition window.
+
+Spark executes a window whose ``partitionBy`` is empty by moving EVERY
+row into a single partition (``WindowExec`` requires the full frame in
+one task) — fine at fixture scale, a one-task sort of the whole relation
+at 100 TB. These helpers replace that shape with the classic two-level
+decomposition:
+
+1. ``repartitionByRange`` on the order key — a PARALLEL range-partitioned
+   sort (the same machinery as a global ``orderBy``), P tasks;
+2. one bounded per-partition statistics pass (count / sum) collected to
+   the driver — exactly P scalars, a plan constant in the same spirit as
+   the IVF centroid literals (``operators/similarity.py``);
+3. partition-local window (partitioned by ``spark_partition_id``) plus
+   the broadcast per-partition offsets — P parallel tasks again.
+
+The relation is persisted between the statistics pass and the final
+plan so both read the same range partitioning (and the base relation —
+typically an aggregate of a much larger fact — is computed once).
+
+Determinism note: ``repartitionByRange`` samples boundaries with a
+deterministic seed, and the offset arithmetic is exact for ANY boundary
+placement (offsets are derived from actual partition contents), so the
+results are stable across runs and partition counts. Callers must make
+the order total (include a unique tiebreaker column), as with any
+cross-engine-comparable window.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: internal partition-id column
+_PID = "_range_pid"
+
+
+def _range_partitioned(
+    df: DataFrame, order: list[Column], num_partitions: int | None
+) -> DataFrame:
+    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartitionByRange(p, *order).withColumn(
+        _PID, F.spark_partition_id()
+    )
+
+
+def _offset_expr(entries: list, zero: Column) -> Column:
+    """pid -> offset lookup as a plan-literal map (no join)."""
+    if not entries:
+        return zero
+    return F.coalesce(F.element_at(F.create_map(*entries), F.col(_PID)), zero)
+
+
+def with_global_rank(
+    df: DataFrame,
+    order: list[Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Exact 1-based global rank in ``order`` (which must be total).
+
+    Returns ``(df + rank_col, total_row_count)``. Plan shape: range
+    shuffle -> bounded per-partition counts -> partition-local
+    ``row_number`` + literal offsets. No single-task stage.
+    """
+    d = _range_partitioned(df, order, num_partitions).persist()
+    counts = {
+        r[_PID]: r["cnt"]
+        for r in d.groupBy(_PID).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    entries: list[Column] = []
+    acc = 0
+    for pid in sorted(counts):
+        entries += [F.lit(pid), F.lit(acc)]
+        acc += counts[pid]
+    w = Window.partitionBy(_PID).orderBy(*order)
+    rank = (F.row_number().over(w) + _offset_expr(entries, F.lit(0))).cast(
+        "bigint"
+    )
+    return d.withColumn(rank_col, rank).drop(_PID), acc
+
+
+def ntile_from_rank(rank_col: str, n_rows: int, n_buckets: int) -> Column:
+    """Exact ``NTILE(n_buckets)`` bucket from a total-order rank.
+
+    Reproduces SQL NTILE: the first ``n_rows % n_buckets`` buckets get
+    ``n_rows // n_buckets + 1`` rows, the rest one fewer. Integer DIV
+    throughout — no float path that could mis-floor at 1e9 rows.
+    """
+    q, r = divmod(n_rows, n_buckets)
+    if n_rows <= 0:
+        return F.lit(None).cast("int")
+    if q == 0:  # fewer rows than buckets: bucket i = rank i
+        return F.col(rank_col).cast("int")
+    pivot = r * (q + 1)
+    big = F.expr(f"CAST(1 + ({rank_col} - 1) DIV {q + 1} AS INT)")
+    small = F.expr(f"CAST(1 + {r} + ({rank_col} - {pivot} - 1) DIV {q} AS INT)")
+    return F.when(F.col(rank_col) <= F.lit(pivot), big).otherwise(small)
+
+
+def with_running_sum(
+    df: DataFrame,
+    order: list[Column],
+    value_col: str,
+    running_col: str = "running",
+    num_partitions: int | None = None,
+    sum_type: str = "decimal(38,2)",
+) -> tuple[DataFrame, Decimal]:
+    """Exact running sum of ``value_col`` in ``order`` (rows from the
+    first row through the current one), plus the exact grand total.
+
+    ``value_col`` should be a DECIMAL column so per-partition partials,
+    driver-side offset accumulation, and the partition-local cumulative
+    window are all exact and order-independent. Plan shape mirrors
+    :func:`with_global_rank` with SUM partials instead of counts.
+    """
+    d = _range_partitioned(df, order, num_partitions).persist()
+    sums = {
+        r[_PID]: r["s"]
+        for r in d.groupBy(_PID)
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    entries: list[Column] = []
+    acc = Decimal(0)
+    for pid in sorted(sums):
+        entries += [F.lit(pid), F.lit(acc).cast(sum_type)]
+        acc += sums[pid] if sums[pid] is not None else Decimal(0)
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = (
+        _offset_expr(entries, F.lit(Decimal(0)).cast(sum_type))
+        + F.sum(value_col).over(w)
+    ).cast(sum_type)
+    return d.withColumn(running_col, running).drop(_PID), acc

@@ -2462,28 +2462,34 @@ ORDER BY s.s_suppkey
 )
 def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier(s) with the maximum quarterly revenue (TPC-H Q15 shape).
-    The scalar-subquery MAX is a global window over the ALREADY-AGGREGATED
-    per-supplier relation (~#suppliers rows, a sliver of the fact) — the
-    naive plan broadcasts a separate MAX aggregate and scans lineitem
-    TWICE; this one scans it once. Revenue is rounded to exact cents
-    BEFORE the equality, so ties are engine-stable."""
-    from pyspark.sql.window import Window
-
+    The scalar-subquery MAX is a broadcast join against a one-row global
+    MAX aggregate of the same per-supplier relation: both branches read
+    the identical groupBy shuffle, so ``ReuseExchange`` computes lineitem
+    and the aggregation ONCE (verified by the plan test), the MAX itself
+    is a tree-reduced partial aggregate (never a single-task window —
+    the previous empty-``partitionBy`` MAX window moved all suppliers
+    into one task), and the broadcast adds no shuffle. Revenue is
+    rounded to exact cents BEFORE the equality, so ties are
+    engine-stable."""
     li = fx._read(spark, sf_dir, "lineitem").where(
         (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
         & (F.to_date("l_shipdate") < F.lit("1996-04-01").cast("date"))
+        # explicit, so BOTH branches below carry the identical pushed
+        # filter set: the supplier join infers isnotnull(l_suppkey) on its
+        # branch only, which would break canonical plan equality and with
+        # it the exchange/stage reuse this query's single-scan shape
+        # depends on
+        & F.col("l_suppkey").isNotNull()
     )
     rev = li.groupBy("l_suppkey").agg(
         money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "total_revenue"
         )
     )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
     s = fx._read(spark, sf_dir, "supplier")
     return (
-        rev.withColumn(
-            "_mx", F.max("total_revenue").over(Window.partitionBy())
-        )
-        .where(F.col("total_revenue") == F.col("_mx"))
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
@@ -2800,13 +2806,17 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every NTILE ordering carries a full tie-break (metric, custkey) so
     quartile boundaries are identical across engines and partitionings;
-    the monetary sum is exact decimal for the same reason. The three
-    global NTILEs each need a total order — at cluster scale that is a
-    range-partitioned sort of the ALREADY-AGGREGATED per-customer relation
-    (~customers rows, not orders), which is the cheap side of the plan."""
-    o = fx._read(spark, sf_dir, "orders")
-    from pyspark.sql.window import Window
+    the monetary sum is exact decimal for the same reason. Each quartile
+    assignment is an exact two-level NTILE (``functions/ordered.py``):
+    range shuffle + bounded per-partition counts + partition-local
+    row_number — an empty-``partitionBy`` NTILE window would move the
+    whole per-customer relation (~10^9 rows at 100 TB) into ONE task;
+    this plan keeps every stage parallel while producing bit-identical
+    buckets. The three rankings re-join on o_custkey (co-partitioned
+    equi-joins of the already-aggregated relation)."""
+    from .functions.ordered import ntile_from_rank, with_global_rank
 
+    o = fx._read(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
         F.max(F.to_date("o_orderdate")).alias("last_dt"),
         F.count("*").alias("freq"),
@@ -2814,17 +2824,18 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("monetary"),
     )
-    q = per.select(
-        F.ntile(4)
-        .over(Window.partitionBy().orderBy(F.desc("last_dt"), F.asc("o_custkey")))
-        .alias("r_q"),
-        F.ntile(4)
-        .over(Window.partitionBy().orderBy(F.desc("freq"), F.asc("o_custkey")))
-        .alias("f_q"),
-        F.ntile(4)
-        .over(Window.partitionBy().orderBy(F.desc("monetary"), F.asc("o_custkey")))
-        .alias("m_q"),
-    )
+    dims = {
+        "r_q": [F.desc("last_dt"), F.asc("o_custkey")],
+        "f_q": [F.desc("freq"), F.asc("o_custkey")],
+        "m_q": [F.desc("monetary"), F.asc("o_custkey")],
+    }
+    q = None
+    for bucket_col, order in dims.items():
+        ranked, n = with_global_rank(per, order, rank_col="_rk")
+        buckets = ranked.select(
+            "o_custkey", ntile_from_rank("_rk", n, 4).alias(bucket_col)
+        )
+        q = buckets if q is None else q.join(buckets, "o_custkey")
     return (
         q.groupBy("r_q", "f_q", "m_q")
         .agg(F.count("*").alias("customers"))
@@ -2859,13 +2870,19 @@ WHERE (running - rev) * 5 < total * 4
 def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How many top customers cover 80% of revenue (Pareto concentration).
 
-    The cumulative sum runs in DECIMAL, so it is exact and identical in
-    both engines regardless of accumulation strategy (a double cumsum
-    differs between Spark's running accumulation and DuckDB's segment
-    tree). The 80% boundary test is the multiply form
-    ``5 * running_before < 4 * total`` — division-free, exact. A customer
-    is counted iff the threshold wasn't reached before their row."""
-    from pyspark.sql.window import Window
+    The cumulative sum is an exact two-level DECIMAL prefix sum
+    (``functions/ordered.py``): range shuffle on (rev DESC, custkey) +
+    bounded per-partition partials + partition-local cumulative window —
+    the empty-``partitionBy`` running-SUM window it replaces would sort
+    the whole per-customer relation in ONE task at cluster scale.
+    Decimal partials are exact and associative, so the two-level result
+    is bit-identical to a sequential cumsum and to DuckDB's segment
+    tree. The 80% boundary test is the multiply form
+    ``5 * running_before < 4 * total`` — division-free, exact; the grand
+    total is the exact driver-side sum of the same bounded partials. A
+    customer is counted iff the threshold wasn't reached before their
+    row."""
+    from .functions.ordered import with_running_sum
 
     o = fx._read(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
@@ -2873,19 +2890,12 @@ def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(30,2)")
         .alias("rev")
     )
-    wcum = (
-        Window.partitionBy()
-        .orderBy(F.desc("rev"), F.asc("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wall = Window.partitionBy()
-    w = per.select(
-        "rev",
-        F.sum("rev").over(wcum).alias("running"),
-        F.sum("rev").over(wall).alias("total"),
+    w, total = with_running_sum(
+        per, [F.desc("rev"), F.asc("o_custkey")], "rev"
     )
     return w.where(
-        (F.col("running") - F.col("rev")) * 5 < F.col("total") * 4
+        (F.col("running") - F.col("rev")) * 5
+        < F.lit(total).cast("decimal(38,2)") * 4
     ).agg(F.count("*").alias("pareto_customers"))
 
 

@@ -212,10 +212,18 @@ def test_disjunctive_or_predicate_pushed(spark, sf_dir):
 
 
 def test_top_supplier_single_fact_scan(spark, sf_dir):
-    """Q15 shape: the scalar MAX is a window over the aggregated relation —
-    lineitem is scanned exactly once."""
-    plan = _physical(QUERIES["top_supplier"](spark, sf_dir))
-    assert plan.count("lineitem.parquet") == 1
+    """Q15 shape: the scalar MAX rides a broadcast join against a one-row
+    aggregate of the SAME per-supplier shuffle — AQE stage reuse must
+    collapse the two branches so lineitem is scanned exactly once (the
+    runtime answer to the old global-MAX window, which read once but
+    windowed in a single task). Reuse only materializes in the FINAL
+    adaptive plan, so execute first."""
+    df = QUERIES["top_supplier"](spark, sf_dir)
+    df.collect()
+    plan = _physical(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, final
+    assert final.count("lineitem.parquet") == 1, final
 
 
 def test_corpus_vocabulary_topk_and_single_explode(spark, sf_dir):
@@ -371,6 +379,74 @@ def test_shingle_stat_queries_are_join_free(spark, sf_dir, name):
     plan = _physical(QUERIES[name](spark, sf_dir))
     assert "Join" not in plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3, plan
+
+
+def _global_windows(optimized: str) -> list[str]:
+    """Logical Window nodes whose partition spec is EMPTY.
+
+    A Window node prints ``Window [exprs], [partitionSpec], [orderSpec]``
+    with empty specs omitted, so the shapes are: 3 groups = partitioned
+    (fine); 1 group = global unordered (bad); 2 groups = EITHER
+    partitioned-unordered (fine) or global-ordered (bad) — disambiguated
+    by whether the second group is an order spec (contains a sort
+    direction)."""
+    out = []
+    for line in optimized.splitlines():
+        m = re.search(r"(?:^|[-:+ ])Window (\[)", line)
+        if not m:
+            continue
+        groups: list[str] = []
+        depth = 0
+        start = None
+        for i, ch in enumerate(line[m.start(1):], m.start(1)):
+            if ch == "[":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(line[start : i + 1])
+        is_global = len(groups) == 1 or (
+            len(groups) == 2
+            and re.search(r" (ASC|DESC)\b", groups[1]) is not None
+        )
+        if is_global:
+            out.append(line.strip())
+    return out
+
+
+def test_window_parser_detects_global_windows(spark):
+    """Sanity-check the parser against all four known shapes so the
+    repo-wide test below can be trusted."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.range(10).withColumn("g", F.col("id") % 2)
+    cases = [
+        (df.withColumn("rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))), 0),
+        (df.withColumn("m", F.max("id").over(Window.partitionBy("g"))), 0),
+        (df.withColumn("rn", F.row_number().over(Window.partitionBy().orderBy("id"))), 1),
+        (df.withColumn("m", F.max("id").over(Window.partitionBy())), 1),
+    ]
+    for d, want in cases:
+        assert len(_global_windows(_optimized(d))) == want, _optimized(d)
+
+
+def test_no_empty_partition_windows_anywhere(spark, sf_dir):
+    """No query may plan a window with an empty partitionBy: Spark executes
+    it by moving EVERY row into one task (VERDICT r2 'What's wrong' #4 —
+    the rfm_segments / pareto_customers scale-killer). Global rankings and
+    running sums must use the two-level decomposition in
+    functions/ordered.py instead."""
+    try:
+        for name, fn in QUERIES.items():
+            bad = _global_windows(_optimized(fn(spark, sf_dir)))
+            assert not bad, (
+                f"{name}: global (empty-partitionBy) window:\n" + "\n".join(bad)
+            )
+    finally:
+        spark.catalog.clearCache()
 
 
 def test_corpus_split_single_bounded_aggregate(spark, sf_dir):
