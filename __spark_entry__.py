@@ -22,13 +22,17 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def _last_checked_round() -> dict[str, int]:
-    """name -> most recent round with a driver CORRECTNESS row for it.
+    """name -> most recent round with a GREEN driver CORRECTNESS row.
 
     The driver verifies a bounded prefix of ``queries()`` per round (r1
     stopped at 50 of 99 entries), so ordering matters: names it has never
     checked must come first. Reading the committed CORRECTNESS_r*.json
     files makes the rotation self-maintaining — each round the
     least-recently-verified queries move to the front of the window.
+    A red row does NOT count as seen: a query that failed its last driver
+    check stays at the front of the window until a green row lands (r2:
+    two representation failures were fixed but would otherwise have
+    rotated to the back and stayed red in the record for several rounds).
     """
     seen: dict[str, int] = {}
     for p in Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json"):
@@ -38,8 +42,16 @@ def _last_checked_round() -> dict[str, int]:
             rows = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
-        for name in rows:
-            seen[name] = max(seen.get(name, 0), rnd)
+        for name, row in rows.items():
+            green = (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match", True)
+                and not row.get("err")
+            )
+            if green:
+                seen[name] = max(seen.get(name, 0), rnd)
     return seen
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.metrics import (
@@ -3098,6 +3098,151 @@ def weekly_sales_rollup_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_sales_cost"),
         F.count(F.lit(1)).alias("line_count"),
+    )
+
+
+#: money ingest hop shared by the decimal-mode queries: presentation-round
+#: the runtime double to cents (exact, cross-engine-stable), then store it
+#: in the warehouse DDL's DECIMAL(38,2).
+_DEC_IN_SQL = "CAST(round(CAST({x} AS DECIMAL(30,6)), 2) AS DECIMAL(38,2))"
+
+_MERGED_DEC_CTE = f"""
+merged_dec AS (
+  SELECT *,
+         CASE WHEN inventory_on_hand_qty < sales_qty THEN 1 ELSE 0 END
+           AS low_stock_flg
+  FROM (
+    SELECT s.trans_dt,
+           s.store_key,
+           s.prod_key,
+           i.cal_dt,
+           i.out_of_stock_flg,
+           {_DEC_IN_SQL.format(x="s.sales_qty")} AS sales_qty,
+           {_DEC_IN_SQL.format(x="s.sales_amt")} AS sales_amt,
+           {_DEC_IN_SQL.format(x="s.sales_cost")} AS sales_cost,
+           {_DEC_IN_SQL.format(x="i.inventory_on_hand_qty")}
+             AS inventory_on_hand_qty,
+           {_DEC_IN_SQL.format(x="i.inventory_on_order_qty")}
+             AS inventory_on_order_qty,
+           {_W_TRANS} AS yr_wk_num
+    FROM sales s
+    JOIN inventory i
+      ON s.prod_key = i.prod_key
+     AND s.store_key = i.store_key
+     AND s.trans_dt = i.cal_dt
+  )
+)"""
+
+_OOS_RATE = f"CAST({_OOS_DAYS} AS DOUBLE) / 7"
+
+
+@_register(
+    "weekly_summary_decimal",
+    f"""
+WITH {fx.SALES_CTE.strip()},
+{fx.INVENTORY_CTE.strip()},
+{_MERGED_DEC_CTE.strip()}
+SELECT yr_wk_num,
+       store_key,
+       prod_key,
+       CAST(SUM(sales_qty) AS DOUBLE) AS total_sales_qty,
+       CAST(SUM(sales_amt) AS DOUBLE) AS total_sales_amt,
+       {_m("CAST(SUM(sales_amt) AS DOUBLE) / NULLIF(CAST(SUM(sales_qty) AS DOUBLE), 0)")}
+         AS avg_sales_amt,
+       CAST(SUM(sales_cost) AS DOUBLE) AS total_sales_cost,
+       CAST(arg_max(inventory_on_hand_qty, cal_dt) AS DOUBLE) AS eow_on_hand_qty,
+       CAST(arg_max(inventory_on_order_qty, cal_dt) AS DOUBLE) AS eow_on_order_qty,
+       {_OOS_DAYS} AS out_of_stock_days,
+       {_m(_OOS_RATE)} AS out_of_stock_rate,
+       CAST(SUM(low_stock_flg) AS BIGINT) AS low_stock_count,
+       CAST(SUM(CASE WHEN out_of_stock_flg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS no_stock_instances,
+       {_m(f"{_OOS_RATE} + CAST(SUM(low_stock_flg) AS DOUBLE)")}
+         AS total_low_stock_impact,
+       CAST(SUM(CASE WHEN low_stock_flg = 1
+                     THEN sales_qty - inventory_on_hand_qty END) AS DOUBLE)
+         AS potential_low_stock_impact,
+       {_m("CAST(arg_max(inventory_on_hand_qty, cal_dt) AS DOUBLE)"
+           " / NULLIF(CAST(SUM(sales_qty) AS DOUBLE), 0)")}
+         AS weeks_supply
+FROM merged_dec
+GROUP BY 1, 2, 3
+""",
+)
+def weekly_summary_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 13-metric flagship in DDL-faithful decimal mode
+    (``schemas.sales_schema("decimal")``, ``Snow Flake/Data
+    Ingestion.sql:48-61``): every money measure enters as DECIMAL(38,2)
+    via the proven cents hop, all sums / extrema / differences run in
+    exact decimal arithmetic (order-independent — bit-identical on any
+    partitioning, the audit-grade property at 100 TB), and only ratio
+    metrics drop to double (a ratio of exact sums, then the standard
+    money rounding). The terminal projection casts every decimal to
+    double so the driver's pandas canonicalizer can hash it; the cast is
+    lossless below 2^53 cents. The low-stock flag is compared on the
+    DECIMAL values on both sides (the decimal-mode contract: gates see
+    what the warehouse stores)."""
+    from .schemas import sales_schema
+
+    dec38 = sales_schema("decimal")["sales_qty"].dataType
+    m = ws.merged(spark, sf_dir)
+
+    def dec_in(c: str) -> Column:
+        return F.round(F.col(c).cast("decimal(30,6)"), 2).cast(dec38)
+
+    md = m.select(
+        "yr_wk_num",
+        "store_key",
+        "prod_key",
+        "cal_dt",
+        "out_of_stock_flg",
+        dec_in("sales_qty").alias("sales_qty"),
+        dec_in("sales_amt").alias("sales_amt"),
+        dec_in("sales_cost").alias("sales_cost"),
+        dec_in("inventory_on_hand_qty").alias("inventory_on_hand_qty"),
+        dec_in("inventory_on_order_qty").alias("inventory_on_order_qty"),
+    ).withColumn(
+        "low_stock_flg",
+        F.when(
+            F.col("inventory_on_hand_qty") < F.col("sales_qty"), 1
+        ).otherwise(0),
+    )
+    eow = F.struct(F.col("cal_dt"))
+    oos_days = F.count_distinct(
+        F.when(F.col("out_of_stock_flg") == 1, F.col("cal_dt"))
+    )
+    sum_qty_d = F.sum("sales_qty").cast("double")
+    eow_on_hand_d = F.max_by("inventory_on_hand_qty", eow).cast("double")
+    return md.groupBy(*retail.WEEK_GRAIN).agg(
+        F.sum("sales_qty").cast("double").alias("total_sales_qty"),
+        F.sum("sales_amt").cast("double").alias("total_sales_amt"),
+        money(
+            safe_div(F.sum("sales_amt").cast("double"), sum_qty_d)
+        ).alias("avg_sales_amt"),
+        F.sum("sales_cost").cast("double").alias("total_sales_cost"),
+        eow_on_hand_d.alias("eow_on_hand_qty"),
+        F.max_by("inventory_on_order_qty", eow)
+        .cast("double")
+        .alias("eow_on_order_qty"),
+        oos_days.cast("bigint").alias("out_of_stock_days"),
+        money(oos_days.cast("double") / F.lit(7)).alias("out_of_stock_rate"),
+        F.sum("low_stock_flg").cast("bigint").alias("low_stock_count"),
+        F.sum(F.when(F.col("out_of_stock_flg") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("no_stock_instances"),
+        money(
+            oos_days.cast("double") / F.lit(7)
+            + F.sum("low_stock_flg").cast("double")
+        ).alias("total_low_stock_impact"),
+        F.sum(
+            F.when(
+                F.col("low_stock_flg") == 1,
+                F.col("sales_qty") - F.col("inventory_on_hand_qty"),
+            )
+        )
+        .cast("double")
+        .alias("potential_low_stock_impact"),
+        money(safe_div(eow_on_hand_d, sum_qty_d)).alias("weeks_supply"),
     )
 
 
