@@ -140,6 +140,58 @@ def write_run_partition(df: DataFrame, path: str, run_date: str) -> None:
     )
 
 
+def write_sized(
+    df: DataFrame,
+    path: str,
+    target_file_bytes: int = 107_772_160,
+    fmt: str = "parquet",
+    sample_rows: int = 50_000,
+    mode: str = "overwrite",
+    safety: float = 0.9,
+) -> int:
+    """Byte-TARGETED sink: cap output files near ``target_file_bytes``.
+
+    Reproduces the reference's per-file unload cap
+    (``Snow Flake/Data Load.sql:7-9``, ``MAX_FILE_SIZE=107772160``) on an
+    engine whose only native knob is row-count based
+    (``spark.sql.files.maxRecordsPerFile``). The bytes->rows conversion is
+    calibrated, not guessed:
+
+    1. write a bounded sample (``limit(sample_rows)``) to a sibling
+       calibration prefix — ONE small job, any Hadoop filesystem;
+    2. measure encoded bytes/row from the calibration files via the
+       FileSystem API (works on hdfs/s3a, not just local);
+    3. write the full frame with ``maxRecordsPerFile = safety *
+       target_bytes / bytes_per_row``.
+
+    ``safety < 1`` biases files slightly UNDER target: large files encode
+    better per row than the sample (dictionary/RLE amortization), so the
+    sample overestimates bytes/row; both effects point the same, safe
+    direction. Returns the records-per-file cap used (0 = uncapped: empty
+    input). The cap bounds file size, not task memory — writer memory is
+    governed by partition sizing as usual.
+    """
+    spark = df.sparkSession
+    calib = path.rstrip("/") + "__calibration"
+    df.limit(sample_rows).write.mode("overwrite").format(fmt).save(calib)
+
+    jvm = spark._jvm  # Hadoop FileSystem API (portable across hdfs/s3a/file)
+    jpath = jvm.org.apache.hadoop.fs.Path(calib)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    n_bytes = fs.getContentSummary(jpath).getLength()
+    n_rows = spark.read.format(fmt).load(calib).count()
+    fs.delete(jpath, True)
+
+    cap = 0
+    writer = df.write.mode(mode).format(fmt)
+    if n_rows > 0 and n_bytes > 0:
+        bytes_per_row = n_bytes / n_rows
+        cap = max(1, int(safety * target_file_bytes / bytes_per_row))
+        writer = writer.option("maxRecordsPerFile", cap)
+    writer.save(path)
+    return cap
+
+
 def csv_to_table(
     spark: SparkSession, path: str, schema: T.StructType, table: str
 ) -> None:
@@ -162,11 +214,9 @@ def export_csv(
     default (a single output task is a scale anti-pattern).
 
     The reference also caps each unloaded file at ~103 MiB
-    (``Snow Flake/Data Load.sql:7-9`` MAX_FILE_SIZE). Spark's analog is
-    ``spark.sql.files.maxRecordsPerFile`` (rows, not bytes) on the writer,
-    or sizing output partitions upstream; a byte-exact cap is not
-    reproduced here by design — when ``single_file`` is off, output size
-    per file is governed by partitioning, which is the scale-correct knob.
+    (``Snow Flake/Data Load.sql:7-9`` MAX_FILE_SIZE). A byte-EXACT cap is
+    not reproducible on Spark's row-count-based writer knob; the
+    calibrated byte-TARGETED equivalent is :func:`write_sized`.
     """
     if predicate is not None:
         df = df.filter(predicate)

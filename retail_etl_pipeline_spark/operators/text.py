@@ -450,3 +450,104 @@ SELECT doc_id, tok, tfidf, rank
 FROM ranked
 WHERE rank <= {TFIDF_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene): regex redaction of emails, card
+# numbers, IPv4 addresses, and phone-like digit runs. Pure JVM/codegen
+# regexp_replace chain — the patterns live in the common Java-regex/RE2
+# subset (no lookaround) so the DuckDB oracle applies the IDENTICAL
+# automaton. At 100 TB this is a map-only projection: no shuffle, fully
+# pushdown-friendly, parallel per input split.
+# ---------------------------------------------------------------------------
+
+#: (name, pattern, replacement) — applied IN ORDER (cards before generic
+#: phone digit-runs so a card never half-matches as a phone).
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("card", r"\b(?:\d{4}[ -]){3}\d{4}\b", "<CARD>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc PII redaction: counts each rule's matches on the ORIGINAL
+    text, then applies the replacement chain. Output adds
+    ``n_<rule>`` counts and ``scrubbed`` (the redacted text)."""
+    out = docs
+    scrubbed = F.col(text_col)
+    for name, pat, repl in PII_RULES:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("bigint"),
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return out.withColumn("scrubbed", scrubbed)
+
+
+def scrub_pii_sql(text_expr: str) -> str:
+    """DuckDB SELECT-list fragment mirroring :func:`scrub_pii` (counts on
+    the original text + the chained redaction)."""
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all({text_expr}, '{pat}')) AS BIGINT)"
+        f" AS n_{name}"
+        for name, pat, _ in PII_RULES
+    )
+    chained = text_expr
+    for _, pat, repl in PII_RULES:
+        chained = f"regexp_replace({chained}, '{pat}', '{repl}', 'g')"
+    return f"{counts},\n       {chained} AS scrubbed"
+
+
+# ---------------------------------------------------------------------------
+# URL / domain analytics: extract http(s) URLs, explode, aggregate by
+# registrable host. regexp_extract_all -> explode is the scalable shape
+# (the fan-out happens executor-side per row); the domain aggregation is
+# one hash shuffle on the domain key.
+# ---------------------------------------------------------------------------
+
+URL_PATTERN = r"https?://[^\s]+"
+DOMAIN_PATTERN = r"https?://([^/\s]+)"
+
+
+def extract_urls(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per URL occurrence: (doc_id, url, domain)."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
+            ).alias("url"),
+        )
+        .withColumn("domain", F.regexp_extract("url", DOMAIN_PATTERN, 1))
+    )
+
+
+def domain_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-domain link profile: occurrences, distinct docs, distinct URLs."""
+    return (
+        extract_urls(docs, text_col)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count_distinct("url").alias("n_urls"),
+        )
+    )
+
+
+DOMAIN_STATS_SQL = f"""
+WITH urls AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all({{text}}, '{URL_PATTERN}')) AS url
+  FROM documents
+)
+SELECT regexp_extract(url, '{DOMAIN_PATTERN}', 1) AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls
+FROM urls
+GROUP BY 1
+"""

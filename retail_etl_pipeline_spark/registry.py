@@ -31,6 +31,7 @@ from .functions.metrics import (
     money_sum,
     safe_div,
 )
+from .functions import zorder as zo
 from .operators import fixtures_adapter as fx
 from .operators import retail
 from .plans import weekly_summary as ws
@@ -3532,4 +3533,164 @@ def token_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (0.99, "tok_p99"),
             ]
         ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + URL/domain analytics (operators/text.py): training-data
+# hygiene passes. The fixture corpus contains no PII-shaped strings, so
+# both engines deterministically AUGMENT each doc with synthetic
+# email/card/ip/phone/url substrings derived from doc_id before the
+# operator runs — the same both sides, so the redaction/extraction
+# automata are genuinely exercised and oracle-checked (the clean-corpus
+# alternative would verify an identity map).
+# ---------------------------------------------------------------------------
+
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.7 call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' card 4111 1111 1111 1111.'"
+)
+
+
+@_register(
+    "pii_scrub",
+    f"""
+WITH augmented AS (
+  SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents
+)
+SELECT doc_id,
+       {tx.scrub_pii_sql("text").replace("AS scrubbed", "AS scrubbed_text")}
+FROM augmented
+""",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction (emails, card numbers, IPv4, phone runs) with
+    per-rule match counts. Map-only JVM regexp chain — no shuffle; the
+    patterns live in the Java-regex/RE2 common subset so the oracle runs
+    the identical automaton."""
+    d = fx._read(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" card 4111 1111 1111 1111."),
+        ).alias("text"),
+    )
+    out = tx.scrub_pii(aug)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_card",
+        "n_ipv4",
+        "n_phone",
+        F.col("scrubbed").alias("scrubbed_text"),
+    )
+
+
+_URL_AUG_SQL = (
+    "text || ' see https://docs' || CAST(doc_id % 10 AS VARCHAR)"
+    " || '.example.org/p/' || CAST(doc_id AS VARCHAR)"
+    " || ' and http://mirror' || CAST(doc_id % 3 AS VARCHAR)"
+    " || '.example.net/q?x=' || CAST(doc_id % 7 AS VARCHAR)"
+)
+
+
+@_register(
+    "url_domains",
+    tx.DOMAIN_STATS_SQL.replace("FROM documents", "FROM aug_documents")
+    .replace(
+        "WITH urls AS (",
+        f"WITH aug_documents AS (\n  SELECT doc_id, {_URL_AUG_SQL} AS text"
+        " FROM documents\n),\nurls AS (",
+    )
+    .format(text="text"),
+)
+def url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain link profile: regexp_extract_all -> executor-side
+    explode -> one hash aggregation on the domain key."""
+    d = fx._read(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://docs"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://mirror"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example.net/q?x="),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    return tx.domain_stats(aug)
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering key (functions/zorder.py): the Morton interleave that
+# zorder_write clusters files by, verified cell-by-cell against a DuckDB
+# replica of the same bit arithmetic. The scale bounds are plan constants
+# (in production: table statistics); 8 bits/dim keeps the demo grid
+# readable while the operator itself goes to 16 bits x 3 dims.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8
+_Z_CELLS = (1 << _Z_BITS) - 1
+_Z_VLO, _Z_VHI = 0.0, 500.0  # events.value domain bound (stats-derived)
+_Z_ULO, _Z_UHI = 0.0, 256.0  # events.user_id domain bound
+
+
+def _z_scale_sql(expr: str, lo: float, hi: float) -> str:
+    return (
+        f"GREATEST(0, LEAST({_Z_CELLS}, CAST(floor("
+        f"(CAST({expr} AS DOUBLE) - {lo}) / {hi - lo} * {_Z_CELLS} + 0.5"
+        f") AS BIGINT)))"
+    )
+
+
+@_register(
+    "events_zorder_cells",
+    f"""
+WITH scaled AS (
+  SELECT {_z_scale_sql("user_id", _Z_ULO, _Z_UHI)} AS u,
+         {_z_scale_sql("value", _Z_VLO, _Z_VHI)} AS v
+  FROM events
+),
+z AS (
+  SELECT {zo.zvalue_sql(["u", "v"], _Z_BITS)} AS zval FROM scaled
+)
+SELECT CAST(zval >> {_Z_BITS} AS BIGINT) AS z_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(zval) AS BIGINT) AS z_min,
+       CAST(MAX(zval) AS BIGINT) AS z_max
+FROM z
+GROUP BY 1
+""",
+)
+def events_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-key cell histogram over events (user_id x value): the exact
+    clustering key ``zorder_write`` lays files out by, as a pure codegen
+    shift/mask expression — bit-identical to the DuckDB replica."""
+    e = fx._read(spark, sf_dir, "events")
+    u = zo.scale_to_bits(F.col("user_id"), _Z_ULO, _Z_UHI, _Z_BITS)
+    v = zo.scale_to_bits(F.col("value"), _Z_VLO, _Z_VHI, _Z_BITS)
+    z = zo.zvalue([u, v], _Z_BITS)
+    return (
+        e.select(z.alias("zval"))
+        .groupBy(
+            F.shiftright("zval", _Z_BITS).cast("bigint").alias("z_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("zval").cast("bigint").alias("z_min"),
+            F.max("zval").cast("bigint").alias("z_max"),
+        )
     )

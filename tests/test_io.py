@@ -205,3 +205,38 @@ def test_python_datasource_partitioned_read(spark):
         .load()
     )
     assert df.exceptAll(again).count() == 0
+
+
+def test_write_sized_caps_file_bytes(spark):
+    # ~200 bytes/row of incompressible-ish data so the calibration has
+    # something real to measure
+    df = spark.range(5_000).select(
+        F.col("id"),
+        F.sha2(F.col("id").cast("string"), 512).alias("a"),
+        F.sha2((F.col("id") + 1).cast("string"), 512).alias("b"),
+    )
+    out = os.path.join(TMP, "sized")
+    target = 64 * 1024
+    cap = eio.write_sized(df, out, target_file_bytes=target, sample_rows=1_000)
+    assert cap > 0
+    # calibration prefix cleaned up
+    assert not os.path.exists(out + "__calibration")
+    files = [
+        os.path.join(out, f)
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    ]
+    assert len(files) > 1  # the cap actually split the output
+    # every file lands at-or-under ~target (parquet footer overhead makes
+    # tiny targets approximate; 1.3x bounds the calibration error)
+    for f in files:
+        assert os.path.getsize(f) <= target * 1.3
+    assert spark.read.parquet(out).count() == 5_000
+
+
+def test_write_sized_empty_input_is_uncapped(spark):
+    df = spark.range(0).select(F.col("id"))
+    out = os.path.join(TMP, "sized_empty")
+    cap = eio.write_sized(df, out, target_file_bytes=1024)
+    assert cap == 0
+    assert spark.read.parquet(out).count() == 0

@@ -410,3 +410,46 @@ def test_event_ts_micros_handles_both_fixture_vintages(spark):
     got_new = new.select(event_ts_micros(new).alias("t")).first()["t"]
     assert got_old == got_new
     assert got_old.microsecond == 123456
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from retail_etl_pipeline_spark.operators.text import scrub_pii
+
+    rows = [
+        (1, "mail a.b+c@ex-ample.co.uk now"),
+        (2, "card 4111 1111 1111 1111 and 5500-0000-0000-0004 here"),
+        (3, "host 192.168.0.1 dial 555-0123"),
+        (4, "clean text, no pii at all"),
+        # version strings are ip-shaped: documented false positive of the
+        # ipv4 rule (regex redaction trades precision for recall)
+        (5, "release 1.2.3.4 notes"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and "<EMAIL>" in out[1]["scrubbed"]
+    assert "a.b+c" not in out[1]["scrubbed"]
+    assert out[2]["n_card"] == 2
+    assert out[2]["scrubbed"].count("<CARD>") == 2
+    assert out[3]["n_ipv4"] == 1 and out[3]["n_phone"] == 1
+    assert "<IP>" in out[3]["scrubbed"] and "<PHONE>" in out[3]["scrubbed"]
+    assert out[4]["scrubbed"] == rows[3][1]
+    assert all(out[4][f"n_{k}"] == 0 for k in ("email", "card", "ipv4", "phone"))
+    assert out[5]["n_ipv4"] == 1  # known false-positive class
+
+
+def test_domain_stats_counts_links_docs_urls(spark):
+    from retail_etl_pipeline_spark.operators.text import domain_stats, extract_urls
+
+    rows = [
+        (1, "see https://a.example/x and https://a.example/y plus http://b.example/z"),
+        (2, "again https://a.example/x trailing"),
+        (3, "no links here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    urls = extract_urls(df).collect()
+    assert len(urls) == 4  # doc 3 contributes nothing (explode drops empties)
+    stats = {r["domain"]: r for r in domain_stats(df).collect()}
+    assert stats["a.example"]["n_links"] == 3
+    assert stats["a.example"]["n_docs"] == 2
+    assert stats["a.example"]["n_urls"] == 2  # /x deduped across docs
+    assert stats["b.example"]["n_links"] == 1
