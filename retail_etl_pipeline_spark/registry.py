@@ -33,6 +33,7 @@ from .functions.metrics import (
 )
 from .functions import zorder as zo
 from .operators import fixtures_adapter as fx
+from .operators import reconcile as rc
 from .operators import retail
 from .plans import weekly_summary as ws
 
@@ -3693,4 +3694,274 @@ def events_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("zval").cast("bigint").alias("z_min"),
             F.max("zval").cast("bigint").alias("z_max"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-series RANGE-frame window: trailing 7-day moving average of daily
+# store revenue. The frame is a RANGE over an integer day index (not ROWS),
+# so gaps in the calendar shrink the window honestly; the window is
+# partitioned by store — parallel across stores, never a global sort. The
+# frame sum runs in exact DECIMAL so the two engines' different sliding-
+# aggregation strategies (running accumulation vs segment tree) cannot
+# diverge in the last ulp before the cents rounding.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "store_revenue_7d_ma",
+    f"""
+WITH {fx.SALES_CTE.strip()},
+daily AS (
+  SELECT store_key,
+         trans_dt,
+         CAST(trans_dt - DATE '1970-01-01' AS BIGINT) AS day_idx,
+         SUM(CAST(sales_amt AS DECIMAL(30,6))) AS rev_dec
+  FROM sales
+  GROUP BY 1, 2, 3
+)
+SELECT store_key,
+       trans_dt,
+       CAST(round(rev_dec, 2) AS DOUBLE) AS daily_rev,
+       {_m("CAST(SUM(rev_dec) OVER w AS DOUBLE) / COUNT(*) OVER w")}
+         AS ma_7d,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_days_7d
+FROM daily
+WINDOW w AS (
+  PARTITION BY store_key
+  ORDER BY day_idx
+  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+)
+""",
+)
+def store_revenue_7d_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average of daily revenue per store (RANGE
+    frame on a day index, partitioned by store)."""
+    s = fx.sales(spark, sf_dir)
+    daily = s.groupBy(
+        "store_key",
+        "trans_dt",
+        F.datediff("trans_dt", F.lit("1970-01-01").cast("date")).alias(
+            "day_idx"
+        ),
+    ).agg(F.sum(F.col("sales_amt").cast("decimal(30,6)")).alias("rev_dec"))
+    w = (
+        Window.partitionBy("store_key")
+        .orderBy("day_idx")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "store_key",
+        "trans_dt",
+        F.round("rev_dec", 2).cast("double").alias("daily_rev"),
+        money(
+            F.sum("rev_dec").over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("ma_7d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_days_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit: orphan counts for every FK edge of the
+# star schema in ONE relation. Each child table is scanned ONCE with all
+# its parent key-sets left-joined in the same pass (markers), so the
+# seven edges cost four fact/dim scans; bounded-cardinality parents
+# (nation, region) are broadcast, big parents go through the planner's
+# shuffle join + AQE. Output: one row per edge.
+# ---------------------------------------------------------------------------
+
+
+def _orphan_sql(child: str, ck: str, parent: str, pk: str, extra: str = "") -> str:
+    return f"""
+SELECT '{child}.{ck}->{parent}.{pk}' AS fk_edge,
+       CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+       CAST(SUM(CASE WHEN NOT EXISTS (
+           SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck}
+         ) THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM {child} c{extra}"""
+
+
+@_register(
+    "fk_orphans_audit",
+    " UNION ALL ".join(
+        [
+            _orphan_sql("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            _orphan_sql("lineitem", "l_partkey", "part", "p_partkey"),
+            _orphan_sql("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+            _orphan_sql("orders", "o_custkey", "customer", "c_custkey"),
+            _orphan_sql("customer", "c_nationkey", "nation", "n_nationkey"),
+            _orphan_sql("supplier", "s_nationkey", "nation", "n_nationkey"),
+            _orphan_sql("nation", "n_regionkey", "region", "r_regionkey"),
+        ]
+    )
+    + " ORDER BY fk_edge",
+)
+def fk_orphans_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-row counts for all seven FK edges of the star schema
+    (``operators/integrity.py``): each child table scanned once for ALL
+    its parents, per-edge rows unioned."""
+    from .operators.integrity import FkEdge, orphan_counts
+
+    def t(name: str) -> DataFrame:
+        return fx._read(spark, sf_dir, name)
+
+    groups = [
+        (
+            t("lineitem"),
+            [
+                FkEdge(
+                    "l_orderkey", t("orders"), "o_orderkey",
+                    "lineitem.l_orderkey->orders.o_orderkey",
+                ),
+                FkEdge(
+                    "l_partkey", t("part"), "p_partkey",
+                    "lineitem.l_partkey->part.p_partkey",
+                ),
+                FkEdge(
+                    "l_suppkey", t("supplier"), "s_suppkey",
+                    "lineitem.l_suppkey->supplier.s_suppkey",
+                ),
+            ],
+        ),
+        (
+            t("orders"),
+            [
+                FkEdge(
+                    "o_custkey", t("customer"), "c_custkey",
+                    "orders.o_custkey->customer.c_custkey",
+                )
+            ],
+        ),
+        (
+            t("customer"),
+            [
+                FkEdge(
+                    "c_nationkey", t("nation"), "n_nationkey",
+                    "customer.c_nationkey->nation.n_nationkey",
+                    broadcast=True,
+                )
+            ],
+        ),
+        (
+            t("supplier"),
+            [
+                FkEdge(
+                    "s_nationkey", t("nation"), "n_nationkey",
+                    "supplier.s_nationkey->nation.n_nationkey",
+                    broadcast=True,
+                )
+            ],
+        ),
+        (
+            t("nation"),
+            [
+                FkEdge(
+                    "n_regionkey", t("region"), "r_regionkey",
+                    "nation.n_regionkey->region.r_regionkey",
+                    broadcast=True,
+                )
+            ],
+        ),
+    ]
+    out = None
+    for child, edges in groups:
+        part = orphan_counts(child, edges)
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("fk_edge")
+
+
+# ---------------------------------------------------------------------------
+# snapshot reconciliation (operators/reconcile.py): anti-entropy diff of
+# two table versions by (key, md5 fingerprint) pairs. The "new" snapshot
+# is derived deterministically from lineitem in-query (drops, mutations,
+# inserts keyed off order/part keys) so both engines diff the same pair
+# of relations; fingerprint inputs are ints/strings only (raw doubles
+# render differently as VARCHAR between engines).
+# ---------------------------------------------------------------------------
+
+_RECON_FP_COLS = ["q_int", "l_returnflag", "l_linestatus"]
+_RECON_OLD_CTE = f"""
+old AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(floor(l_quantity) AS BIGINT) AS q_int,
+         l_returnflag, l_linestatus
+  FROM lineitem
+)"""
+_RECON_NEW_CTE = """
+new AS (
+  -- deletes: every 97th order; mutations: quantity bump on part%31;
+  -- inserts: shifted-linenumber clones of every 89th order
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_partkey % 31 = 0 THEN CAST(floor(l_quantity) AS BIGINT) + 1
+              ELSE CAST(floor(l_quantity) AS BIGINT) END AS q_int,
+         l_returnflag, l_linestatus
+  FROM lineitem WHERE l_orderkey % 97 <> 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber + 100,
+         CAST(floor(l_quantity) AS BIGINT), l_returnflag, l_linestatus
+  FROM lineitem WHERE l_orderkey % 89 = 0
+)"""
+
+
+@_register(
+    "lineitem_snapshot_diff",
+    f"""
+WITH {_RECON_OLD_CTE.strip()},
+{_RECON_NEW_CTE.strip()},
+o AS (
+  SELECT l_orderkey, l_linenumber,
+         {rc.row_fingerprint_sql(_RECON_FP_COLS)} AS fp_old
+  FROM old
+),
+n AS (
+  SELECT l_orderkey, l_linenumber,
+         {rc.row_fingerprint_sql(_RECON_FP_COLS)} AS fp_new
+  FROM new
+)
+SELECT CASE WHEN fp_old IS NULL THEN 'added'
+            WHEN fp_new IS NULL THEN 'removed'
+            WHEN fp_old <> fp_new THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM o FULL OUTER JOIN n USING (l_orderkey, l_linenumber)
+GROUP BY 1
+""",
+)
+def lineitem_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy diff of lineitem vs a simulated next-day snapshot:
+    added/removed/changed/unchanged key counts via (key, md5) pairs."""
+    from .operators.reconcile import snapshot_diff
+
+    li = fx._read(spark, sf_dir, "lineitem")
+    q_int = F.floor("l_quantity").cast("bigint")
+    old = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        q_int.alias("q_int"),
+        "l_returnflag",
+        "l_linestatus",
+    )
+    kept = li.filter(F.col("l_orderkey") % 97 != 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_partkey") % 31 == 0, q_int + 1)
+        .otherwise(q_int)
+        .alias("q_int"),
+        "l_returnflag",
+        "l_linestatus",
+    )
+    inserted = li.filter(F.col("l_orderkey") % 89 == 0).select(
+        "l_orderkey",
+        (F.col("l_linenumber") + 100).alias("l_linenumber"),
+        q_int.alias("q_int"),
+        "l_returnflag",
+        "l_linestatus",
+    )
+    new = kept.unionByName(inserted)
+    return snapshot_diff(
+        old,
+        new,
+        ["l_orderkey", "l_linenumber"],
+        [F.col(c) for c in _RECON_FP_COLS],
     )

@@ -453,3 +453,53 @@ def test_domain_stats_counts_links_docs_urls(spark):
     assert stats["a.example"]["n_docs"] == 2
     assert stats["a.example"]["n_urls"] == 2  # /x deduped across docs
     assert stats["b.example"]["n_links"] == 1
+
+
+def test_orphan_counts_finds_crafted_orphans(spark):
+    from pyspark.sql import functions as FF
+
+    from retail_etl_pipeline_spark.operators.integrity import (
+        FkEdge,
+        orphan_counts,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (None, 20), (5, None)],
+        "a_key int, b_key int",
+    )
+    pa = spark.createDataFrame([(1,), (2,), (5,)], "a int")
+    pb = spark.createDataFrame([(10,), (20,)], "b int")
+    rows = {
+        r["fk_edge"]: r
+        for r in orphan_counts(
+            child,
+            [
+                FkEdge("a_key", pa, "a", "c.a->pa.a"),
+                FkEdge("b_key", FF.broadcast(pb), "b", "c.b->pb.b",
+                       broadcast=True),
+            ],
+        ).collect()
+    }
+    assert rows["c.a->pa.a"]["n_child_rows"] == 5
+    assert rows["c.a->pa.a"]["n_orphans"] == 2  # key 3 + NULL key
+    assert rows["c.b->pb.b"]["n_orphans"] == 2  # 99 + NULL
+
+
+def test_snapshot_diff_classifies_all_statuses(spark):
+    from pyspark.sql import functions as FF
+
+    from retail_etl_pipeline_spark.operators.reconcile import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, s string, v int"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 99), (4, "d", 40)], "k int, s string, v int"
+    )
+    got = {
+        r["status"]: r["n_keys"]
+        for r in snapshot_diff(
+            old, new, ["k"], [FF.col("s"), FF.col("v")]
+        ).collect()
+    }
+    assert got == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
