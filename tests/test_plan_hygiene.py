@@ -455,3 +455,35 @@ def test_corpus_split_single_bounded_aggregate(spark, sf_dir):
     plan = _physical(QUERIES["corpus_split"](spark, sf_dir))
     assert "Join" not in plan and "Window" not in plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_pii_scrub_is_map_only(spark, sf_dir):
+    """The redaction chain is a pure projection: zero exchanges, zero
+    Python evaluation — regexp_replace/extract_all stay JVM-side."""
+    plan = _physical(QUERIES["pii_scrub"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_url_domains_exchanges_are_post_aggregation(spark, sf_dir):
+    """The explode fans out inside the scan stage; every exchange moves
+    (domain, partial-agg) rows, never raw documents."""
+    plan = _physical(QUERIES["url_domains"](spark, sf_dir))
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "domain#" in line, line
+
+
+def test_snapshot_diff_join_moves_fingerprints_not_rows(spark, sf_dir):
+    """Both sides reduce to (key, md5) before the full-outer join: the
+    join's inputs must not carry any payload column."""
+    plan = _optimized(QUERIES["lineitem_snapshot_diff"](spark, sf_dir))
+    assert "Join FullOuter" in plan, plan
+    # the md5 fingerprint is computed in Projects BELOW the join (scan
+    # stage), so the join/exchange payload is (key, fp) — never raw values
+    fp_projects = re.findall(r"Project \[[^\n]*md5\(", plan)
+    assert len(fp_projects) >= 2, plan
+    # and nothing above the join re-references the payload columns: the
+    # aggregate consumes only the status classification of the two fps
+    agg = plan.splitlines()[0]
+    assert "l_returnflag" not in agg and "q_int" not in agg, agg

@@ -226,3 +226,54 @@ def test_corpus_split_partition_of_ids(spark, ids):
         ).collect()
     }
     assert {r["doc_id"]: r["split"] for r in out} == again
+
+
+def test_zvalue_bijective_and_bounded(spark):
+    """Property: the Morton interleave is a bijection on the grid and its
+    output is bounded by 2^(n*bits); verified exhaustively on a 3-bit
+    3-D grid (512 cells)."""
+    from pyspark.sql import functions as F
+
+    from retail_etl_pipeline_spark.functions.zorder import zvalue
+
+    n = 8
+    df = spark.range(n * n * n).select(
+        (F.col("id") % n).alias("x"),
+        ((F.col("id") / n).cast("bigint") % n).alias("y"),
+        ((F.col("id") / (n * n)).cast("bigint")).alias("z"),
+    )
+    vals = [
+        r["m"]
+        for r in df.select(
+            zvalue([F.col("x"), F.col("y"), F.col("z")], 3).alias("m")
+        ).collect()
+    ]
+    assert len(set(vals)) == n * n * n  # bijective
+    assert min(vals) == 0 and max(vals) == n * n * n - 1  # exactly the cube
+
+
+def test_snapshot_diff_partitioning_invariance(spark):
+    """Property: the diff classification is identical under any input
+    partitioning (fingerprints are row-local, the join is keyed)."""
+    from pyspark.sql import functions as F
+
+    from retail_etl_pipeline_spark.operators.reconcile import snapshot_diff
+
+    old = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    new = spark.range(100, 600).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    )
+    base = {
+        r["status"]: r["n_keys"]
+        for r in snapshot_diff(old, new, ["k"], [F.col("v")]).collect()
+    }
+    repart = {
+        r["status"]: r["n_keys"]
+        for r in snapshot_diff(
+            old.repartition(13), new.repartition(3), ["k"], [F.col("v")]
+        ).collect()
+    }
+    assert base == repart
+    assert sum(base.values()) == 600  # every key in old ∪ new classified
