@@ -151,7 +151,11 @@ def merged_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _summary_aggs() -> list:
     """The 13 weekly metrics as single-pass aggregate expressions."""
-    eow = F.struct(F.col("cal_dt"))  # on-hand/on-order are unique per day
+    # max_by orders by the BARE date (unique per day at this grain): a
+    # struct(cal_dt) wrapper is ordering-identical but demotes the whole
+    # aggregation from HashAggregate to SortAggregate (struct max_by is
+    # not hash-aggregable) — measured ~15% slower
+    eow = F.col("cal_dt")
     oos_days = F.count_distinct(
         F.when(F.col("out_of_stock_flg") == 1, F.col("cal_dt"))
     ).cast("double")
@@ -231,7 +235,7 @@ def weekly_summary_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _assembled_from_merged(m: DataFrame) -> DataFrame:
-    eow = F.struct(F.col("cal_dt"))
+    eow = F.col("cal_dt")  # bare date: hash-aggregable (see _summary_aggs)
     sums = m.groupBy(*WEEK_GRAIN).agg(
         money(F.sum("sales_qty")).alias("total_sales_qty"),
         money_sum(F.col("sales_amt")).alias("total_sales_amt"),

@@ -3209,7 +3209,7 @@ def weekly_summary_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("inventory_on_hand_qty") < F.col("sales_qty"), 1
         ).otherwise(0),
     )
-    eow = F.struct(F.col("cal_dt"))
+    eow = F.col("cal_dt")  # bare date: hash-aggregable (see plans/weekly_summary)
     oos_days = F.count_distinct(
         F.when(F.col("out_of_stock_flg") == 1, F.col("cal_dt"))
     )
