@@ -192,6 +192,33 @@ def write_sized(
     return cap
 
 
+def write_with_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    expected_ndv: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet sink with per-column bloom filters for point-lookup skipping.
+
+    Complements the z-order layout (``functions/zorder.py``): min/max
+    stats prune RANGE predicates; bloom filters prune EQUALITY probes on
+    high-cardinality columns whose values are scattered across files
+    (id lookups on data sorted by something else). Readers (Spark's
+    parquet scan included) consult the filter per row group and skip
+    groups that definitely lack the key — at 100 TB that turns an
+    id-probe from a full scan into a handful of row groups, for ~1 byte
+    per distinct value of write-side cost.
+    """
+    writer = df.write.mode(mode)
+    for c in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer = writer.option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv)
+        )
+    writer.parquet(path)
+
+
 def csv_to_table(
     spark: SparkSession, path: str, schema: T.StructType, table: str
 ) -> None:

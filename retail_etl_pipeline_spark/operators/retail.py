@@ -76,9 +76,19 @@ def eow_snapshot_maxby(
 ) -> DataFrame:
     """W1 (single-pass form): ``max_by(value, order)`` inside the groupBy —
     same result as the window form without materializing row numbers; one
-    hash aggregate with partial (map-side) combine instead of a full sort
-    within each partition. Preferred at scale."""
-    ordk = F.struct(*[F.col(c) for c in order_cols])
+    aggregate with partial (map-side) combine instead of a full sort
+    within each partition. Preferred at scale.
+
+    A single order column stays a bare column (hash-aggregable →
+    HashAggregate); a composite tie-break needs a struct ordering key,
+    which demotes the plan to SortAggregate — still partial-combining and
+    parallel, just sort-based within each task. Pass one column when the
+    ordering is already unique."""
+    ordk = (
+        F.col(order_cols[0])
+        if len(order_cols) == 1
+        else F.struct(*[F.col(c) for c in order_cols])
+    )
     return inv.groupBy(*grain).agg(
         *[F.max_by(F.col(src), ordk).alias(dst) for src, dst in value_cols.items()]
     )

@@ -487,3 +487,32 @@ def test_snapshot_diff_join_moves_fingerprints_not_rows(spark, sf_dir):
     # aggregate consumes only the status classification of the two fps
     agg = plan.splitlines()[0]
     assert "l_returnflag" not in agg and "q_int" not in agg, agg
+
+
+def test_runtime_bloom_filter_injected_for_selective_join(spark, sf_dir):
+    """Big-big join with a selective dim filter: when broadcast is off
+    (the 100 TB case where even the filtered dim exceeds the driver),
+    Spark must inject a runtime bloom filter — the fact scan drops
+    non-matching rows BEFORE the shuffle. Thresholds are tuned because
+    fixture relations are far below the production defaults."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        pt = spark.read.parquet(f"{sf_dir}/part.parquet").where("p_size < 5")
+        j = li.join(pt, li.l_partkey == pt.p_partkey).groupBy("p_brand").count()
+        plan = _physical(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
