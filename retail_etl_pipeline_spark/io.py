@@ -219,6 +219,84 @@ def write_with_bloom(
     writer.parquet(path)
 
 
+def read_evolved(
+    spark: SparkSession, path: str, target_schema: T.StructType
+) -> DataFrame:
+    """Schema-evolution read: old files under a NEWER schema.
+
+    Columns added since a file was written come back NULL; the scan stays
+    a plain pruned parquet read. This is the scale-correct alternative to
+    ``mergeSchema=true``, which opens EVERY file footer up front (a
+    100 TB table has millions of footers) just to discover what this
+    call states declaratively. Type WIDENING is out of scope — Spark
+    fails the scan if a file's physical type conflicts with the target;
+    evolve types by rewrite, not by read.
+    """
+    return spark.read.schema(target_schema).parquet(path)
+
+
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    partition: str,
+    target_files: int,
+) -> int:
+    """Small-files compaction for ONE partition directory (e.g.
+    ``date=2024-01-01``): read, coalesce to ``target_files``, rewrite in
+    place. Returns the file count before compaction.
+
+    Streaming/incremental sinks accrete files per micro-batch; scans pay
+    per-file open cost and lose row-group-sized reads. Compacting one
+    partition at a time keeps the rewrite bounded and idempotent (the
+    partition is the unit of overwrite, same as C6 publishing); a full
+    compaction is a loop over partitions, trivially parallel across jobs.
+    ``coalesce`` (not ``repartition``) avoids a shuffle — each output
+    task concatenates existing files.
+    """
+    part_path = f"{path.rstrip('/')}/{partition}"
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(part_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    before = len(
+        [
+            f
+            for f in fs.listStatus(jpath)
+            if f.getPath().getName().endswith(".parquet")
+        ]
+    )
+    df = spark.read.parquet(part_path)
+    tmp = f"{part_path}__compact_tmp"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    fs.delete(jpath, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jpath)
+    return before
+
+
+def prune_run_partitions(
+    spark: SparkSession, path: str, keep_latest: int
+) -> list[str]:
+    """Retention for the C6 ``date=`` layout: delete all but the newest
+    ``keep_latest`` run partitions. Returns the deleted partition names.
+
+    Lexicographic order IS chronological for ``date=YYYY-MM-DD``; the
+    listing is one filesystem call on the table root (partition count,
+    not file count)."""
+    if keep_latest < 1:
+        raise ValueError("keep_latest must be >= 1")
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    parts = sorted(
+        f.getPath().getName()
+        for f in fs.listStatus(jpath)
+        if f.isDirectory() and f.getPath().getName().startswith("date=")
+    )
+    doomed = parts[:-keep_latest] if len(parts) > keep_latest else []
+    for name in doomed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{name}"), True)
+    return doomed
+
+
 def csv_to_table(
     spark: SparkSession, path: str, schema: T.StructType, table: str
 ) -> None:

@@ -266,3 +266,54 @@ def test_write_with_bloom_embeds_filters(spark):
     assert pq_bytes(bloomed) > pq_bytes(plain) + 4096
     # and the data is unchanged
     assert spark.read.parquet(bloomed).count() == 20_000
+
+
+def test_read_evolved_null_fills_new_columns(spark):
+    from pyspark.sql import types as T
+
+    out = os.path.join(TMP, "evolved")
+    spark.range(10).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).write.mode("overwrite").parquet(out)
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("added_later", T.StringType()),
+        ]
+    )
+    back = eio.read_evolved(spark, out, target)
+    assert back.columns == ["id", "v", "added_later"]
+    rows = back.collect()
+    assert len(rows) == 10
+    assert all(r["added_later"] is None for r in rows)
+    assert {r["v"] for r in rows} == {2 * i for i in range(10)}
+
+
+def test_compact_partition_reduces_files_keeps_rows(spark):
+    out = os.path.join(TMP, "compact")
+    df = spark.range(1000).select(
+        F.col("id"), F.lit("2024-01-01").cast("date").alias("date")
+    )
+    df.repartition(8).write.partitionBy("date").mode("overwrite").parquet(out)
+    part = "date=2024-01-01"
+    n_before = eio.compact_partition(spark, out, part, target_files=2)
+    assert n_before == 8
+    files = [
+        f for f in os.listdir(os.path.join(out, part)) if f.endswith(".parquet")
+    ]
+    assert len(files) == 2
+    assert spark.read.parquet(out).count() == 1000
+
+
+def test_prune_run_partitions_keeps_newest(spark):
+    out = os.path.join(TMP, "retention")
+    for d in ("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"):
+        eio.write_run_partition(spark.range(5), out, d)
+    deleted = eio.prune_run_partitions(spark, out, keep_latest=2)
+    assert deleted == ["date=2024-01-01", "date=2024-01-02"]
+    left = sorted(
+        d for d in os.listdir(out) if d.startswith("date=")
+    )
+    assert left == ["date=2024-01-03", "date=2024-01-04"]
+    assert spark.read.parquet(out).count() == 10
