@@ -3965,3 +3965,100 @@ def lineitem_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_orderkey", "l_linenumber"],
         [F.col(c) for c in _RECON_FP_COLS],
     )
+
+
+# ---------------------------------------------------------------------------
+# bitwise activity bitmap: per-user weekday activity as one integer (bit
+# i = active on ISO weekday i), rolled up to a distribution of users by
+# active-day count. Bitmap aggregation (bit_or) is THE compact rollup for
+# presence-style facts at 100 TB: the per-user state is 4 bytes whatever
+# the event volume, partials combine map-side, and bit_count replaces a
+# count_distinct expansion.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "user_activity_bitmap",
+    f"""
+WITH {fx.EVENTS_STREAM_CTE.strip()},
+per_user AS (
+  SELECT user_id,
+         bit_or(1 << (isodow(ts) - 1)) AS mask
+  FROM events_norm
+  GROUP BY user_id
+)
+SELECT CAST(bit_count(mask) AS INTEGER) AS n_active_weekdays,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MIN(mask) AS INTEGER) AS min_mask,
+       CAST(MAX(mask) AS INTEGER) AS max_mask
+FROM per_user
+GROUP BY 1
+""",
+)
+def user_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users by number of distinct active ISO weekdays, via bit_or of a
+    7-bit weekday mask (Spark ``weekday`` = 0-Monday = DuckDB isodow-1)."""
+    ev = fx.events_stream(spark, sf_dir)
+    # SQL shiftleft: the Python wrapper only takes a literal bit count
+    per = ev.groupBy("user_id").agg(
+        F.bit_or(F.expr("shiftleft(1, weekday(ts))")).alias("mask")
+    )
+    return per.groupBy(
+        F.bit_count("mask").cast("int").alias("n_active_weekdays")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("mask").cast("int").alias("min_mask"),
+        F.max("mask").cast("int").alias("max_mask"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus trigram frequency table (the canonical MapReduce workload): word
+# 3-grams via posexplode + lead() windows (native, codegen — HOF lambdas
+# are interpreted), two-phase count on the gram string, top-k via
+# TakeOrdered with a full deterministic tiebreak. At 100 TB the shuffle
+# carries (gram, partial count) pairs and the top-k merge moves
+# k x partitions rows — never the full gram table.
+# ---------------------------------------------------------------------------
+
+_TRIGRAM_K = 100
+
+
+@_register(
+    "trigram_topk",
+    f"""
+WITH grams AS (
+  SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+  FROM (
+    SELECT doc_id, {tx.TOKENS_SQL.format(c="text")} AS t FROM documents
+  ) AS d, unnest(range(1, len(t) - 1)) AS r(i)
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+FROM grams
+GROUP BY gram
+ORDER BY n DESC, gram ASC
+LIMIT {_TRIGRAM_K}
+""",
+)
+def trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} corpus word trigrams by frequency (deterministic
+    count-desc, gram-asc order)."""
+    from pyspark.sql import Window as W
+
+    d = fx._read(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(tx.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    t1 = F.lead("tok", 1).over(w)
+    t2 = F.lead("tok", 2).over(w)
+    grams = toks.select(
+        F.concat_ws(" ", F.col("tok"), t1, t2).alias("gram"),
+        t2.alias("_last"),
+    ).where(F.col("_last").isNotNull())
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(_TRIGRAM_K)
+    )
