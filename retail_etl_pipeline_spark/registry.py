@@ -4062,3 +4062,39 @@ def trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("gram"))
         .limit(_TRIGRAM_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# language-ID evaluation: confusion counts of predicted vs labeled lang.
+# Pure re-aggregation of the language_id projection (map-only) into one
+# bounded-key hash agg (|langs|² cells) — the classifier-eval pattern at
+# corpus scale: the expensive per-doc scoring never leaves the scan
+# stage, only (true, pred, partial count) triples shuffle.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "language_id_confusion",
+    f"""
+WITH scored AS ({tx.LANGUAGE_ID_SQL.strip()})
+SELECT lang_true,
+       lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN lang_true = lang_pred THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct
+FROM scored
+GROUP BY 1, 2
+""",
+)
+def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-cell counts for the stopword-marker language classifier
+    against the fixtures' ground-truth ``lang`` label."""
+    scored = tx.language_id(fx._read(spark, sf_dir, "documents"))
+    return scored.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("lang_true") == F.col("lang_pred"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+    )
