@@ -4098,3 +4098,50 @@ def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_correct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# unpivot/melt: the weekly rollup reshaped long — (grain, metric, value)
+# — the standard feed for metric stores and plotting layers. Spark's
+# unpivot/stack is a zero-shuffle projection: each input row fans out to
+# |metrics| rows inside the scan stage, and the expensive part (the
+# rollup itself) is the same single-shuffle aggregate it always was.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "weekly_rollup_long",
+    f"""
+WITH {fx.SALES_CTE.strip()},
+wide AS (
+  SELECT {_W_TRANS} AS yr_wk_num,
+         store_key,
+         prod_key,
+         {_m("SUM(sales_qty)")} AS total_sales_qty,
+         {_ms("sales_amt")} AS total_sales_amt,
+         {_ms("sales_cost")} AS total_sales_cost
+  FROM sales
+  GROUP BY 1, 2, 3
+)
+SELECT yr_wk_num, store_key, prod_key, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (
+  total_sales_qty, total_sales_amt, total_sales_cost
+))
+""",
+)
+def weekly_rollup_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekly rollup melted to (grain, metric, value) via unpivot —
+    a map-side fan-out above the same single-shuffle aggregate."""
+    s = retail.add_week(fx.sales(spark, sf_dir), "trans_dt")
+    wide = s.groupBy("yr_wk_num", "store_key", "prod_key").agg(
+        money(F.sum("sales_qty")).alias("total_sales_qty"),
+        money_sum(F.col("sales_amt")).alias("total_sales_amt"),
+        money_sum(F.col("sales_cost")).alias("total_sales_cost"),
+    )
+    return wide.unpivot(
+        ["yr_wk_num", "store_key", "prod_key"],
+        ["total_sales_qty", "total_sales_amt", "total_sales_cost"],
+        "metric",
+        "value",
+    )

@@ -68,3 +68,52 @@ def test_salted_join_equals_direct(spark):
     assert sorted(map(tuple, direct.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime proof of the SCALE.md claim that AQE handles hot JOIN keys:
+    a 95%-one-key build side must execute as SortMergeJoin(skew=true)
+    with an `AQEShuffleRead skewed` on the fat side (thresholds tuned to
+    fixture bytes).
+
+    Two conditions the production design must respect, learned here:
+    AQE only splits when nothing downstream relies on the join's hash
+    partitioning (a groupBy on the join key would forbid the split —
+    exactly why the hot-GROUP-BY path needs functions/skew.py salting
+    instead), and partition coalescing is turned off so the skew
+    detector sees the raw partition sizes at these tiny volumes.
+    """
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 100 < 95, 7)
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        j = left.join(right, "k").select(F.sum(F.length("pad")).alias("s"))
+        j.collect()  # the SAME QueryExecution must run for the final plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
