@@ -35,6 +35,8 @@ def scale_to_bits(c: Column, lo: float, hi: float, bits: int) -> Column:
     from table statistics. Out-of-range values clamp to the grid edges, so
     a stale bound degrades locality but never correctness.
     """
+    if not hi > lo:
+        raise ValueError(f"scale_to_bits needs hi > lo, got [{lo}, {hi}]")
     cells = (1 << bits) - 1
     scaled = (c.cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
     idx = F.floor(scaled * cells + F.lit(0.5)).cast("bigint")
