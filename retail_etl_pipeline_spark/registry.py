@@ -4145,3 +4145,154 @@ def weekly_rollup_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+# ---------------------------------------------------------------------------
+# median aggregation (per brand): F.median and DuckDB median both take
+# the midpoint average on even counts — aligned through the money hop.
+# At scale median is a per-group sort of group-local values (same class
+# as exact percentiles); approx_percentile is the mergeable-sketch swap.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "brand_price_median",
+    f"""
+SELECT p_brand,
+       {_m("median(p_retailprice)")} AS median_price,
+       CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM part
+GROUP BY p_brand
+""",
+)
+def brand_price_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median retail price per brand (midpoint interpolation on even
+    counts in both engines)."""
+    p = fx._read(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        money(F.median("p_retailprice")).alias("median_price"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# blocked string similarity: near-identical part names via a BLOCKING-KEY
+# equi-join (shared head noun) + Levenshtein verify — the scalable shape
+# for fuzzy matching: candidate pairs come from an equi-join on a cheap
+# key, the O(len²) edit distance runs only on candidates, and the
+# all-pairs cross join never exists. Same architecture as the MinHash
+# band join, for strings instead of shingle sets.
+# ---------------------------------------------------------------------------
+
+_LEV_MAX = 4
+
+
+@_register(
+    "similar_part_names",
+    f"""
+WITH names AS (
+  SELECT DISTINCT p_name,
+         split_part(p_name, ' ', 2) AS block_key
+  FROM part
+)
+SELECT a.p_name AS name_a,
+       b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+FROM names a
+JOIN names b
+  ON a.block_key = b.block_key AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {_LEV_MAX}
+""",
+)
+def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical part-name pairs: block on the shared noun, verify
+    with Levenshtein <= {k} — candidate-only edit distance."""
+    names = (
+        fx._read(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("block_key", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)))
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .where(lev <= _LEV_MAX)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            lev.cast("int").alias("edit_dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# calendar densification (gap filling): per-store missing sales days via
+# sequence() + explode + left-anti join — the spine generation every
+# time-series layer needs. The spine explodes executor-side from one
+# (min, max) row per store (no driver loop, no cross join with a global
+# calendar); the anti-join probes the actual day set. The oracle counts
+# the same gaps arithmetically (range length minus distinct active days)
+# — same relation, independent derivation.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "missing_sales_days",
+    f"""
+WITH {fx.SALES_CTE.strip()}
+SELECT store_key,
+       CAST(MAX(trans_dt) - MIN(trans_dt) + 1 AS BIGINT) AS n_days_span,
+       CAST(COUNT(DISTINCT trans_dt) AS BIGINT) AS n_active_days,
+       CAST(MAX(trans_dt) - MIN(trans_dt) + 1
+            - COUNT(DISTINCT trans_dt) AS BIGINT) AS n_missing_days
+FROM sales
+GROUP BY store_key
+""",
+)
+def missing_sales_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-store day-spine densification: how many calendar days inside
+    the store's own [first, last] sales window had no sales."""
+    s = fx.sales(spark, sf_dir).select("store_key", "trans_dt")
+    span = s.groupBy("store_key").agg(
+        F.min("trans_dt").alias("d0"),
+        F.max("trans_dt").alias("d1"),
+        F.count_distinct("trans_dt").alias("n_active_days"),
+    )
+    spine = span.select(
+        "store_key",
+        "n_active_days",
+        F.explode(F.sequence("d0", "d1")).alias("cal_dt"),
+    )
+    actual = s.distinct()
+    missing = (
+        spine.join(
+            actual,
+            (spine.store_key == actual.store_key)
+            & (spine.cal_dt == actual.trans_dt),
+            "left_anti",
+        )
+        .groupBy("store_key", "n_active_days")
+        .agg(F.count(F.lit(1)).alias("n_missing_days"))
+    )
+    # stores with zero gaps drop out of the anti-join: restore them
+    return (
+        span.select("store_key", "n_active_days")
+        .join(missing.select("store_key", "n_missing_days"), "store_key", "left")
+        .select(
+            "store_key",
+            (
+                F.col("n_active_days")
+                + F.coalesce(F.col("n_missing_days"), F.lit(0))
+            ).cast("bigint").alias("n_days_span"),
+            F.col("n_active_days").cast("bigint"),
+            F.coalesce(F.col("n_missing_days"), F.lit(0))
+            .cast("bigint")
+            .alias("n_missing_days"),
+        )
+    )
