@@ -4206,7 +4206,14 @@ WHERE levenshtein(a.p_name, b.p_name) <= {_LEV_MAX}
 )
 def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-identical part-name pairs: block on the shared noun, verify
-    with Levenshtein <= {k} — candidate-only edit distance."""
+    with Levenshtein <= {k} — candidate-only edit distance.
+
+    Recall contract: candidates are DEFINED by the block (same-noun
+    family) — cross-noun pairs are out of scope even when their raw edit
+    distance is small, the standard entity-resolution trade where the
+    blocking key encodes the match intent. A guaranteed-recall variant
+    needs an overlap-style scheme (q-gram pigeonhole blocks, like the
+    SimHash 4-block join) at ~q× the candidate volume."""
     names = (
         fx._read(spark, sf_dir, "part")
         .select("p_name")
