@@ -25,10 +25,22 @@ placement (offsets are derived from actual partition contents), so the
 results are stable across runs and partition counts. Callers must make
 the order total (include a unique tiebreaker column), as with any
 cross-engine-comparable window.
+
+Cache lifecycle: the persist is REQUIRED for correctness (the statistics
+pass and the final plan must observe the identical range partitioning;
+an unpersisted recompute could legally sample different boundaries) and
+it cannot be released inside these functions — the returned DataFrame is
+lazy and still reads it. The contract is therefore: consume the result,
+then ``spark.catalog.clearCache()`` (or unpersist via
+``spark.sparkContext._jsc``-level cache inspection). The repo's bench
+and replica loops both do this between queries; long-lived sessions
+embedding these operators must do the same or accumulate cached
+partials.
 """
 
 from __future__ import annotations
 
+import re
 from decimal import Decimal
 
 from pyspark.sql import Column, DataFrame
@@ -108,16 +120,39 @@ def with_running_sum(
     value_col: str,
     running_col: str = "running",
     num_partitions: int | None = None,
-    sum_type: str = "decimal(38,2)",
+    sum_type: str | None = None,
 ) -> tuple[DataFrame, Decimal]:
     """Exact running sum of ``value_col`` in ``order`` (rows from the
     first row through the current one), plus the exact grand total.
 
-    ``value_col`` should be a DECIMAL column so per-partition partials,
-    driver-side offset accumulation, and the partition-local cumulative
-    window are all exact and order-independent. Plan shape mirrors
-    :func:`with_global_rank` with SUM partials instead of counts.
+    ``value_col`` MUST be a DECIMAL column (enforced) so per-partition
+    partials, driver-side offset accumulation, and the partition-local
+    cumulative window are all exact and order-independent — a double
+    column would both break the Decimal offset arithmetic and forfeit
+    the exactness contract. ``sum_type`` defaults to
+    ``decimal(38, <input scale>)``; an explicit override must not lose
+    scale (enforced — a narrower scale would silently round each
+    partition offset). Plan shape mirrors :func:`with_global_rank` with
+    SUM partials instead of counts.
     """
+    from pyspark.sql.types import DecimalType
+
+    in_type = df.schema[value_col].dataType
+    if not isinstance(in_type, DecimalType):
+        raise TypeError(
+            f"with_running_sum needs a DECIMAL value column for exact, "
+            f"order-independent prefix sums; {value_col} is "
+            f"{in_type.simpleString()} — cast it first"
+        )
+    if sum_type is None:
+        sum_type = f"decimal(38,{in_type.scale})"
+    else:
+        m = re.fullmatch(r"decimal\(\s*\d+\s*,\s*(\d+)\s*\)", sum_type.lower())
+        if not m or int(m.group(1)) < in_type.scale:
+            raise ValueError(
+                f"sum_type {sum_type!r} would lose scale vs input "
+                f"{in_type.simpleString()}"
+            )
     d = _range_partitioned(df, order, num_partitions).persist()
     sums = {
         r[_PID]: r["s"]

@@ -16,6 +16,7 @@ Covers the reference's scan/sink surface, Spark-first:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -148,6 +149,7 @@ def write_sized(
     sample_rows: int = 50_000,
     mode: str = "overwrite",
     safety: float = 0.9,
+    persist_input: bool = False,
 ) -> int:
     """Byte-TARGETED sink: cap output files near ``target_file_bytes``.
 
@@ -170,8 +172,17 @@ def write_sized(
     direction. Returns the records-per-file cap used (0 = uncapped: empty
     input). The cap bounds file size, not task memory — writer memory is
     governed by partition sizing as usual.
+
+    Cost note: the calibration write re-executes ``df``'s upstream DAG
+    (``limit`` only short-circuits plain scans). Pass
+    ``persist_input=True`` when the input is an expensive derived frame
+    that fits cache — it is persisted across both writes and released
+    after. For inputs too large to cache, calibrate bytes/row offline
+    (table stats) and set ``maxRecordsPerFile`` directly instead.
     """
     spark = df.sparkSession
+    if persist_input:
+        df = df.persist()
     calib = path.rstrip("/") + "__calibration"
     df.limit(sample_rows).write.mode("overwrite").format(fmt).save(calib)
 
@@ -189,6 +200,8 @@ def write_sized(
         cap = max(1, int(safety * target_file_bytes / bytes_per_row))
         writer = writer.option("maxRecordsPerFile", cap)
     writer.save(path)
+    if persist_input:
+        df.unpersist()
     return cap
 
 
@@ -242,21 +255,42 @@ def compact_partition(
     target_files: int,
 ) -> int:
     """Small-files compaction for ONE partition directory (e.g.
-    ``date=2024-01-01``): read, coalesce to ``target_files``, rewrite in
-    place. Returns the file count before compaction.
+    ``date=2024-01-01``): read, coalesce to ``target_files``, republish.
+    Returns the file count before compaction.
 
     Streaming/incremental sinks accrete files per micro-batch; scans pay
     per-file open cost and lose row-group-sized reads. Compacting one
-    partition at a time keeps the rewrite bounded and idempotent (the
-    partition is the unit of overwrite, same as C6 publishing); a full
-    compaction is a loop over partitions, trivially parallel across jobs.
-    ``coalesce`` (not ``repartition``) avoids a shuffle — each output
-    task concatenates existing files.
+    partition at a time keeps the rewrite bounded; a full compaction is
+    a loop over partitions, trivially parallel across jobs. ``coalesce``
+    (not ``repartition``) avoids a shuffle — each output task
+    concatenates existing files.
+
+    Publish protocol (one writer per partition — different partitions
+    compact in parallel; readers of the table root never see staging
+    data): the compacted copy is written OUTSIDE the table root
+    (``<table>.__compact__/<partition>``, invisible to partition
+    discovery), then the live directory is swapped via two same-FS
+    renames (live -> trash, staged -> live) and the trash deleted. No
+    window exists where the partition is both live and duplicated. A
+    crash between the renames leaves the partition ABSENT but both
+    copies intact (staging + trash) — recoverable, never silent loss;
+    a leftover staging/trash dir also makes the interruption detectable
+    on the next run (this function refuses to start until it's cleared).
     """
-    part_path = f"{path.rstrip('/')}/{partition}"
+    root = path.rstrip("/")
+    part_path = f"{root}/{partition}"
     jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(part_path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    jpath = hpath(part_path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    staged = hpath(f"{root}.__compact__/{partition}")
+    trash = hpath(f"{root}.__compact_trash__/{partition}")
+    if fs.exists(staged) or fs.exists(trash):
+        raise RuntimeError(
+            f"leftover compaction state for {partition} "
+            f"(a previous run crashed mid-swap): inspect/restore "
+            f"{staged} / {trash}, then delete both"
+        )
     before = len(
         [
             f
@@ -265,10 +299,17 @@ def compact_partition(
         ]
     )
     df = spark.read.parquet(part_path)
-    tmp = f"{part_path}__compact_tmp"
-    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    fs.delete(jpath, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jpath)
+    df.coalesce(target_files).write.mode("overwrite").parquet(str(staged))
+    fs.mkdirs(trash.getParent())
+    if not fs.rename(jpath, trash):
+        raise RuntimeError(f"could not move live partition {part_path} aside")
+    if not fs.rename(staged, jpath):
+        # put the original back before failing
+        fs.rename(trash, jpath)
+        raise RuntimeError(f"could not publish compacted {part_path}")
+    fs.delete(trash, True)
+    # leave the (now empty for this partition) staging/trash parents in
+    # place: other partitions may be compacting in parallel under them
     return before
 
 
@@ -286,10 +327,15 @@ def prune_run_partitions(
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    # strict date=YYYY-MM-DD match: a looser startswith("date=") would
+    # count stray directories (e.g. crashed-job leftovers) as run
+    # partitions, letting them consume keep_latest slots and push a REAL
+    # partition over the deletion edge
     parts = sorted(
         f.getPath().getName()
         for f in fs.listStatus(jpath)
-        if f.isDirectory() and f.getPath().getName().startswith("date=")
+        if f.isDirectory()
+        and re.fullmatch(r"date=\d{4}-\d{2}-\d{2}", f.getPath().getName())
     )
     doomed = parts[:-keep_latest] if len(parts) > keep_latest else []
     for name in doomed:

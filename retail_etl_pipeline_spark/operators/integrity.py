@@ -41,18 +41,22 @@ def orphan_counts(child: DataFrame, edges: list[FkEdge]) -> DataFrame:
     upstream if intentional)."""
     if not edges:
         raise ValueError("orphan_counts needs at least one FkEdge")
-    j = child.select(*[e.child_key for e in edges])
-    # markers are index-named: edge labels are free-form strings (dots,
-    # arrows) that F.col would parse as struct paths
+    # select each child key ONCE (two edges may share a child column)
+    j = child.select(*dict.fromkeys(e.child_key for e in edges))
+    # markers and parent keys are index-named: edge labels are free-form
+    # strings (dots, arrows) that F.col would parse as struct paths, and
+    # a parent key named like the child key (nation_key -> nation_key,
+    # the common star-schema convention) would make the join condition
+    # ambiguous
     for i, e in enumerate(edges):
         keys = (
-            e.parent.select(F.col(e.parent_key))
+            e.parent.select(F.col(e.parent_key).alias(f"_pk_{i}"))
             .distinct()
             .withColumn(f"_in_{i}", F.lit(1))
         )
         if e.broadcast:
             keys = F.broadcast(keys)
-        j = j.join(keys, F.col(e.child_key) == F.col(e.parent_key), "left")
+        j = j.join(keys, F.col(e.child_key) == F.col(f"_pk_{i}"), "left")
     agg = j.agg(
         F.count(F.lit(1)).alias("n"),
         *[_miss(f"_in_{i}").alias(f"m_{i}") for i in range(len(edges))],

@@ -4303,3 +4303,55 @@ def missing_sales_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_missing_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pandas-on-Spark surface (pyspark.pandas): the same relational work
+# through the pandas API, compiling to the identical Catalyst plan — the
+# migration path for pandas-shaped code. Scale guards: the default-index
+# type is forced to 'distributed' (the default 'sequence' index builds a
+# GLOBAL order — exactly the empty-partition window this repo bans), and
+# the result returns to a plain DataFrame via to_spark() so nothing
+# driver-side materializes.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pandas_api_brand_profile",
+    """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       AVG(p_size) AS avg_size,
+       CAST(MAX(p_retailprice) AS DOUBLE) AS max_price
+FROM part
+GROUP BY p_brand
+""",
+)
+def pandas_api_brand_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand profile via the pandas API on Spark (groupby/agg/reset_index
+    -> to_spark). The mean is exact in double (integer sums < 2^53), so
+    no decimal hop is needed."""
+    import pyspark.pandas as ps
+
+    # option_context, not set_option: the index-type choice must not leak
+    # to other pandas-on-Spark users in the process. The conversion goes
+    # through fx._read so the fixture path convention and session confs
+    # stay in one place.
+    with ps.option_context("compute.default_index_type", "distributed"):
+        pdf = fx._read(spark, sf_dir, "part").pandas_api()
+        out = (
+            pdf.groupby("p_brand")
+            .agg(
+                n_parts=("p_partkey", "count"),
+                avg_size=("p_size", "mean"),
+                max_price=("p_retailprice", "max"),
+            )
+            .reset_index()
+        )
+        sdf = out.to_spark()
+    return sdf.select(
+        "p_brand",
+        F.col("n_parts").cast("bigint"),
+        "avg_size",
+        F.col("max_price").cast("double"),
+    )

@@ -57,6 +57,11 @@ def main() -> int:
         if problems:
             n_bad += 1
         print(f"[{i + 1}/{len(wanted)}] {name}: {status} ({dt:.1f}s)", flush=True)
+        # release relations queries persist (ordered.py two-level ops,
+        # shared shingle relations): leaked cache entries both squeeze
+        # memory over a 130-query sweep and get substituted into later
+        # queries' plans by the CacheManager
+        spark.catalog.clearCache()
     print(f"DONE bad={n_bad}", flush=True)
     spark.stop()
     return 1 if n_bad else 0

@@ -317,3 +317,39 @@ def test_prune_run_partitions_keeps_newest(spark):
     )
     assert left == ["date=2024-01-03", "date=2024-01-04"]
     assert spark.read.parquet(out).count() == 10
+
+
+def test_compact_partition_refuses_leftover_state(spark):
+    out = os.path.join(TMP, "compact_leftover")
+    df = spark.range(100).select(
+        F.col("id"), F.lit("2024-02-02").cast("date").alias("date")
+    )
+    df.repartition(4).write.partitionBy("date").mode("overwrite").parquet(out)
+    # simulate a crashed previous run: staging dir left behind
+    staged = out.rstrip("/") + ".__compact__/date=2024-02-02"
+    os.makedirs(staged, exist_ok=True)
+    with pytest.raises(RuntimeError, match="leftover compaction state"):
+        eio.compact_partition(spark, out, "date=2024-02-02", target_files=1)
+    shutil.rmtree(out.rstrip("/") + ".__compact__")
+    # and after clearing it, compaction proceeds
+    assert eio.compact_partition(
+        spark, out, "date=2024-02-02", target_files=1
+    ) == 4
+    assert spark.read.parquet(out).count() == 100
+
+
+def test_prune_run_partitions_ignores_non_date_dirs(spark):
+    out = os.path.join(TMP, "retention_strict")
+    for d in ("2024-03-01", "2024-03-02", "2024-03-03"):
+        eio.write_run_partition(spark.range(3), out, d)
+    # a crashed-job leftover that lexically sorts between real partitions
+    os.makedirs(os.path.join(out, "date=2024-03-01__garbage"), exist_ok=True)
+    deleted = eio.prune_run_partitions(spark, out, keep_latest=2)
+    assert deleted == ["date=2024-03-01"]
+    left = sorted(d for d in os.listdir(out) if d.startswith("date="))
+    # the garbage dir is not a run partition: neither counted nor deleted
+    assert left == [
+        "date=2024-03-01__garbage",
+        "date=2024-03-02",
+        "date=2024-03-03",
+    ]

@@ -503,3 +503,20 @@ def test_snapshot_diff_classifies_all_statuses(spark):
         ).collect()
     }
     assert got == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_orphan_counts_same_named_fk_columns(spark):
+    """The star-schema common case: child FK column named identically to
+    the parent key must not be ambiguous."""
+    from retail_etl_pipeline_spark.operators.integrity import (
+        FkEdge,
+        orphan_counts,
+    )
+
+    child = spark.createDataFrame([(1,), (2,), (9,)], "nation_key int")
+    parent = spark.createDataFrame([(1,), (2,)], "nation_key int")
+    rows = orphan_counts(
+        child, [FkEdge("nation_key", parent, "nation_key", "c->p")]
+    ).collect()
+    assert rows[0]["n_child_rows"] == 3
+    assert rows[0]["n_orphans"] == 1

@@ -110,3 +110,27 @@ def test_global_rank_no_single_task_stage(spark):
     for line in opt.splitlines():
         if "Window [" in line:
             assert "_range_pid" in line, line
+
+
+def test_with_running_sum_rejects_non_decimal(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from retail_etl_pipeline_spark.functions.ordered import with_running_sum
+
+    df = spark.range(10).select(F.col("id"), (F.col("id") * 1.5).alias("v"))
+    with pytest.raises(TypeError, match="DECIMAL"):
+        with_running_sum(df, [F.asc("id")], "v")
+
+
+def test_with_running_sum_rejects_scale_loss(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from retail_etl_pipeline_spark.functions.ordered import with_running_sum
+
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id").cast("decimal(20,6)")).alias("v")
+    )
+    with pytest.raises(ValueError, match="lose scale"):
+        with_running_sum(df, [F.asc("id")], "v", sum_type="decimal(38,2)")
