@@ -288,8 +288,8 @@ def compact_partition(
     if fs.exists(staged) or fs.exists(trash):
         raise RuntimeError(
             f"leftover compaction state for {partition} "
-            f"(a previous run crashed mid-swap): inspect/restore "
-            f"{staged} / {trash}, then delete both"
+            f"(a previous run crashed mid-swap): run "
+            f"recover_compaction() first"
         )
     before = len(
         [
@@ -311,6 +311,46 @@ def compact_partition(
     # leave the (now empty for this partition) staging/trash parents in
     # place: other partitions may be compacting in parallel under them
     return before
+
+
+def recover_compaction(
+    spark: SparkSession, path: str, partition: str
+) -> str:
+    """Repair a partition after a :func:`compact_partition` crash.
+
+    Inspects the staging/trash state the crashed run left and restores a
+    consistent live partition. Returns what it did:
+
+    - ``"completed"``: live was missing, the compacted copy was staged →
+      publish it (the crash hit between the two renames, after the
+      staged write finished; the staged copy is complete by
+      construction) and drop the trash copy;
+    - ``"rolled_back"``: live missing, no usable staged copy → restore
+      the trash (pre-compaction) copy;
+    - ``"cleaned"``: live present (crash before the swap started) →
+      delete leftover staging;
+    - ``"noop"``: nothing to repair.
+    """
+    root = path.rstrip("/")
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    live = hpath(f"{root}/{partition}")
+    staged = hpath(f"{root}.__compact__/{partition}")
+    trash = hpath(f"{root}.__compact_trash__/{partition}")
+    fs = live.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(live):
+        changed = fs.delete(staged, True) | fs.delete(trash, True)
+        return "cleaned" if changed else "noop"
+    if fs.exists(staged):
+        if not fs.rename(staged, live):
+            raise RuntimeError(f"could not publish staged copy to {live}")
+        fs.delete(trash, True)
+        return "completed"
+    if fs.exists(trash):
+        if not fs.rename(trash, live):
+            raise RuntimeError(f"could not restore trash copy to {live}")
+        return "rolled_back"
+    return "noop"
 
 
 def prune_run_partitions(

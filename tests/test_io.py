@@ -353,3 +353,40 @@ def test_prune_run_partitions_ignores_non_date_dirs(spark):
         "date=2024-03-02",
         "date=2024-03-03",
     ]
+
+
+def test_recover_compaction_all_states(spark):
+    import shutil as sh
+
+    out = os.path.join(TMP, "recover")
+    part = "date=2024-04-01"
+    df = spark.range(60).select(
+        F.col("id"), F.lit("2024-04-01").cast("date").alias("date")
+    )
+    df.repartition(3).write.partitionBy("date").mode("overwrite").parquet(out)
+    live = os.path.join(out, part)
+    staged_root = out.rstrip("/") + ".__compact__"
+    trash_root = out.rstrip("/") + ".__compact_trash__"
+
+    # nothing to do
+    assert eio.recover_compaction(spark, out, part) == "noop"
+
+    # crash before the swap: live intact, staging leftover -> cleaned
+    os.makedirs(os.path.join(staged_root, part), exist_ok=True)
+    assert eio.recover_compaction(spark, out, part) == "cleaned"
+    assert not os.path.exists(os.path.join(staged_root, part))
+
+    # crash between the renames: live gone, staged complete -> completed
+    os.makedirs(staged_root, exist_ok=True)
+    sh.copytree(live, os.path.join(staged_root, part))
+    os.makedirs(trash_root, exist_ok=True)
+    sh.move(live, os.path.join(trash_root, part))
+    assert eio.recover_compaction(spark, out, part) == "completed"
+    assert spark.read.parquet(out).count() == 60
+    assert not os.path.exists(os.path.join(trash_root, part))
+
+    # live gone, only the trash copy -> rolled back
+    os.makedirs(trash_root, exist_ok=True)
+    sh.move(live, os.path.join(trash_root, part))
+    assert eio.recover_compaction(spark, out, part) == "rolled_back"
+    assert spark.read.parquet(out).count() == 60
