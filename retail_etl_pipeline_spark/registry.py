@@ -4355,3 +4355,33 @@ def pandas_api_brand_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_size",
         F.col("max_price").cast("double"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance (operators/incremental.py): the weekly
+# rollup produced by MERGING two independently-computed partial states
+# (history ∪ delta) instead of one scan — shares the direct rollup's
+# oracle, so the driver proves merge(partials(A), partials(B)) ==
+# direct(A ∪ B) bit-for-bit. The run-over-run pattern that makes a daily
+# 100 TB pipeline O(delta), not O(history).
+# ---------------------------------------------------------------------------
+
+
+@_register("incremental_weekly_rollup", _ROLLUP_ORACLE)
+def incremental_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly rollup via mergeable partials: the fact is split into two
+    disjoint 'runs' (orderkey parity stands in for history vs today),
+    each aggregated to partial state independently, the states merged,
+    then finalized — decimal partials make the merge exact on any
+    grouping of runs."""
+    from .operators.incremental import (
+        finalize_rollup,
+        merge_partials,
+        rollup_partials,
+    )
+
+    s = retail.add_week(fx.sales(spark, sf_dir), "trans_dt")
+    history = s.filter(F.col("trans_id") % 2 == 0)
+    today = s.filter(F.col("trans_id") % 2 == 1)
+    state = merge_partials(rollup_partials(history), rollup_partials(today))
+    return finalize_rollup(state)

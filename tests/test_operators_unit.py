@@ -520,3 +520,30 @@ def test_orphan_counts_same_named_fk_columns(spark):
     ).collect()
     assert rows[0]["n_child_rows"] == 3
     assert rows[0]["n_orphans"] == 1
+
+
+def test_incremental_merge_any_run_grouping(spark, sf_dir):
+    """merge is associative and grouping-independent: three disjoint
+    'runs' folded in either association order produce the exact direct
+    result (decimal partials)."""
+    from pyspark.sql import functions as FF
+
+    from retail_etl_pipeline_spark.operators import fixtures_adapter as fx
+    from retail_etl_pipeline_spark.operators import retail
+    from retail_etl_pipeline_spark.operators.incremental import (
+        finalize_rollup,
+        merge_partials,
+        rollup_partials,
+    )
+
+    s = retail.add_week(fx.sales(spark, sf_dir), "trans_dt")
+    runs = [rollup_partials(s.filter(FF.col("trans_id") % 3 == i)) for i in range(3)]
+    left = merge_partials(merge_partials(runs[0], runs[1]), runs[2])
+    right = merge_partials(runs[0], merge_partials(runs[1], runs[2]))
+    direct = rollup_partials(s)
+
+    def rows(df):
+        return sorted(tuple(r) for r in finalize_rollup(df).collect())
+
+    assert rows(left) == rows(direct)
+    assert rows(right) == rows(direct)
