@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -277,3 +278,36 @@ def test_snapshot_diff_partitioning_invariance(spark):
     }
     assert base == repart
     assert sum(base.values()) == 600  # every key in old ∪ new classified
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "weekly_summary",
+        "weekly_summary_decimal",
+        "pareto_customers",
+        "rfm_segments",
+        "incremental_weekly_rollup",
+    ],
+)
+def test_results_identical_across_shuffle_parallelism(spark, sf_dir, name):
+    """The cross-engine float-determinism contract, tested intra-engine:
+    these queries' results must be IDENTICAL at 3 and 24 shuffle
+    partitions — decimal sums, two-level rank offsets, and merge
+    partials are all order/partitioning-independent by construction.
+    These five are exactly where partitioning-dependence would hide
+    (money sums, global rank decomposition, run-merge)."""
+    from retail_etl_pipeline_spark.registry import QUERIES
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for n in (3, 24):
+            spark.conf.set("spark.sql.shuffle.partitions", str(n))
+            spark.catalog.clearCache()
+            rows = QUERIES[name](spark, sf_dir).collect()
+            results[n] = sorted(tuple(r) for r in rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.catalog.clearCache()
+    assert results[3] == results[24]
