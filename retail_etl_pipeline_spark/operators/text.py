@@ -551,3 +551,39 @@ SELECT regexp_extract(url, '{DOMAIN_PATTERN}', 1) AS domain,
 FROM urls
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization: the normalization pass before URL-level dedup of
+# a web corpus (mixed-case hosts, tracking params, fragments, and
+# trailing slashes all alias the same resource). Pure regexp chain in
+# the Java-regex/RE2 common subset — map-only, oracle-replayable.
+# ---------------------------------------------------------------------------
+
+_URL_HEAD = r"^((?i:https?)://[^/?#]+)([^#]*)"  # (?i:) — scheme/host match any case
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Normalize: drop #fragment, drop utm_* params (with separator
+    repair), lowercase scheme+host (ONLY — paths stay case-sensitive),
+    trim trailing slashes off the path."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    u = F.regexp_replace(u, r"utm_[A-Za-z_]+=[^&#]*&?", "")
+    u = F.regexp_replace(u, r"[?&]+$", "")  # '?utm=x' -> '?' -> ''
+    u = F.regexp_replace(u, r"\?&", "?")  # '?utm=x&a=1' -> '?&a=1' -> '?a=1'
+    head = F.lower(F.regexp_extract(u, _URL_HEAD, 1))
+    tail = F.regexp_extract(u, _URL_HEAD, 2)
+    u = F.when(head == "", u).otherwise(F.concat(head, tail))
+    return F.regexp_replace(u, r"/+$", "")
+
+
+def canonicalize_url_sql(expr: str) -> str:
+    """DuckDB replica of :func:`canonicalize_url` — keep in sync."""
+    u = f"regexp_replace({expr}, '#.*$', '')"
+    u = f"regexp_replace({u}, 'utm_[A-Za-z_]+=[^&#]*&?', '', 'g')"
+    u = f"regexp_replace({u}, '[?&]+$', '')"
+    u = f"regexp_replace({u}, '\\?&', '?')"
+    head = f"lower(regexp_extract({u}, '{_URL_HEAD}', 1))"
+    tail = f"regexp_extract({u}, '{_URL_HEAD}', 2)"
+    u = f"CASE WHEN {head} = '' THEN {u} ELSE {head} || {tail} END"
+    return f"regexp_replace({u}, '/+$', '')"

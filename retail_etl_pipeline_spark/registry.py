@@ -4385,3 +4385,84 @@ def incremental_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     today = s.filter(F.col("trans_id") % 2 == 1)
     state = merge_partials(rollup_partials(history), rollup_partials(today))
     return finalize_rollup(state)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (operators/text.py): messy URL
+# variants (mixed-case host, utm params, fragments, trailing slashes)
+# collapse to one canonical resource before dedup — the standard web-
+# corpus step ahead of content dedup. Variants are synthesized from
+# doc_id (fixtures carry no URLs) the same way on both engines; the
+# canonicalization chain is map-only regexp work.
+# ---------------------------------------------------------------------------
+
+_URL_VARIANT_SQL = """
+CASE doc_id % 4
+  WHEN 0 THEN 'https://Docs' || CAST(doc_id % 50 AS VARCHAR)
+              || '.Example.org/res/' || CAST(doc_id % 50 AS VARCHAR)
+  WHEN 1 THEN 'https://docs' || CAST(doc_id % 50 AS VARCHAR)
+              || '.example.org/res/' || CAST(doc_id % 50 AS VARCHAR)
+              || '?utm_source=feed'
+  WHEN 2 THEN 'https://docs' || CAST(doc_id % 50 AS VARCHAR)
+              || '.example.org/res/' || CAST(doc_id % 50 AS VARCHAR)
+              || '#section2'
+  ELSE 'HTTPS://DOCS' || CAST(doc_id % 50 AS VARCHAR)
+              || '.EXAMPLE.ORG/res/' || CAST(doc_id % 50 AS VARCHAR) || '/'
+END
+"""
+
+
+@_register(
+    "url_canonical_dedup",
+    f"""
+WITH raw AS (
+  SELECT doc_id, {_URL_VARIANT_SQL.strip()} AS url FROM documents
+)
+SELECT {tx.canonicalize_url_sql("url")} AS canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+FROM raw
+GROUP BY 1
+""",
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup after canonicalization: per canonical resource,
+    how many docs and raw variants collapse onto it, and the
+    deterministic keeper (min doc_id)."""
+    d = fx._read(spark, sf_dir, "documents")
+    n = (F.col("doc_id") % 50).cast("string")
+    variant = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://Docs"), n, F.lit(".Example.org/res/"), n),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("https://docs"), n, F.lit(".example.org/res/"), n,
+                F.lit("?utm_source=feed"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://docs"), n, F.lit(".example.org/res/"), n,
+                F.lit("#section2"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HTTPS://DOCS"), n, F.lit(".EXAMPLE.ORG/res/"), n,
+                F.lit("/"),
+            )
+        )
+    )
+    raw = d.select("doc_id", variant.alias("url"))
+    return raw.groupBy(
+        tx.canonicalize_url(F.col("url")).alias("canonical_url")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("url").alias("n_variants"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )

@@ -547,3 +547,25 @@ def test_incremental_merge_any_run_grouping(spark, sf_dir):
 
     assert rows(left) == rows(direct)
     assert rows(right) == rows(direct)
+
+
+def test_canonicalize_url_rules(spark):
+    from retail_etl_pipeline_spark.operators.text import canonicalize_url
+
+    cases = {
+        "HTTPS://Example.COM/Path/?utm_source=x&utm_b=2#frag":
+            "https://example.com/Path",
+        "http://A.b/p?utm_x=1&keep=2": "http://a.b/p?keep=2",
+        "https://Host/p?keep=1&utm_y=9": "https://host/p?keep=1",
+        "https://host/p/": "https://host/p",
+        "not a url": "not a url",  # non-URLs pass through untouched
+        "HtTp://MiXeD.Case/KeepPath": "http://mixed.case/KeepPath",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "u string")
+    got = {
+        r["u"]: r["c"]
+        for r in df.select(
+            "u", canonicalize_url(F.col("u")).alias("c")
+        ).collect()
+    }
+    assert got == cases
