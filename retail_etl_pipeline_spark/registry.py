@@ -2030,11 +2030,15 @@ def udtf_part_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (Spark 4 table function): one input row -> many output
     rows with per-row Python logic, used LATERALLY from SQL. The work here
     (positional word split) is deliberately also expressible natively —
-    the oracle proves the UDTF contract. UDTFs are the row-path escape
-    hatch; keep them off 100 TB hot paths (this one runs over the part dim)."""
+    the oracle proves the UDTF contract. ``useArrow=True`` moves the
+    row exchange to Arrow batches (ArrowEvalPythonUDTF — the per-row
+    Python generator remains, but serialization is columnar); the
+    repo-wide plan test bans the pickled BatchEvalPython path outright.
+    Even Arrow-batched, keep UDTFs off 100 TB hot paths (this one runs
+    over the part dim)."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="word: string, pos: int")
+    @udtf(returnType="word: string, pos: int", useArrow=True)
     class SplitWords:
         def eval(self, name: str):
             if name is None:

@@ -516,3 +516,16 @@ def test_runtime_bloom_filter_injected_for_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_no_rowwise_python_udfs_anywhere(spark, sf_dir):
+    """Python may appear in a plan only Arrow-vectorized (ArrowEvalPython
+    for pandas_udf, MapInPandas/FlatMapGroupsInPandas for the batch
+    operators). BatchEvalPython — row-at-a-time pickling, ~10-100x slower
+    — must never appear in any registered query's plan."""
+    try:
+        for name, fn in QUERIES.items():
+            plan = _physical(fn(spark, sf_dir))
+            assert "BatchEvalPython" not in plan, name
+    finally:
+        spark.catalog.clearCache()
