@@ -500,3 +500,155 @@ SELECT doc_id,
 FROM marked
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: concat-and-chunk block index
+# ---------------------------------------------------------------------------
+
+#: context-window capacity in tokens for the packing index.
+PACK_BLOCK_TOKENS = 512
+
+
+def packing_index(docs: DataFrame, block_tokens: int = PACK_BLOCK_TOKENS) -> DataFrame:
+    """Concat-and-chunk packing index: where each document lands when the
+    corpus is concatenated per source (in deterministic doc_id order) and
+    chunked into fixed ``block_tokens`` training blocks — the standard
+    LLM pretraining packing scheme (documents straddle block boundaries;
+    nothing is padded or dropped).
+
+    Pure window arithmetic: a per-source running token total places every
+    doc at an absolute offset, and its first/last block are integer
+    divisions of that offset — so the index is deterministic on any
+    engine/partitioning, and computing it costs ONE shuffle on the
+    source key (no collect, no sequential pass; the packing decision for
+    a doc depends only on the cumulative sum before it).
+
+    Scale note: the window partitions on ``source`` — at corpus scale a
+    single giant source would serialize its partition's cumsum; shard
+    the stream key first (e.g. (source, doc_id div 10M) superblocks,
+    offset-corrected the same two-level way as functions/ordered.py's
+    prefix sums). NULL text counts 0 tokens and lands on a NULL block
+    (flagged, not silently packed — corpus_pipeline quarantines those
+    upstream).
+    """
+    n_tok = F.when(
+        F.col("text").isNull(), F.lit(0)
+    ).otherwise(token_count(F.col("text"))).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = docs.select(
+        "source", "doc_id", n_tok.alias("n_tokens")
+    ).withColumn("end_tok", F.sum("n_tokens").over(w))
+    return staged.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        (F.col("end_tok") - F.col("n_tokens")).alias("start_tok"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(f"(end_tok - n_tokens) div {block_tokens}"),
+        ).alias("first_block"),
+        F.when(
+            F.col("n_tokens") > 0, F.expr(f"(end_tok - 1) div {block_tokens}")
+        ).alias("last_block"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(
+                f"(end_tok - 1) div {block_tokens}"
+                f" - (end_tok - n_tokens) div {block_tokens} + 1"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("spans_blocks"),
+    )
+
+
+PACKING_INDEX_SQL = """
+WITH staged AS (
+  SELECT source, doc_id,
+         CAST(CASE WHEN text IS NULL THEN 0
+              ELSE len({tokens}) END AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(CASE WHEN text IS NULL THEN 0
+                       ELSE len({tokens}) END AS BIGINT)) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS end_tok
+  FROM documents
+)
+SELECT source, doc_id, n_tokens,
+       end_tok - n_tokens AS start_tok,
+       CASE WHEN n_tokens > 0
+            THEN (end_tok - n_tokens) // {block} END AS first_block,
+       CASE WHEN n_tokens > 0 THEN (end_tok - 1) // {block} END AS last_block,
+       CAST(CASE WHEN n_tokens > 0
+            THEN (end_tok - 1) // {block}
+                 - (end_tok - n_tokens) // {block} + 1
+            ELSE 0 END AS BIGINT) AS spans_blocks
+FROM staged
+"""
+
+
+def source_mix_weights(docs: DataFrame) -> DataFrame:
+    """Per-source token shares and the resampling weight that rebalances
+    the corpus to a UNIFORM source mix — the arithmetic behind every
+    training-mix rebalance, in exact integer ppm (engine-stable; a
+    double ratio here would make the mix depend on accumulation order).
+
+    weight_ppm > 1e6 means upsample, < 1e6 downsample. Two bounded
+    aggregations: per-source totals, then one broadcast one-row global.
+    """
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("text").isNull(), F.lit(0))
+            .otherwise(token_count(F.col("text")))
+            .cast("bigint")
+        ).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("_tot_tokens"),
+        F.count(F.lit(1)).alias("_n_sources"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("(n_tokens * 1000000) div _tot_tokens").alias("share_ppm"),
+            # NULLIF: a sub-ppm source (share 0) gets a NULL weight — an
+            # explicit "cannot rebalance" marker instead of an ANSI
+            # divide-by-zero error at runtime
+            F.expr(
+                "((1000000 div _n_sources) * 1000000)"
+                " div NULLIF((n_tokens * 1000000) div _tot_tokens, 0)"
+            ).alias("weight_ppm"),
+        )
+    )
+
+
+SOURCE_MIX_SQL = """
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN text IS NULL THEN 0
+                  ELSE len({tokens}) END) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       (n_tokens * 1000000) // tot_tokens AS share_ppm,
+       ((1000000 // n_sources) * 1000000)
+         // NULLIF((n_tokens * 1000000) // tot_tokens, 0) AS weight_ppm
+FROM per, tot
+"""

@@ -1,0 +1,58 @@
+"""Declarative data-quality expectations evaluated in ONE pass.
+
+orders_data_quality (registry) is a hand-built profile; this is the
+generic form: callers declare named boolean expectations over a table
+and get one row per rule with violation counts — the
+"expect/expect_or_drop" pattern from modern pipeline tooling, expressed
+as a single conditional aggregation (no per-rule scan, no collect).
+
+Plan shape: every rule compiles to SUM(CASE WHEN NOT rule THEN 1 END)
+inside one hash aggregate over the whole table — N rules cost one scan,
+map-side combined; the unpivot to (rule, violations) rows happens on the
+already-aggregated single row via stack(). NULL semantics are explicit:
+a rule evaluating to NULL counts as a violation (SQL three-valued logic
+would otherwise silently pass NULLs — the exact failure mode the
+corpus-pipeline NULL-text advisory was about).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def check_expectations(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
+    """Evaluate named expectations; returns (rule, n_rows, violations,
+    pass_rate_ppm) — one output row per rule, one input scan total.
+
+    pass_rate is reported in exact ppm (integer arithmetic) rather than
+    a double ratio, keeping the output engine-stable."""
+    if not rules:
+        raise ValueError("at least one expectation required")
+    for name in rules:
+        if not name.replace("_", "").isalnum():
+            raise ValueError(f"rule name must be identifier-safe: {name!r}")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, cond in rules.items():
+        aggs.append(
+            F.sum(
+                # NULL -> violation: coalesce the rule, not the count
+                F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
+            ).alias(f"_v_{name}")
+        )
+    one = df.agg(*aggs)
+    stack_args = ", ".join(f"'{n}', _v_{n}" for n in rules)
+    long = one.select(
+        F.col("_n"),
+        F.expr(
+            f"stack({len(rules)}, {stack_args}) AS (rule, violations)"
+        ),
+    )
+    return long.select(
+        "rule",
+        F.col("_n").cast("bigint").alias("n_rows"),
+        F.col("violations").cast("bigint").alias("violations"),
+        F.expr("((_n - violations) * 1000000) div _n").alias("pass_ppm"),
+    )

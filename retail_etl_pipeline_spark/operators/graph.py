@@ -1,0 +1,158 @@
+"""Iterative graph algorithms as DataFrame loops: fixed-point PageRank.
+
+The reference has no graph surface; this extends the engine the way a
+training-data pipeline needs it (SURVEY.md §2.10): link-style authority
+scores over an item co-occurrence graph (here: parts co-purchased in the
+same order), computed as a *bounded unrolled loop of equi-joins* — the
+idiomatic Spark shape for iterative algorithms (each iteration is one
+shuffle on the edge key; no driver-side adjacency, no RDDs).
+
+Determinism contract (SURVEY.md §5 cross-engine parity): PageRank in
+floating point is NOT reproducible across engines — per-node inbound
+sums accumulate in engine/partition order, and double addition is not
+associative. We therefore run the whole recurrence in **fixed-point
+integer arithmetic** (rank scaled by ``SCALE = 1e12``):
+
+    r0(v)   = SCALE
+    r_{i+1}(v) = (15 * SCALE) div 100
+               + (85 * sum_{u->v}( r_i(u) div out_deg(u) )) div 100
+
+Integer division and integer sums are exact and order-independent, so
+Spark and the DuckDB oracle agree bit-for-bit — the same trick the
+decimal money metrics use (functions/metrics.py), applied to an
+iterative recurrence.
+
+Scale notes (100 TB):
+- Edge build is a self-equi-join of lineitem on ``l_orderkey`` — per-key
+  fan-out is bounded by order size (~7 lines in TPC-H-shaped data), so
+  the join output is O(rows * lines_per_order), not quadratic in the
+  table.
+- Each iteration shuffles the rank relation once on ``src`` (edges are
+  pre-partitioned by the persist) and aggregates on ``dst`` — the
+  standard 2-shuffle/iteration profile; the edge+degree relation is
+  persisted once and reused by all iterations.
+- For deep iteration counts, truncate lineage every ~5 rounds with
+  ``localCheckpoint`` (documented, not needed at the fixed 5 used here).
+- BIGINT headroom: ranks stay near SCALE (total mass is conserved at
+  N*SCALE by the column-stochastic update), so per-node inbound sums are
+  bounded by in_degree * max_rank. The BIGINT path holds while a hub's
+  inbound mass stays below 2^63 (~9.2e6 * SCALE); beyond that, cast the
+  summed column to DECIMAL(38,0) — same algebra, wider lattice (the
+  corpus_split hash got the identical hardening after a hypothesis
+  overflow find, operators/corpus.py:380).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000  # 1e12 fixed-point scale
+TELEPORT_FP = (15 * SCALE) // 100  # 0.15 in fixed point — exact
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Symmetric directed edge list (src, dst) of parts appearing in the
+    same order. DISTINCT collapses repeat co-purchases; both directions
+    are present because (a, b) and (b, a) both survive the <> filter."""
+    a = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    return (
+        a.join(b, "ok")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def pagerank_fixed_point(edges: DataFrame, iterations: int = 5) -> DataFrame:
+    """PageRank over a symmetric edge list in exact fixed-point integer
+    arithmetic. Returns (node, rank_fp, out_deg); rank_fp is the rank
+    scaled by SCALE. Every node in a symmetric edge list has in-degree
+    >= 1, so no node drops out of the aggregation between iterations
+    (no dangling-mass term needed)."""
+    # the edge build (self-join + distinct) is the expensive part: persist
+    # it ONCE — degrees, the per-iteration adjacency join, and the final
+    # projection all derive from the cached relation instead of re-running
+    # the self-join per action.
+    edges = edges.persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # (src, dst, out_deg): deg is one bounded row per node, so AQE
+    # broadcast-joins it against the cached edges — no forced hint (deg
+    # scales with |V|; a forced broadcast would OOM at corpus scale).
+    adj = edges.join(deg, "src").persist()
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(SCALE).cast("bigint").alias("r")
+    )
+    for _ in range(iterations):
+        contrib = adj.join(
+            ranks, adj.src == ranks.node, "inner"
+        ).select(
+            F.col("dst"), F.expr("r div out_deg").alias("c")
+        )
+        ranks = contrib.groupBy("dst").agg(
+            (
+                F.lit(TELEPORT_FP) + F.expr("(85 * sum(c)) div 100")
+            ).alias("r")
+        ).select(F.col("dst").alias("node"), "r")
+    return ranks.join(deg, ranks.node == deg.src).select(
+        "node", F.col("r").alias("rank_fp"), "out_deg"
+    )
+
+
+def copurchase_pagerank(
+    spark: SparkSession, lineitem: DataFrame, iterations: int = 5, k: int = 20
+) -> DataFrame:
+    """Top-k parts by co-purchase PageRank (deterministic tie-break on
+    part key). The limit lands as TakeOrderedAndProject — no global
+    sort materialization."""
+    pr = pagerank_fixed_point(copurchase_edges(lineitem), iterations)
+    return pr.orderBy(F.desc("rank_fp"), F.asc("node")).limit(k).select(
+        F.col("node").alias("p_partkey"), "rank_fp", "out_deg"
+    )
+
+
+def pagerank_oracle_sql(iterations: int = 5, k: int = 20) -> str:
+    """Unrolled-CTE DuckDB twin of the exact fixed-point recurrence.
+    (Recursive CTEs can't aggregate in the recursive member, so the
+    bounded loop is unrolled — same shape the Spark side executes.)
+    DuckDB's BIGINT sums widen to HUGEINT; `//` on integers is exact
+    integer division, matching Spark's `div`."""
+    cte = [
+        """edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+)""",
+        """deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS out_deg FROM edges GROUP BY src
+)""",
+        f"""r0 AS (
+  SELECT src AS node, CAST({SCALE} AS BIGINT) AS r FROM deg
+)""",
+    ]
+    for i in range(iterations):
+        cte.append(
+            f"""r{i + 1} AS (
+  SELECT e.dst AS node,
+         CAST({TELEPORT_FP} + (85 * SUM(r.r // d.out_deg)) // 100 AS BIGINT) AS r
+  FROM edges e
+  JOIN r{i} r ON e.src = r.node
+  JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"""
+SELECT r.node AS p_partkey, r.r AS rank_fp, d.out_deg
+FROM r{iterations} r JOIN deg d ON r.node = d.src
+ORDER BY rank_fp DESC, p_partkey ASC
+LIMIT {k}
+"""
+    )

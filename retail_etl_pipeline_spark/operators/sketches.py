@@ -1,0 +1,105 @@
+"""Count-min sketch as a relational construction.
+
+Heavy-hitter *candidates* come from Misra-Gries (operators/frequent.py);
+the count-min sketch (Cormode & Muthukrishnan 2005) answers the dual
+question — "give me an upper-bounded frequency estimate for ANY key" —
+from O(d*w) state instead of the full key space. Here the sketch is
+built relationally: hashing each key into its d cells is a projection,
+the counter table is a groupBy over at most d*w cells, and a point
+query is a broadcast equi-join + min over the d rows. Everything is
+integer arithmetic on both engines, so estimates are bit-exact
+cross-engine and the defining invariant (estimate >= true frequency)
+is oracle-checkable row by row.
+
+Why this shape scales: the sketch relation is bounded at d*w rows no
+matter the corpus size (the groupBy partial-aggregates map-side, so the
+shuffle moves at most d*w cells per task); merging sketches of two
+corpora is a union + re-sum of the same bounded relation — the same
+mergeable-partials algebra as incremental_weekly_rollup and the
+linear-counting rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint64, fingerprint64_sql
+
+#: sketch geometry: d independent rows of w counters.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+#: one odd mixing constant per row (xxhash/Knuth-style primes).
+CMS_MIX = (2654435761, 2246822519, 3266489917, 668265263)
+_MOD = 2**32
+
+
+def _cell(fp: Column, j: int) -> Column:
+    """Row-j cell index for a 60-bit key fingerprint — decimal multiply
+    (a 60-bit fp times a 32-bit constant overflows BIGINT under ANSI)."""
+    return (
+        ((fp.cast("decimal(38,0)") * CMS_MIX[j]) % _MOD % CMS_WIDTH)
+        .cast("integer")
+    )
+
+
+def _cell_sql(fp: str, j: int) -> str:
+    return (
+        f"CAST((CAST({fp} AS HUGEINT) * {CMS_MIX[j]}) % {_MOD}"
+        f" % {CMS_WIDTH} AS INTEGER)"
+    )
+
+
+def cms_build(df: DataFrame, col: str) -> DataFrame:
+    """Counter table (j, cell, cnt) — at most CMS_DEPTH*CMS_WIDTH rows."""
+    fp = fingerprint64(F.col(col))
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), _cell(fp, j).alias("cell")
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("jc")
+    ).select("jc.j", "jc.cell")
+    return cells.groupBy("j", "cell").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str) -> DataFrame:
+    """Point-query estimates for a (small) probe relation: join each
+    probe key's d cells against the broadcast sketch, min over rows.
+    The sketch is bounded (d*w) — broadcasting it is always safe."""
+    fp = fingerprint64(F.col(col))
+    probe_cells = probes.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), _cell(fp, j).alias("cell")
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("jc"),
+    ).select(col, "jc.j", "jc.cell")
+    return (
+        probe_cells.join(F.broadcast(sketch), ["j", "cell"], "inner")
+        .groupBy(col)
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+
+
+def cms_cells_sql(expr_col: str, src: str, keep: tuple[str, ...] = ()) -> str:
+    """CTE body producing (*keep, j, cell) for every row of ``src`` — one
+    UNION ALL arm per sketch row (the oracle optimizes for portability,
+    not scan count); keep in sync with :func:`cms_build`."""
+    fp = fingerprint64_sql(expr_col)
+    prefix = "".join(f"{k}, " for k in keep)
+    return "\n  UNION ALL\n".join(
+        f"  SELECT {prefix}{j} AS j, {_cell_sql(fp, j)} AS cell FROM {src}"
+        for j in range(CMS_DEPTH)
+    )

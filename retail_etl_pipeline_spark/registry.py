@@ -4470,3 +4470,525 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("url").alias("n_variants"),
         F.min("doc_id").alias("keeper_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph analytics (operators/graph.py): fixed-point PageRank
+# over the part co-purchase graph — bounded unrolled loop of equi-joins,
+# exact integer arithmetic so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+from .operators import graph as gph  # noqa: E402
+
+
+@_register("part_copurchase_pagerank", gph.pagerank_oracle_sql(iterations=5, k=20))
+def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by PageRank over the co-purchase graph (parts that
+    appear in the same order). 5 iterations of the exact fixed-point
+    recurrence (operators/graph.py) — the iterative-DataFrame-loop
+    pattern: one persisted adjacency relation, one shuffle per
+    iteration, TakeOrdered final top-k. Extends the reference's join
+    surface (SURVEY.md §2.4) to iterative graph algorithms."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    return gph.copurchase_pagerank(spark, li, iterations=5, k=20)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (operators/sampling.py): priority
+# sampling — the sample is a pure projection + bounded per-group top-k,
+# reproducible on any engine/partitioning.
+# ---------------------------------------------------------------------------
+
+from .operators import sampling as sp  # noqa: E402
+
+
+@_register(
+    "documents_weighted_sample",
+    f"""
+WITH staged AS (
+  SELECT source, doc_id, n_chars,
+         {sp.priority_sql("doc_id", "n_chars")} AS priority
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, n_chars, CAST(priority AS BIGINT) AS priority,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY priority DESC, doc_id ASC
+         ) AS INTEGER) AS sample_rank
+  FROM staged
+)
+SELECT * FROM ranked WHERE sample_rank <= 3
+""",
+)
+def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted 3-per-source document sample via deterministic
+    priority sampling (Duffield-Lund-Thorup): integer priorities from a
+    multiplicative hash, per-group rank window (WindowGroupLimit pushes
+    the top-k below the shuffle). Complements the uniform
+    documents_stratified_sample with the weighted variant every
+    training-mix builder needs."""
+    d = fx._read(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return sp.sample_per_group(d, "source", "doc_id", "n_chars", k=3)
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters with Misra-Gries pruning (operators/frequent.py):
+# two-pass plan that never shuffles the full vocabulary; the oracle is
+# the plain exact GROUP BY because pass 2 recounts exactly.
+# ---------------------------------------------------------------------------
+
+from .operators import frequent as fq  # noqa: E402
+
+
+@_register(
+    "heavy_hitter_tokens",
+    """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM toks)
+SELECT tok,
+       CAST(COUNT(*) AS BIGINT) AS term_freq,
+       CAST((COUNT(*) * 1000000) // MAX(tot.n) AS BIGINT) AS freq_ppm
+FROM toks, tot
+GROUP BY tok
+HAVING COUNT(*) * 1000 >= MAX(tot.n)
+""",
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens with corpus frequency >= 0.1%, exact, via the two-pass
+    Misra-Gries plan: bounded per-partition MG candidates (pass 1,
+    mapInPandas, <= k keys shuffled per task), exact broadcast-semi-join
+    recount of candidates only (pass 2). The oracle is the naive exact
+    GROUP BY — identical results, different shuffle volume."""
+    d = fx._read(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
+    return fq.exact_heavy_hitters(toks, "tok", denom=1000, k=2000)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch distinct rollup: daily linear-counting bucket partials
+# union-merged to monthly — the sketch algebra (union of occupied
+# buckets) expressed relationally, exact on both engines. Companion to
+# approx_distinct_parts (global LC) and incremental_weekly_rollup
+# (mergeable decimal partials).
+# ---------------------------------------------------------------------------
+
+_LC_CUST_BUCKETS = 4096
+
+
+@_register(
+    "monthly_distinct_customers_lc",
+    f"""
+WITH daily AS (
+  SELECT DISTINCT CAST(strftime(o_orderdate, '%Y%m') AS INTEGER) AS order_month,
+         o_orderdate AS order_day,
+         CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+              AS BIGINT) % {_LC_CUST_BUCKETS} AS bucket
+  FROM orders
+),
+monthly AS (
+  SELECT order_month, COUNT(DISTINCT bucket) AS m
+  FROM daily GROUP BY order_month
+),
+exact AS (
+  SELECT CAST(strftime(o_orderdate, '%Y%m') AS INTEGER) AS order_month,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+  FROM orders GROUP BY 1
+)
+SELECT m.order_month,
+       CAST(m.m AS BIGINT) AS occupied_buckets,
+       CAST(round(CAST(-{_LC_CUST_BUCKETS}
+                       * ln(1.0 - CAST(m.m AS DOUBLE) / {_LC_CUST_BUCKETS})
+                       AS DECIMAL(20,6)), 1) AS DOUBLE) AS approx_distinct,
+       e.exact_distinct
+FROM monthly m JOIN exact e ON m.order_month = e.order_month
+""",
+)
+def monthly_distinct_customers_lc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly distinct-customer estimate by MERGING daily linear-counting
+    partials (distinct (day, bucket) -> distinct bucket per month): the
+    mergeable-sketch rollup pattern — daily partials are computed once
+    and reused by any coarser grain, so the monthly estimate costs a
+    union of 4096-bucket sets instead of a re-scan of raw orders. The
+    exact per-month count rides alongside for error visibility. Sketch
+    arithmetic is integer/closed-form on both engines -> bit-exact
+    oracle parity (same construction as approx_distinct_parts)."""
+    o = fx._read(spark, sf_dir, "orders")
+    month = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("integer")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % _LC_CUST_BUCKETS
+    )
+    daily = (
+        o.select(
+            month.alias("order_month"),
+            F.col("o_orderdate").alias("order_day"),
+            bucket.alias("bucket"),
+        )
+        .distinct()
+    )
+    monthly = daily.groupBy("order_month").agg(
+        F.count_distinct("bucket").alias("m")
+    )
+    exact = o.groupBy(month.alias("order_month")).agg(
+        F.count_distinct("o_custkey").alias("exact_distinct")
+    )
+    est = (
+        F.round(
+            (
+                -F.lit(float(_LC_CUST_BUCKETS))
+                * F.log(F.lit(1.0) - F.col("m") / F.lit(float(_LC_CUST_BUCKETS)))
+            ).cast("decimal(20,6)"),
+            1,
+        )
+    ).cast("double")
+    return monthly.join(exact, "order_month").select(
+        "order_month",
+        F.col("m").cast("bigint").alias("occupied_buckets"),
+        est.alias("approx_distinct"),
+        "exact_distinct",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (operators/sketches.py): bounded-state frequency
+# estimates, relational construction, estimate >= truth invariant checked
+# row-by-row against the exact counts.
+# ---------------------------------------------------------------------------
+
+from .operators import sketches as sk  # noqa: E402
+
+_CMS_PROBE_FILTER = "doc_id % 97 = 0"
+
+
+@_register(
+    "cms_token_estimates",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+cells AS (
+{sk.cms_cells_sql("tok", "toks")}
+),
+sketch AS (
+  SELECT j, cell, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2
+),
+probes AS (
+  SELECT DISTINCT tok FROM toks WHERE {_CMS_PROBE_FILTER}
+),
+pc AS (
+{sk.cms_cells_sql("tok", "probes", keep=("tok",))}
+),
+est AS (
+  SELECT pc.tok, MIN(s.cnt) AS cms_estimate
+  FROM pc JOIN sketch s ON pc.j = s.j AND pc.cell = s.cell
+  GROUP BY pc.tok
+),
+tru AS (
+  SELECT t.tok, CAST(COUNT(*) AS BIGINT) AS term_freq
+  FROM toks t JOIN probes p ON t.tok = p.tok
+  GROUP BY t.tok
+)
+SELECT e.tok, e.cms_estimate, t.term_freq,
+       CAST(e.cms_estimate - t.term_freq AS BIGINT) AS overcount
+FROM est e JOIN tru t ON e.tok = t.tok
+""",
+)
+def cms_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream (4x1024 integer-hashed
+    counters, bounded state), probed with a deterministic token sample
+    and joined against exact counts — the overcount column materializes
+    the CMS invariant (estimate >= truth, always) for the oracle to
+    verify. Sketch build is one bounded groupBy; probing is a broadcast
+    join of the d*w counter table."""
+    d = fx._read(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+    sketch = sk.cms_build(toks, "tok")
+    probes = toks.where(F.expr(_CMS_PROBE_FILTER)).select("tok").distinct()
+    est = sk.cms_estimate(sketch, probes, "tok")
+    tru = (
+        toks.join(F.broadcast(probes), "tok", "inner")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("term_freq"))
+    )
+    return est.join(tru, "tok").select(
+        "tok",
+        "cms_estimate",
+        "term_freq",
+        (F.col("cms_estimate") - F.col("term_freq")).cast("bigint").alias("overcount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (operators/privacy.py): release-risk over
+# quasi-identifiers, one hash aggregation.
+# ---------------------------------------------------------------------------
+
+from .operators import expectations as ex  # noqa: E402
+from .operators import privacy as pv  # noqa: E402
+
+_KANON_K = 3
+_KANON_CLS = """
+cls AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(floor(c_acctbal / 1000) AS INTEGER) AS bal_band,
+         COUNT(*) AS class_size
+  FROM customer
+  GROUP BY 1, 2, 3
+)"""
+
+
+def _kanon_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = fx._read(spark, sf_dir, "customer")
+    return c.withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("integer")
+    )
+
+
+@_register(
+    "k_anonymity_customers",
+    f"""
+WITH {_KANON_CLS.strip()}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN class_size < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS violating_classes,
+       CAST(SUM(CASE WHEN class_size < {_KANON_K} THEN class_size ELSE 0 END)
+            AS BIGINT) AS rows_at_risk,
+       CAST(MIN(class_size) AS BIGINT) AS achieved_k
+FROM cls
+""",
+)
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row k-anonymity audit of customer over the quasi-identifier
+    set (mktsegment, nationkey, acctbal band): is the table safe to
+    release at k=3, and if not, how exposed is it."""
+    return pv.k_anonymity_summary(
+        _kanon_base(spark, sf_dir),
+        ["c_mktsegment", "c_nationkey", "bal_band"],
+        k=_KANON_K,
+    )
+
+
+@_register(
+    "k_anonymity_violating_classes",
+    f"""
+WITH {_KANON_CLS.strip()}
+SELECT c_mktsegment, c_nationkey, bal_band,
+       CAST(class_size AS BIGINT) AS class_size,
+       CAST({_KANON_K} - class_size AS BIGINT) AS deficit
+FROM cls WHERE class_size < {_KANON_K}
+""",
+)
+def k_anonymity_violating_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The equivalence classes that break k=3 — the concrete
+    generalize-or-suppress worklist for a release process."""
+    return pv.k_anonymity_violations(
+        _kanon_base(spark, sf_dir),
+        ["c_mktsegment", "c_nationkey", "bal_band"],
+        k=_KANON_K,
+    ).select(
+        "c_mktsegment",
+        "c_nationkey",
+        "bal_band",
+        F.col("class_size").cast("bigint").alias("class_size"),
+        F.col("deficit").cast("bigint").alias("deficit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher moments via exact moment sums: skewness/kurtosis with bit-exact
+# cross-engine parity (the same shared-expression-string discipline as
+# acctbal_stats_by_segment, extended to 3rd/4th moments).
+# ---------------------------------------------------------------------------
+
+# shared numeric fragments — the SAME strings run on both engines so the
+# double expression trees are identical (IEEE ops on identical exact
+# inputs -> identical outputs; pow() is avoided because its rounding is
+# implementation-defined, sqrt is correctly-rounded everywhere).
+_MMEAN = "(s1 / n)"
+_MM2 = f"(s2 / n - {_MMEAN} * {_MMEAN})"
+_MM3 = f"(s3 / n - 3 * {_MMEAN} * (s2 / n) + 2 * {_MMEAN} * {_MMEAN} * {_MMEAN})"
+_MM4 = (
+    f"(s4 / n - 4 * {_MMEAN} * (s3 / n) + 6 * {_MMEAN} * {_MMEAN} * (s2 / n)"
+    f" - 3 * {_MMEAN} * {_MMEAN} * {_MMEAN} * {_MMEAN})"
+)
+_STAT6 = "CAST(round(CAST({x} AS DECIMAL(38,12)), 6) AS DOUBLE)"
+
+
+@_register(
+    "quantity_moments",
+    f"""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         {_ds("l_quantity")} AS s1,
+         {_ds("l_quantity * l_quantity")} AS s2,
+         {_ds("l_quantity * l_quantity * l_quantity")} AS s3,
+         {_ds("l_quantity * l_quantity * l_quantity * l_quantity")} AS s4
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n AS n_lines,
+       {_STAT6.format(x=_MMEAN)} AS mean_qty,
+       {_STAT6.format(x=f"sqrt({_MM2})")} AS std_qty,
+       {_STAT6.format(x=f"{_MM3} / ({_MM2} * sqrt({_MM2}))")} AS skew_qty,
+       {_STAT6.format(x=f"{_MM4} / ({_MM2} * {_MM2}) - 3")} AS kurt_qty
+FROM m
+""",
+)
+def quantity_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag distribution shape (mean/std/skewness/excess
+    kurtosis) from ONE aggregation pass of exact decimal moment sums
+    S1..S4 — the mergeable-moments pattern: partials combine map-side,
+    the shuffle carries 5 numbers per group, and the closed-form
+    moment algebra runs on the aggregated row. Spark's builtin
+    skewness()/kurtosis() stream doubles in partition order and are NOT
+    cross-engine (or even cross-run) bit-stable; exact integer-valued
+    sums are."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        decimal_sum(q).alias("s1"),
+        decimal_sum(q * q).alias("s2"),
+        decimal_sum(q * q * q).alias("s3"),
+        decimal_sum(q * q * q * q).alias("s4"),
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("n").alias("n_lines"),
+        F.expr(_STAT6.format(x=_MMEAN)).alias("mean_qty"),
+        F.expr(_STAT6.format(x=f"sqrt({_MM2})")).alias("std_qty"),
+        F.expr(_STAT6.format(x=f"{_MM3} / ({_MM2} * sqrt({_MM2}))")).alias(
+            "skew_qty"
+        ),
+        F.expr(_STAT6.format(x=f"{_MM4} / ({_MM2} * {_MM2}) - 3")).alias(
+            "kurt_qty"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cume_dist — the one ranking-family window not yet exercised
+# (rank/dense_rank/row_number/ntile/percent_rank all are).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "order_price_cume_dist",
+    """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       cume_dist() OVER (
+         PARTITION BY o_orderpriority ORDER BY o_totalprice
+       ) AS price_cume_dist
+FROM orders
+WHERE o_orderdate >= DATE '1997-01-01'
+""",
+)
+def order_price_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist per priority class: fraction of orders at or below each
+    price. Tie-safe by definition (ties share a value independent of row
+    order), partitioned by a real key — no global window. The ratio is
+    count/count in double: exact on both engines."""
+    o = fx._read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("date")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.cume_dist().over(w).alias("price_cume_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectations (operators/expectations.py): N named rules,
+# one scan, one row per rule.
+# ---------------------------------------------------------------------------
+
+_ORDER_RULES_SQL = {
+    "orderkey_not_null": "o_orderkey IS NOT NULL",
+    "positive_price": "o_totalprice > 0",
+    "valid_status": "o_orderstatus IN ('O', 'F', 'P')",
+    "date_in_range": "o_orderdate BETWEEN DATE '1992-01-01' AND DATE '1998-12-31'",
+    "priority_wellformed": "regexp_matches(o_orderpriority, '^[1-5]-')",
+    "custkey_positive": "o_custkey > 0",
+}
+
+
+@_register(
+    "orders_expectations",
+    "WITH agg AS (\n  SELECT COUNT(*) AS n,\n"
+    + ",\n".join(
+        f"    SUM(CASE WHEN COALESCE(({cond}), FALSE) THEN 0 ELSE 1 END) AS v_{name}"
+        for name, cond in _ORDER_RULES_SQL.items()
+    )
+    + "\n  FROM orders\n)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule, CAST(n AS BIGINT) AS n_rows,"
+        f" CAST(v_{name} AS BIGINT) AS violations,"
+        f" ((n - v_{name}) * 1000000) // n AS pass_ppm FROM agg"
+        for name in _ORDER_RULES_SQL
+    ),
+)
+def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DQ expectations over orders: six named rules compiled
+    into ONE conditional-aggregation scan (NULL rule results count as
+    violations — three-valued logic made explicit), unpivoted to a row
+    per rule with exact ppm pass rates."""
+    o = fx._read(spark, sf_dir, "orders")
+    rules = {
+        "orderkey_not_null": F.col("o_orderkey").isNotNull(),
+        "positive_price": F.col("o_totalprice") > 0,
+        "valid_status": F.col("o_orderstatus").isin("O", "F", "P"),
+        "date_in_range": F.col("o_orderdate").between(
+            F.lit("1992-01-01").cast("date"), F.lit("1998-12-31").cast("date")
+        ),
+        "priority_wellformed": F.col("o_orderpriority").rlike("^[1-5]-"),
+        "custkey_positive": F.col("o_custkey") > 0,
+    }
+    return ex.check_expectations(o, rules)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing + training-mix rebalancing (operators/corpus.py):
+# the two arithmetic backbones of corpus assembly.
+# ---------------------------------------------------------------------------
+
+from .operators import corpus as cp  # noqa: E402
+
+
+@_register(
+    "packing_index",
+    cp.PACKING_INDEX_SQL.format(
+        tokens=tx.TOKENS_SQL.format(c="text"), block=cp.PACK_BLOCK_TOKENS
+    ),
+)
+def packing_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing index at 512-token blocks: per-source
+    running token offsets place every document into its first/last
+    training block (documents straddle boundaries — the standard
+    pretraining packing). One shuffle on the source key; pure window +
+    integer-division arithmetic, bit-stable on any engine."""
+    d = fx._read(spark, sf_dir, "documents")
+    return cp.packing_index(d, block_tokens=cp.PACK_BLOCK_TOKENS)
+
+
+@_register(
+    "source_mix_weights",
+    cp.SOURCE_MIX_SQL.format(tokens=tx.TOKENS_SQL.format(c="text")),
+)
+def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token shares (exact ppm) and the resampling weight that
+    rebalances to a uniform source mix — integer arithmetic end-to-end
+    so the mix spec is engine- and order-stable."""
+    d = fx._read(spark, sf_dir, "documents")
+    return cp.source_mix_weights(d)

@@ -1,0 +1,225 @@
+"""Unit + property tests for the round-3 additions: fixed-point PageRank
+(operators/graph.py), priority sampling (operators/sampling.py), and
+Misra-Gries heavy hitters (operators/frequent.py)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from retail_etl_pipeline_spark.operators import frequent as fq
+from retail_etl_pipeline_spark.operators import graph as gph
+from retail_etl_pipeline_spark.operators import sampling as sp
+
+
+# --- PageRank ---------------------------------------------------------------
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    """On a vertex-transitive graph (a 6-cycle) every node has the same
+    rank, and the exact fixed point of r = 0.15*S + 0.85*r is r = S
+    (mass conserved exactly — no integer-division loss when deg divides
+    rank evenly and .15/.85 splits hit integers, as they do at S=1e12)."""
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)]
+        + [((i + 1) % 6, i) for i in range(6)],
+        "src bigint, dst bigint",
+    )
+    out = gph.pagerank_fixed_point(edges, iterations=4).collect()
+    assert len(out) == 6
+    ranks = {r["node"]: r["rank_fp"] for r in out}
+    assert set(ranks.values()) == {gph.SCALE}
+    assert all(r["out_deg"] == 2 for r in out)
+
+
+def test_pagerank_star_center_dominates(spark):
+    """Star graph: the hub must outrank every leaf, leaves tie exactly
+    (integer arithmetic -> bit-equal, not approximately equal)."""
+    n = 8
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, n)] + [(i, 0) for i in range(1, n)],
+        "src bigint, dst bigint",
+    )
+    out = {r["node"]: r["rank_fp"] for r in gph.pagerank_fixed_point(edges, 5).collect()}
+    hub, leaves = out[0], [out[i] for i in range(1, n)]
+    assert hub > max(leaves)
+    assert len(set(leaves)) == 1
+
+
+def test_pagerank_partitioning_invariant(spark):
+    """The fixed-point recurrence is integer-exact, so the result cannot
+    depend on how the edge list is partitioned."""
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(5) for b in range(5) if a != b and (a + b) % 3],
+        "src bigint, dst bigint",
+    )
+    r1 = {r["node"]: r["rank_fp"] for r in gph.pagerank_fixed_point(edges, 3).collect()}
+    r2 = {
+        r["node"]: r["rank_fp"]
+        for r in gph.pagerank_fixed_point(edges.repartition(7), 3).collect()
+    }
+    assert r1 == r2
+
+
+# --- Priority sampling ------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "source string, doc_id bigint, n_chars bigint")
+
+
+def test_sample_partitioning_invariant(spark):
+    rows = [("s%d" % (i % 3), i, 100 + 7 * i) for i in range(60)]
+    df = _docs(spark, rows)
+    a = sorted(
+        (r["source"], r["doc_id"])
+        for r in sp.sample_per_group(df, "source", "doc_id", "n_chars", 4).collect()
+    )
+    b = sorted(
+        (r["source"], r["doc_id"])
+        for r in sp.sample_per_group(
+            df.repartition(11), "source", "doc_id", "n_chars", 4
+        ).collect()
+    )
+    assert a == b and len(a) == 12
+
+
+def test_sample_is_true_top_k_by_priority(spark):
+    """Every sampled row's priority >= every unsampled row's priority
+    within its group (with the doc_id tie-break making it exact)."""
+    rows = [("g", i, (i * 37) % 500) for i in range(50)]
+    df = _docs(spark, rows)
+    all_pri = {
+        r["doc_id"]: r["priority"]
+        for r in sp.sample_per_group(df, "source", "doc_id", "n_chars", 50).collect()
+    }
+    top5 = {
+        r["doc_id"]
+        for r in sp.sample_per_group(df, "source", "doc_id", "n_chars", 5).collect()
+    }
+    kept_min = min((all_pri[d], -d) for d in top5)
+    for d, q in all_pri.items():
+        if d not in top5:
+            assert (q, -d) < kept_min
+
+
+def test_sample_null_and_zero_weights_rank_last(spark):
+    rows = [("g", 1, 1000), ("g", 2, None), ("g", 3, 0), ("g", 4, 500)]
+    df = _docs(spark, rows)
+    out = sp.sample_per_group(df, "source", "doc_id", "n_chars", 2).collect()
+    assert {r["doc_id"] for r in out} == {1, 4}
+    zeroes = sp.sample_per_group(df, "source", "doc_id", "n_chars", 4).collect()
+    assert {r["priority"] for r in zeroes if r["doc_id"] in (2, 3)} == {0}
+
+
+# --- Misra-Gries heavy hitters ---------------------------------------------
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+    st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=60, deadline=None)
+def test_mg_compress_keeps_all_local_heavy_hitters(stream, k):
+    """Pure-python MG property (the guarantee the 2-pass plan rests on):
+    after compressing to k entries, every item with true frequency
+    > n/k is still present."""
+    counts = Counter(str(x) for x in stream)
+    true = Counter(str(x) for x in stream)
+    fq._mg_compress(counts, k)
+    assert len(counts) <= k
+    n = len(stream)
+    for item, c in true.items():
+        if c * k > n:
+            assert item in counts, (item, c, n, k)
+
+
+def test_mg_compress_noop_below_k():
+    counts = Counter({"a": 5, "b": 3})
+    fq._mg_compress(counts, 5)
+    assert counts == Counter({"a": 5, "b": 3})
+
+
+def test_exact_heavy_hitters_skewed_spark(spark):
+    """End-to-end on forced skew across many partitions: exact counts,
+    exact ppm, no false negatives vs the plain groupBy."""
+    rows = (
+        [("hot",)] * 400
+        + [("warm",)] * 120
+        + [(f"cold{i}",) for i in range(480)]
+    )
+    df = spark.createDataFrame(rows, "tok string").repartition(16)
+    out = {
+        r["tok"]: (r["term_freq"], r["freq_ppm"])
+        for r in fq.exact_heavy_hitters(df, "tok", denom=10, k=100).collect()
+    }
+    # n=1000; threshold freq*10 >= 1000 -> freq >= 100
+    assert out == {
+        "hot": (400, 400000),
+        "warm": (120, 120000),
+    }
+
+
+def test_exact_heavy_hitters_k_below_denom_rejected(spark):
+    df = spark.createDataFrame([("a",)], "tok string")
+    with pytest.raises(ValueError):
+        fq.exact_heavy_hitters(df, "tok", denom=1000, k=10)
+
+
+# --- packing + mix weights (operators/corpus.py round-3 additions) ----------
+
+
+def test_packing_index_straddle_and_null(spark):
+    from retail_etl_pipeline_spark.operators import corpus as cp
+
+    rows = [
+        ("s", 1, "a b c"),        # 3 tokens -> [0, 3)
+        ("s", 2, " ".join("x" * 1 for _ in range(6))),  # 6 tokens -> [3, 9)
+        ("s", 3, None),            # null text -> 0 tokens
+        ("s", 4, "y z"),           # 2 tokens -> [9, 11)
+        ("t", 9, "only doc"),      # other source starts at 0
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in cp.packing_index(df, block_tokens=4).collect()
+    }
+    assert (out[1]["start_tok"], out[1]["first_block"], out[1]["last_block"]) == (0, 0, 0)
+    # doc 2 spans tokens [3, 9) -> blocks 0..2 with capacity 4
+    assert (out[2]["first_block"], out[2]["last_block"], out[2]["spans_blocks"]) == (0, 2, 3)
+    # null text: zero tokens, NULL blocks, spans 0
+    assert (out[3]["n_tokens"], out[3]["first_block"], out[3]["spans_blocks"]) == (0, None, 0)
+    # doc 4 resumes at offset 9 (nulls don't advance the cursor)
+    assert (out[4]["start_tok"], out[4]["first_block"], out[4]["last_block"]) == (9, 2, 2)
+    assert (out[9]["start_tok"], out[9]["first_block"]) == (0, 0)
+
+
+def test_packing_index_partitioning_invariant(spark):
+    from retail_etl_pipeline_spark.operators import corpus as cp
+
+    rows = [("s%d" % (i % 4), i, "tok " * (i % 7 + 1)) for i in range(80)]
+    df = spark.createDataFrame(rows, "source string, doc_id bigint, text string")
+    a = sorted(map(tuple, cp.packing_index(df, 16).collect()))
+    b = sorted(map(tuple, cp.packing_index(df.repartition(13), 16).collect()))
+    assert a == b
+
+
+def test_source_mix_weights_balance_directions(spark):
+    from retail_etl_pipeline_spark.operators import corpus as cp
+
+    rows = (
+        [("big", i, "w " * 30) for i in range(9)]
+        + [("small", 100, "w " * 30)]
+    )
+    df = spark.createDataFrame(rows, "source string, doc_id bigint, text string")
+    out = {r["source"]: r for r in cp.source_mix_weights(df).collect()}
+    # 2 sources, big holds 90% of tokens: downsample big, upsample small
+    assert out["big"]["share_ppm"] == 900000
+    assert out["small"]["share_ppm"] == 100000
+    assert out["big"]["weight_ppm"] < 1000000 < out["small"]["weight_ppm"]
+    # exact integer contract: weight = (1e6 // n_sources) * 1e6 // share
+    assert out["small"]["weight_ppm"] == (1000000 // 2) * 1000000 // 100000
