@@ -166,3 +166,41 @@ def run_corpus_pipeline(
     if register_as is not None:
         spark.read.parquet(output_path).createOrReplaceTempView(register_as)
     return CorpusPipelineResult(output_path=output_path, metrics=dict(obs.get))
+
+
+def training_manifest(
+    corpus: DataFrame,
+    block_tokens: int = 512,
+    stream_col: str = "source",
+) -> DataFrame:
+    """Packing manifest for the published corpus: the concat-and-chunk
+    block placement (operators/corpus.packing_index) of every KEPT
+    train-split document, per packing stream.
+
+    This is the step after publish: a trainer consuming the corpus needs
+    to know which 512-token block each document occupies without
+    re-tokenizing the world — the manifest is that index, and because the
+    packing arithmetic is deterministic (prefix sums + integer division),
+    re-running it against the same published corpus always yields the
+    same blocks (cache-safe, diffable across pipeline versions).
+
+    Requires ``stream_col`` (the per-stream concat order is only
+    meaningful within a stream); quarantined and non-train docs are
+    excluded BEFORE the cumsum so rejected text can never shift block
+    boundaries.
+    """
+    from .operators.corpus import packing_index
+
+    if stream_col not in corpus.columns:
+        raise ValueError(
+            f"training_manifest needs a {stream_col!r} column to define "
+            "packing streams (a global single-stream pack would serialize "
+            "into one partition)"
+        )
+    kept_train = corpus.where(
+        F.col("reason").isNull() & (F.col("split") == "train")
+    )
+    base = kept_train.select(
+        F.col(stream_col).alias("source"), "doc_id", "text"
+    )
+    return packing_index(base, block_tokens=block_tokens)

@@ -620,13 +620,19 @@ def source_mix_weights(docs: DataFrame) -> DataFrame:
             "source",
             "n_docs",
             "n_tokens",
-            F.expr("(n_tokens * 1000000) div _tot_tokens").alias("share_ppm"),
-            # NULLIF: a sub-ppm source (share 0) gets a NULL weight — an
-            # explicit "cannot rebalance" marker instead of an ANSI
-            # divide-by-zero error at runtime
+            # the *1e6 products run in DECIMAL(38,0): a >9.2e12-token
+            # source would overflow the BIGINT product under ANSI; NULLIF
+            # guards make an all-empty corpus (tot=0) and a sub-ppm
+            # source (share=0) explicit NULLs instead of runtime
+            # DIVIDE_BY_ZERO errors
+            F.expr(
+                "(cast(n_tokens as decimal(38,0)) * 1000000)"
+                " div NULLIF(_tot_tokens, 0)"
+            ).alias("share_ppm"),
             F.expr(
                 "((1000000 div _n_sources) * 1000000)"
-                " div NULLIF((n_tokens * 1000000) div _tot_tokens, 0)"
+                " div NULLIF((cast(n_tokens as decimal(38,0)) * 1000000)"
+                " div NULLIF(_tot_tokens, 0), 0)"
             ).alias("weight_ppm"),
         )
     )
@@ -647,8 +653,10 @@ tot AS (
   FROM per
 )
 SELECT source, n_docs, n_tokens,
-       (n_tokens * 1000000) // tot_tokens AS share_ppm,
-       ((1000000 // n_sources) * 1000000)
-         // NULLIF((n_tokens * 1000000) // tot_tokens, 0) AS weight_ppm
+       CAST((CAST(n_tokens AS HUGEINT) * 1000000)
+            // NULLIF(tot_tokens, 0) AS BIGINT) AS share_ppm,
+       CAST(((1000000 // n_sources) * 1000000)
+            // NULLIF((CAST(n_tokens AS HUGEINT) * 1000000)
+                      // NULLIF(tot_tokens, 0), 0) AS BIGINT) AS weight_ppm
 FROM per, tot
 """

@@ -50,9 +50,18 @@ def check_expectations(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
             f"stack({len(rules)}, {stack_args}) AS (rule, violations)"
         ),
     )
+    # empty-table semantics made explicit (the module's whole contract):
+    # SUM over zero rows is NULL -> coalesce violations to 0 so a
+    # `violations == 0` health gate passes on an empty-but-healthy
+    # input; pass_ppm has no defined value at n=0 -> NULL via NULLIF
+    # (not an ANSI divide-by-zero crash)
     return long.select(
         "rule",
         F.col("_n").cast("bigint").alias("n_rows"),
-        F.col("violations").cast("bigint").alias("violations"),
-        F.expr("((_n - violations) * 1000000) div _n").alias("pass_ppm"),
+        F.coalesce(F.col("violations"), F.lit(0))
+        .cast("bigint")
+        .alias("violations"),
+        F.expr(
+            "((_n - coalesce(violations, 0)) * 1000000) div NULLIF(_n, 0)"
+        ).alias("pass_ppm"),
     )

@@ -68,8 +68,10 @@ def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
         _mg_compress(counts, k)
         yield pd.DataFrame({col: list(counts.keys())})
 
+    # output schema mirrors the input column's type — the operator is
+    # type-generic (string tokens, bigint ids, ...)
     return df.select(col).mapInPandas(
-        summarize, schema=f"{col} string"
+        summarize, schema=df.select(col).schema
     ).distinct()
 
 
@@ -82,8 +84,12 @@ def exact_heavy_hitters(
     if k < denom:
         raise ValueError(f"k ({k}) must be >= denom ({denom})")
     cand = mg_candidates(df, col, k)
+    # no forced broadcast: the candidate set is k * tasks rows — small in
+    # practice, but a hint would override AQE's size check and OOM on a
+    # 50k-task corpus job; AQE broadcasts it while it fits and degrades
+    # to a shuffled join when it doesn't (same policy as graph.py's deg)
     counted = (
-        df.join(F.broadcast(cand), col, "inner")
+        df.join(cand, col, "inner")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("term_freq"))
     )

@@ -33,18 +33,24 @@ Scale notes (100 TB):
   persisted once and reused by all iterations.
 - For deep iteration counts, truncate lineage every ~5 rounds with
   ``localCheckpoint`` (documented, not needed at the fixed 5 used here).
-- BIGINT headroom: ranks stay near SCALE (total mass is conserved at
-  N*SCALE by the column-stochastic update), so per-node inbound sums are
-  bounded by in_degree * max_rank. The BIGINT path holds while a hub's
-  inbound mass stays below 2^63 (~9.2e6 * SCALE); beyond that, cast the
-  summed column to DECIMAL(38,0) — same algebra, wider lattice (the
-  corpus_split hash got the identical hardening after a hypothesis
-  overflow find, operators/corpus.py:380).
+- Overflow lattice: ranks stay near SCALE (total mass is conserved at
+  N*SCALE by the column-stochastic update), but a hub's inbound sum is
+  bounded only by in_degree * max_rank, so the `85 * sum` step runs in
+  DECIMAL(38,0) (the same hardening as the corpus_split hash,
+  operators/corpus.py:380 — a BIGINT product would overflow under ANSI
+  at 1/85th of the representable range). `div` returns BIGINT, so the
+  representable limit on any single node's RANK is 2^63 (~9.2e6 *
+  SCALE inbound mass); a graph concentrating more mass than that onto
+  one node needs a smaller SCALE.
+- Cache lifetime: the edge/adjacency relations are persisted for the
+  iteration loop and stay cached until the session clears them — the
+  same contract as the shingle relation in operators/dedup.py (bench
+  and the plan tests clearCache() between queries).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000_000_000  # 1e12 fixed-point scale
@@ -95,8 +101,12 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 5) -> DataFrame:
             F.col("dst"), F.expr("r div out_deg").alias("c")
         )
         ranks = contrib.groupBy("dst").agg(
+            # the 85x step in DECIMAL(38,0): a hub's inbound sum times 85
+            # overflows BIGINT long before the sum itself does (ANSI mode
+            # would throw); `div` brings the result back to BIGINT
             (
-                F.lit(TELEPORT_FP) + F.expr("(85 * sum(c)) div 100")
+                F.lit(TELEPORT_FP)
+                + F.expr("(85 * cast(sum(c) as decimal(38,0))) div 100")
             ).alias("r")
         ).select(F.col("dst").alias("node"), "r")
     return ranks.join(deg, ranks.node == deg.src).select(
@@ -105,7 +115,7 @@ def pagerank_fixed_point(edges: DataFrame, iterations: int = 5) -> DataFrame:
 
 
 def copurchase_pagerank(
-    spark: SparkSession, lineitem: DataFrame, iterations: int = 5, k: int = 20
+    lineitem: DataFrame, iterations: int = 5, k: int = 20
 ) -> DataFrame:
     """Top-k parts by co-purchase PageRank (deterministic tie-break on
     part key). The limit lands as TakeOrderedAndProject — no global

@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 
 MIX = 2246822519  # xxhash32 prime-2; decorrelated from corpus_split's MIX
 MOD = 2**32
+#: weights clamp here so priority = w * MOD // u fits BIGINT even at u=1.
+WEIGHT_CAP = 2**31 - 1
 
 
 def uniform_hash(id_col: Column) -> Column:
@@ -44,9 +46,11 @@ def uniform_hash_sql(id_col: str) -> str:
 
 def priority_sql(id_col: str, weight: str) -> str:
     """DuckDB twin of the priority: integer `//` on BIGINTs is exact
-    integer division, matching Spark's `div`."""
+    integer division, matching Spark's `div`; the same WEIGHT_CAP clamp
+    keeps the product in-range."""
     return (
-        f"GREATEST(COALESCE(CAST({weight} AS BIGINT), 0), 0) * {MOD}"
+        f"LEAST(GREATEST(COALESCE(CAST({weight} AS BIGINT), 0), 0),"
+        f" {WEIGHT_CAP}) * {MOD}"
         f" // {uniform_hash_sql(id_col)}"
     )
 
@@ -58,11 +62,21 @@ def sample_per_group(
     on the id. Returns the input columns plus (priority, sample_rank).
 
     NULL/negative weights coalesce to 0 — never sampled ahead of any
-    positively-weighted row, never poisoning the top-k. Spark's `div`
-    on BIGINT is exact integer division (`//` on the DuckDB side)."""
+    positively-weighted row, never poisoning the top-k. Weights clamp at
+    2^31-1 so w * MOD stays inside BIGINT for ANY u (ANSI mode would
+    otherwise throw ARITHMETIC_OVERFLOW on a >=2 GiB document sampled by
+    byte count); above the clamp, relative order among such giants falls
+    back to the tie-break — acceptable for a size-weighted sample, and
+    stated here. Spark's `div` on BIGINT is exact integer division
+    (`//` on the DuckDB side)."""
     staged = df.withColumn("_u", uniform_hash(F.col(id_col))).withColumn(
         "_w",
-        F.greatest(F.coalesce(F.col(weight).cast("bigint"), F.lit(0)), F.lit(0)),
+        F.least(
+            F.greatest(
+                F.coalesce(F.col(weight).cast("bigint"), F.lit(0)), F.lit(0)
+            ),
+            F.lit(WEIGHT_CAP),
+        ),
     )
     staged = staged.withColumn(
         "priority", F.expr(f"(_w * {MOD}) div _u")

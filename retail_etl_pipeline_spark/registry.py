@@ -4490,7 +4490,7 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration, TakeOrdered final top-k. Extends the reference's join
     surface (SURVEY.md §2.4) to iterative graph algorithms."""
     li = fx._read(spark, sf_dir, "lineitem")
-    return gph.copurchase_pagerank(spark, li, iterations=5, k=20)
+    return gph.copurchase_pagerank(li, iterations=5, k=20)
 
 
 # ---------------------------------------------------------------------------
@@ -4992,3 +4992,183 @@ def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the mix spec is engine- and order-stable."""
     d = fx._read(spark, sf_dir, "documents")
     return cp.source_mix_weights(d)
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram without a global ranking window: exact percentile
+# cutpoints (one scalar aggregate) + comparison bucketing (a projection).
+# The naive ntile() over an empty partitionBy is banned repo-wide
+# (test_no_empty_partition_windows_anywhere) — this is the scale-safe
+# equivalent: the only global state is 9 numbers.
+# ---------------------------------------------------------------------------
+
+_EQD_PS = [i / 10 for i in range(1, 10)]
+
+
+@_register(
+    "price_equidepth_histogram",
+    f"""
+WITH cuts AS (
+  SELECT quantile_cont(o_totalprice, {_EQD_PS}) AS c FROM orders
+),
+bucketed AS (
+  SELECT 1 + {" + ".join(f"(CASE WHEN o.o_totalprice > cuts.c[{i + 1}] THEN 1 ELSE 0 END)" for i in range(9))}
+           AS bucket,
+         o.o_totalprice
+  FROM orders o, cuts
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {_m("MIN(o_totalprice)")} AS min_price,
+       {_m("MAX(o_totalprice)")} AS max_price
+FROM bucketed
+GROUP BY 1
+""",
+)
+def price_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bucket equi-depth histogram of order prices. Cutpoints come
+    from ONE scalar percentile aggregate (exact, interpolating — same
+    ANSI formula as DuckDB quantile_cont); rows are then bucketed by
+    comparing against the 9 broadcast cut values and counted with an
+    ordinary groupBy. Total cost: two passes, zero sorts, no
+    single-task stage — where ntile()-over-everything would move the
+    whole table through one partition."""
+    o = fx._read(spark, sf_dir, "orders")
+    ps = ", ".join(str(p) for p in _EQD_PS)
+    cuts = o.agg(F.expr(f"percentile(o_totalprice, array({ps}))").alias("c"))
+    bucket = F.lit(1)
+    for i in range(9):
+        bucket = bucket + F.when(
+            F.col("o_totalprice") > F.col("c").getItem(i), 1
+        ).otherwise(0)
+    return (
+        o.crossJoin(F.broadcast(cuts))
+        .select(bucket.cast("integer").alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money(F.min("o_totalprice")).alias("min_price"),
+            money(F.max("o_totalprice")).alias("max_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation over the densified day spine: fill silent gaps in
+# a store's daily revenue series — the time-series repair step between
+# densification (missing_sales_days) and the rolling metrics
+# (store_revenue_7d_ma).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "store_revenue_interpolated",
+    f"""
+WITH {fx.SALES_CTE.strip()},
+daily AS (
+  SELECT store_key, trans_dt, {_ms("sales_amt")} AS day_rev
+  FROM sales GROUP BY 1, 2
+),
+span AS (
+  SELECT store_key, MIN(trans_dt) AS d0, MAX(trans_dt) AS d1 FROM daily
+  GROUP BY 1
+),
+spine AS (
+  SELECT store_key,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS cal_dt
+  FROM span
+),
+joined AS (
+  SELECT sp.store_key, sp.cal_dt, d.day_rev
+  FROM spine sp LEFT JOIN daily d
+    ON sp.store_key = d.store_key AND sp.cal_dt = d.trans_dt
+),
+bracketed AS (
+  SELECT store_key, cal_dt, day_rev,
+         last_value(day_rev IGNORE NULLS) OVER (
+           PARTITION BY store_key ORDER BY cal_dt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_rev,
+         last_value(CASE WHEN day_rev IS NOT NULL THEN cal_dt END IGNORE NULLS)
+           OVER (
+             PARTITION BY store_key ORDER BY cal_dt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_dt,
+         first_value(day_rev IGNORE NULLS) OVER (
+           PARTITION BY store_key ORDER BY cal_dt
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+         ) AS next_rev,
+         first_value(CASE WHEN day_rev IS NOT NULL THEN cal_dt END IGNORE NULLS)
+           OVER (
+             PARTITION BY store_key ORDER BY cal_dt
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+           ) AS next_dt
+  FROM joined
+)
+SELECT store_key, cal_dt,
+       {_m("prev_rev + (next_rev - prev_rev)"
+           " * (CAST(cal_dt - prev_dt AS DOUBLE)"
+           " / CAST(next_dt - prev_dt AS DOUBLE))")} AS interp_rev
+FROM bracketed
+WHERE day_rev IS NULL AND prev_rev IS NOT NULL AND next_rev IS NOT NULL
+""",
+)
+def store_revenue_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly interpolated revenue for days with NO sales inside each
+    store's active span: densify to the day spine (sequence+explode, a
+    map-only expansion), bracket each gap with ignore-nulls windows
+    (one shuffle on store_key), interpolate in identically-shaped double
+    arithmetic on both engines, round via the decimal money hop. Gaps at
+    the edges (no bracket) stay unfilled rather than extrapolated."""
+    s = fx.sales(spark, sf_dir)
+    daily = s.groupBy("store_key", "trans_dt").agg(
+        money_sum(F.col("sales_amt")).alias("day_rev")
+    )
+    span = daily.groupBy("store_key").agg(
+        F.min("trans_dt").alias("d0"), F.max("trans_dt").alias("d1")
+    )
+    spine = span.select(
+        "store_key", F.explode(F.sequence("d0", "d1")).alias("cal_dt")
+    )
+    joined = spine.join(
+        daily.withColumnRenamed("trans_dt", "cal_dt"),
+        ["store_key", "cal_dt"],
+        "left",
+    )
+    wp = (
+        Window.partitionBy("store_key")
+        .orderBy("cal_dt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # the FORWARD bracket as a running frame over the REVERSED sort, not
+    # first_value over (1 FOLLOWING, UNBOUNDED FOLLOWING): Spark executes
+    # an unbounded-FOLLOWING frame by re-scanning to the partition end
+    # for every row — O(rows²) per store (measured: 150 s vs 2 s at
+    # sf0.1 for this query). A running unbounded-PRECEDING frame is the
+    # O(rows) streaming implementation in both directions.
+    wn = (
+        Window.partitionBy("store_key")
+        .orderBy(F.desc("cal_dt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    known_dt = F.when(F.col("day_rev").isNotNull(), F.col("cal_dt"))
+    b = joined.select(
+        "store_key",
+        "cal_dt",
+        "day_rev",
+        F.last("day_rev", ignorenulls=True).over(wp).alias("prev_rev"),
+        F.last(known_dt, ignorenulls=True).over(wp).alias("prev_dt"),
+        F.last("day_rev", ignorenulls=True).over(wn).alias("next_rev"),
+        F.last(known_dt, ignorenulls=True).over(wn).alias("next_dt"),
+    )
+    interp = F.col("prev_rev") + (F.col("next_rev") - F.col("prev_rev")) * (
+        F.datediff("cal_dt", "prev_dt").cast("double")
+        / F.datediff("next_dt", "prev_dt").cast("double")
+    )
+    return b.where(
+        F.col("day_rev").isNull()
+        & F.col("prev_rev").isNotNull()
+        & F.col("next_rev").isNotNull()
+    ).select("store_key", "cal_dt", money(interp).alias("interp_rev"))

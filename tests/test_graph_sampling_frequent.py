@@ -223,3 +223,46 @@ def test_source_mix_weights_balance_directions(spark):
     assert out["big"]["weight_ppm"] < 1000000 < out["small"]["weight_ppm"]
     # exact integer contract: weight = (1e6 // n_sources) * 1e6 // share
     assert out["small"]["weight_ppm"] == (1000000 // 2) * 1000000 // 100000
+
+
+def test_sample_giant_weights_clamp_instead_of_overflow(spark):
+    """A >=2^31 weight (a multi-GiB doc sampled by byte count) must not
+    throw ARITHMETIC_OVERFLOW under ANSI mode: weights clamp at
+    WEIGHT_CAP and the row still competes (at the clamped weight)."""
+    rows = [("g", 1, 3_000_000_000), ("g", 2, 2**31 - 1), ("g", 3, 10)]
+    df = _docs(spark, rows)
+    out = {r["doc_id"]: r["priority"] for r in
+           sp.sample_per_group(df, "source", "doc_id", "n_chars", 3).collect()}
+    assert len(out) == 3
+    # doc 1 clamps to the same weight as doc 2: priorities differ only
+    # through u(doc_id)
+    assert out[1] > 0 and out[2] > 0
+
+
+def test_source_mix_weights_all_null_text_yields_null_shares(spark):
+    """An all-quarantined (NULL-text) corpus has tot_tokens=0: shares and
+    weights are explicit NULLs, not a DIVIDE_BY_ZERO crash."""
+    from retail_etl_pipeline_spark.operators import corpus as cp
+
+    df = spark.createDataFrame(
+        [("a", 1, None), ("b", 2, None)], "source string, doc_id long, text string"
+    )
+    out = cp.source_mix_weights(df).collect()
+    assert {r["source"] for r in out} == {"a", "b"}
+    assert all(r["share_ppm"] is None and r["weight_ppm"] is None for r in out)
+
+
+def test_pagerank_hub_heavy_sum_stays_exact(spark):
+    """The 85x step runs in DECIMAL(38,0): a hub with large inbound mass
+    must not overflow the BIGINT product under ANSI mode. 200 leaves at
+    rank ~SCALE each is small, so force the regime with a tiny graph and
+    verify the decimal path returns the exact integer recurrence."""
+    n = 201
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, n)] + [(i, 0) for i in range(1, n)],
+        "src bigint, dst bigint",
+    )
+    out = {r["node"]: r["rank_fp"] for r in gph.pagerank_fixed_point(edges, 1).collect()}
+    # after one round: hub gets T + 0.85 * sum(leaf SCALE/1) exactly
+    expected_hub = gph.TELEPORT_FP + (85 * (n - 1) * gph.SCALE) // 100
+    assert out[0] == expected_hub

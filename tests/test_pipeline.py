@@ -377,3 +377,38 @@ def test_corpus_pipeline_rejects_malformed_input(spark):
     bad = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="missing.*doc_id"):
         prepare_corpus(bad)
+
+
+def test_training_manifest_packs_only_kept_train_docs(spark, tmp_path):
+    from retail_etl_pipeline_spark.corpus_pipeline import (
+        prepare_corpus,
+        training_manifest,
+    )
+
+    rows = [
+        # doc 9 is a duplicate of doc 1 -> rejected; doc 5 too short
+        (1, "s", "alpha beta gamma delta epsilon zeta"),
+        (9, "s", "alpha beta gamma delta epsilon zeta"),
+        (5, "s", "tiny"),
+    ] + [(i, "s", f"doc {i} body with enough tokens to pass the gate {i}")
+         for i in range(10, 40)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    corpus = prepare_corpus(docs)
+    man = training_manifest(corpus, block_tokens=8)
+    got = {r["doc_id"]: r for r in man.collect()}
+    kept_train = {
+        r["doc_id"]
+        for r in corpus.where(
+            "reason IS NULL AND split = 'train'"
+        ).collect()
+    }
+    assert set(got) == kept_train
+    assert 9 not in got and 5 not in got
+    # blocks tile contiguously: each doc starts where the previous ended
+    ordered = sorted(got.values(), key=lambda r: r["doc_id"])
+    cursor = 0
+    for r in ordered:
+        assert r["start_tok"] == cursor
+        cursor += r["n_tokens"]
+    with pytest.raises(ValueError):
+        training_manifest(corpus.drop("source"))

@@ -529,3 +529,74 @@ def test_no_rowwise_python_udfs_anywhere(spark, sf_dir):
             assert "BatchEvalPython" not in plan, name
     finally:
         spark.catalog.clearCache()
+
+
+def test_packing_index_single_exchange(spark, sf_dir):
+    """The packing index is ONE shuffle on the source key: scan ->
+    exchange(source) -> sort -> window -> project. No join, no second
+    exchange — the block assignment is pure arithmetic over the cumsum."""
+    spark.catalog.clearCache()
+    plan = _physical(QUERIES["packing_index"](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_weighted_sample_pushes_group_limit(spark, sf_dir):
+    """Priority sampling's rn <= k must compile to WindowGroupLimit
+    (per-partition top-k BEFORE the shuffle), like every other top-k per
+    group in the repo."""
+    spark.catalog.clearCache()
+    plan = _physical(QUERIES["documents_weighted_sample"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_cms_probe_join_is_broadcast(spark, sf_dir):
+    """The d*w counter table is bounded; probing must broadcast it (and
+    the candidate/probe relations), never shuffle the token stream for
+    the lookup."""
+    spark.catalog.clearCache()
+    plan = _physical(QUERIES["cms_token_estimates"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pagerank_topk_is_take_ordered(spark, sf_dir):
+    """The final top-20 must be TakeOrderedAndProject — never a global
+    sort of the rank relation."""
+    spark.catalog.clearCache()
+    plan = _physical(QUERIES["part_copurchase_pagerank"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    spark.catalog.clearCache()
+
+
+def test_expectations_single_aggregate_over_one_scan(spark, sf_dir):
+    """Six rules, one scan: a single two-phase aggregate (partial +
+    final over ONE single-partition exchange), no union of per-rule
+    subplans."""
+    spark.catalog.clearCache()
+    plan = _physical(QUERIES["orders_expectations"](spark, sf_dir))
+    assert len(re.findall(r"Exchange SinglePartition", plan)) == 1, plan
+    assert "Union" not in plan, plan
+
+
+def test_no_partial_unbounded_following_frames_anywhere(spark, sf_dir):
+    """A window frame ending at UNBOUNDED FOLLOWING but starting after
+    UNBOUNDED PRECEDING is executed by re-scanning to the partition end
+    for EVERY row — O(rows²) per partition (measured: 150 s vs 5 s at
+    sf0.1 when store_revenue_interpolated used first_value over
+    (1 FOLLOWING, UNBOUNDED FOLLOWING)). The whole-partition frame
+    (unboundedpreceding, unboundedfollowing) is fine — computed once per
+    partition; forward-looking logic must ride a running frame over the
+    reversed sort instead."""
+    bad = re.compile(
+        r"specifiedwindowframe\((?:Row|Range)Frame,"
+        r" (?!unboundedpreceding)[^,]+, unboundedfollowing",
+        re.IGNORECASE,
+    )
+    try:
+        for name, fn in QUERIES.items():
+            plan = _optimized(fn(spark, sf_dir))
+            assert not bad.search(plan), (name, bad.search(plan).group(0))
+    finally:
+        spark.catalog.clearCache()

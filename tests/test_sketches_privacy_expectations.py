@@ -146,3 +146,34 @@ def test_expectations_single_scan_plan(spark):
     )
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Range (0, 100") == 1, plan
+
+
+# --- review-fix regressions -------------------------------------------------
+
+
+def test_expectations_empty_table_is_healthy_not_null(spark):
+    """SUM over zero rows is NULL; the contract coalesces it: an empty
+    input reports 0 violations (health gates pass) and NULL pass_ppm
+    (undefined, not a divide-by-zero crash)."""
+    df = spark.createDataFrame([], "id int, v double")
+    out = ex.check_expectations(df, {"v_positive": F.col("v") > 0}).collect()
+    assert len(out) == 1
+    assert (out[0]["n_rows"], out[0]["violations"], out[0]["pass_ppm"]) == (
+        0,
+        0,
+        None,
+    )
+
+
+def test_mg_candidates_non_string_column(spark):
+    """The heavy-hitter API is type-generic: candidate schema mirrors
+    the input column type (a hardcoded string schema broke bigint keys)."""
+    from retail_etl_pipeline_spark.operators import frequent as fq
+
+    df = spark.createDataFrame([(7,)] * 50 + [(i,) for i in range(40)], "k bigint")
+    out = {
+        r["k"]: r["term_freq"]
+        for r in fq.exact_heavy_hitters(df, "k", denom=4, k=50).collect()
+    }
+    assert out[7] == 51  # 50 plus the one from range(40)
+    assert all(isinstance(key, int) for key in out)
