@@ -266,3 +266,51 @@ def test_pagerank_hub_heavy_sum_stays_exact(spark):
     # after one round: hub gets T + 0.85 * sum(leaf SCALE/1) exactly
     expected_hub = gph.TELEPORT_FP + (85 * (n - 1) * gph.SCALE) // 100
     assert out[0] == expected_hub
+
+
+def test_packing_incremental_equals_batch_repack(spark):
+    """The incremental continuation must be bit-equal to re-packing
+    old+new and keeping the new rows — prefix sums decompose."""
+    from retail_etl_pipeline_spark.operators import corpus as cp
+
+    old_rows = [("s%d" % (i % 3), i, "tok " * (i % 5 + 1)) for i in range(30)]
+    new_rows = [("s%d" % (i % 3), i, "tok " * (i % 7 + 2)) for i in range(30, 55)]
+    schema = "source string, doc_id bigint, text string"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    manifest_old = cp.packing_index(old, 16)
+    cursors = cp.packing_cursors(manifest_old)
+    inc = cp.packing_index_incremental(new, cursors, 16)
+    full = cp.packing_index(old.unionByName(new), 16).where(F.col("doc_id") >= 30)
+    inc_rows = sorted(
+        (r["source"], r["doc_id"], r["n_tokens"], r["start_tok"],
+         r["first_block"], r["last_block"], r["spans_blocks"])
+        for r in inc.collect()
+    )
+    full_rows = sorted(
+        (r["source"], r["doc_id"], r["n_tokens"], r["start_tok"],
+         r["first_block"], r["last_block"], r["spans_blocks"])
+        for r in full.collect()
+    )
+    assert inc_rows == full_rows
+    assert all(r["in_order"] for r in inc.collect())
+
+
+def test_packing_incremental_flags_out_of_order_docs(spark):
+    """A doc_id at or below the source watermark can't be appended:
+    NULL blocks + in_order=false, never a silent mis-pack."""
+    from retail_etl_pipeline_spark.operators import corpus as cp
+
+    schema = "source string, doc_id bigint, text string"
+    old = spark.createDataFrame([("s", 10, "a b c d")], schema)
+    cursors = cp.packing_cursors(cp.packing_index(old, 4))
+    late = spark.createDataFrame(
+        [("s", 5, "x y z"), ("s", 11, "p q"), ("t", 1, "fresh source")], schema
+    )
+    out = {r["doc_id"]: r for r in cp.packing_index_incremental(late, cursors, 4).collect()}
+    assert out[5]["in_order"] is False
+    assert out[5]["first_block"] is None and out[5]["spans_blocks"] == 0
+    # in-order doc continues from the 4-token cursor
+    assert out[11]["in_order"] is True and out[11]["start_tok"] == 4
+    # unknown source starts at 0
+    assert out[1]["start_tok"] == 0 and out[1]["in_order"] is True
