@@ -311,3 +311,66 @@ def test_results_identical_across_shuffle_parallelism(spark, sf_dir, name):
         spark.conf.set("spark.sql.shuffle.partitions", old)
         spark.catalog.clearCache()
     assert results[3] == results[24]
+
+
+# --- packing index vs a pure-python model (round-3 continuation) ------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),               # source
+            st.integers(min_value=0, max_value=10**6),  # doc_id (deduped below)
+            st.one_of(
+                st.none(),
+                st.text(
+                    alphabet="xy é", min_size=0, max_size=12
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+@_settings
+def test_packing_index_matches_python_model(spark, rows, block):
+    """packing_index vs a direct sequential-python model: same token
+    counts, same offsets, same block spans — for arbitrary small corpora
+    including NULL and empty texts and multi-space strings."""
+    from retail_etl_pipeline_spark.operators import corpus as cp
+
+    df = spark.createDataFrame(
+        rows, "source string, doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["start_tok"], r["first_block"],
+            r["last_block"], r["spans_blocks"],
+        )
+        for r in cp.packing_index(df, block).collect()
+    }
+
+    def n_tok(t):
+        if t is None:
+            return 0
+        # the engine's tokenizer: split(trim(t), '\s+') — an empty or
+        # all-space string yields [''] (1 token), mirroring TOKENS_SQL
+        import re as _re
+
+        return len(_re.split(r"\s+", t.strip()))
+
+    expected = {}
+    for src in {r[0] for r in rows}:
+        cursor = 0
+        for s, d, t in sorted((r for r in rows if r[0] == src), key=lambda r: r[1]):
+            n = n_tok(t)
+            if n > 0:
+                first = cursor // block
+                last = (cursor + n - 1) // block
+                expected[d] = (n, cursor, first, last, last - first + 1)
+            else:
+                expected[d] = (0, cursor, None, None, 0)
+            cursor += n
+    assert got == expected
