@@ -75,11 +75,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     seen = _last_checked_round()
     registry_pos = {name: i for i, name in enumerate(QUERIES)}
-    # never-checked first; within a tie, NEWEST registry entries first so
-    # each round's additions land inside the driver's bounded window the
-    # same round they ship
+    # never-checked first; within never-checked, OLDEST registry entries
+    # first: once the backlog fills the driver's ~50-query window, new
+    # additions must queue BEHIND it — the earlier newest-first tiebreak
+    # would displace the longest-waiting queries out of the window every
+    # time an operator ships, so the backlog would never clear
     names = sorted(
-        QUERIES, key=lambda n: (seen.get(n, -1), -registry_pos[n])
+        QUERIES, key=lambda n: (seen.get(n, -1), registry_pos[n])
     )
     return {name: QUERIES[name] for name in names}
 

@@ -5172,3 +5172,245 @@ def store_revenue_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("prev_rev").isNotNull()
         & F.col("next_rev").isNotNull()
     ).select("store_key", "cal_dt", money(interp).alias("interp_rev"))
+
+
+# ---------------------------------------------------------------------------
+# Round-4-queue pulled forward: label-propagation communities, chi-square
+# association, min-per-group join-back (TPC-H Q2 shape), fixed-weight
+# exponential smoothing. (These sit BEHIND the 50-query never-checked
+# backlog in the driver window — see __spark_entry__.queries() ordering.)
+# ---------------------------------------------------------------------------
+
+
+@_register("copurchase_communities", gph.label_propagation_oracle_sql(rounds=3))
+def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community structure of the part co-purchase graph by 3 rounds of
+    min-label propagation (operators/graph.py) — a bounded, fully
+    relational iteration (pure min-algebra: deterministic at ANY round
+    count, converged or not), aggregated to (community, size, member
+    range). The relational twin of dedup.connected_components' hybrid."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    labels = gph.min_label_propagation(gph.copurchase_edges(li), rounds=3)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("min_member"),
+        F.max("node").alias("max_member"),
+    )
+
+
+# --- chi-square association (segment x region) ------------------------------
+
+_CHI2_CELL = "(CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e"
+
+
+@_register(
+    "segment_region_chi2",
+    f"""
+WITH cells AS (
+  SELECT c.c_mktsegment AS seg, r.r_name AS region,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+),
+rt AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS row_tot FROM cells GROUP BY seg),
+ct AS (SELECT region, CAST(SUM(o) AS BIGINT) AS col_tot FROM cells GROUP BY region),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+contrib AS (
+  SELECT cells.seg, cells.region, cells.o,
+         CAST(round(CAST({_CHI2_CELL} AS DECIMAL(38,12)), 6) AS DECIMAL(38,6))
+           AS c
+  FROM cells
+  JOIN rt ON cells.seg = rt.seg
+  JOIN ct ON cells.region = ct.region
+  CROSS JOIN tot,
+  LATERAL (SELECT CAST(row_tot AS DOUBLE) * col_tot / n AS e) x
+),
+sizes AS (
+  SELECT COUNT(DISTINCT seg) AS n_seg, COUNT(DISTINCT region) AS n_reg
+  FROM cells
+)
+SELECT CAST(SUM(c) AS DOUBLE) AS chi2,
+       CAST((MAX(n_seg) - 1) * (MAX(n_reg) - 1) AS BIGINT) AS dof,
+       CAST(SUM(o) AS BIGINT) AS n_customers
+FROM contrib, sizes
+""",
+)
+def segment_region_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square statistic for market-segment x region association.
+    Observed counts are exact; expected counts and per-cell (o-e)^2/e
+    run in identically-shaped double arithmetic on both engines; each
+    cell contribution is rounded IN DECIMAL at 6 places and the final
+    chi2 is an exact decimal sum of those — so the statistic is
+    bit-stable under any partition/accumulation order (a raw double sum
+    of contributions would not be). All relations after the first
+    groupBy are bounded (segments x regions)."""
+    c = fx._read(spark, sf_dir, "customer")
+    n = fx._read(spark, sf_dir, "nation")
+    r = fx._read(spark, sf_dir, "region")
+    cells = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("r_name").alias("region"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rt = cells.groupBy("seg").agg(F.sum("o").alias("row_tot"))
+    ct = cells.groupBy("region").agg(F.sum("o").alias("col_tot"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    sizes = cells.agg(
+        F.count_distinct("seg").alias("n_seg"),
+        F.count_distinct("region").alias("n_reg"),
+    )
+    contrib = (
+        cells.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "region")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("e", F.expr("CAST(row_tot AS DOUBLE) * col_tot / n"))
+        .withColumn(
+            "c",
+            F.expr(
+                f"CAST(round(CAST({_CHI2_CELL} AS DECIMAL(38,12)), 6)"
+                " AS DECIMAL(38,6))"
+            ),
+        )
+    )
+    return (
+        contrib.agg(
+            F.sum("c").cast("double").alias("chi2"),
+            F.sum("o").cast("bigint").alias("n_customers"),
+        )
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            "chi2",
+            ((F.col("n_seg") - 1) * (F.col("n_reg") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            "n_customers",
+        )
+    )
+
+
+# --- min-per-group + join-back (TPC-H Q2 shape) -----------------------------
+
+
+@_register(
+    "cheapest_supplier_per_part",
+    f"""
+WITH mins AS (
+  SELECT l_partkey, MIN(l_extendedprice) AS min_price
+  FROM lineitem GROUP BY l_partkey
+),
+best AS (
+  SELECT l.l_partkey, m.min_price,
+         MIN(l.l_suppkey) AS s_suppkey
+  FROM lineitem l
+  JOIN mins m
+    ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.min_price
+  GROUP BY 1, 2
+)
+SELECT b.l_partkey AS p_partkey,
+       {_m("b.min_price")} AS min_price,
+       b.s_suppkey,
+       s.s_name
+FROM best b JOIN supplier s ON b.s_suppkey = s.s_suppkey
+""",
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest observed supplier per part (TPC-H Q2's correlated
+    min-subquery shape): min-per-group aggregate, equi-join BACK on
+    (key, min-value) to recover the attribution row, deterministic
+    min-suppkey tie-break, then the supplier dim join. The join-back on
+    the aggregate value is the classic alternative to a rank window —
+    two compact shuffles on l_partkey (the aggregate and the join reuse
+    the same partitioning) and the probe side carries only
+    (part, price, supp). The raw double join key is safe cross-engine:
+    both sides compare the UNROUNDED stored value (money rounding only
+    in the final projection)."""
+    li = fx._read(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_suppkey"
+    )
+    s = fx._read(spark, sf_dir, "supplier")
+    # the aggregate's key is re-aliased: mins derives from li, and a
+    # same-name equality predicate on a self-derived relation collapses
+    # to trivially-true (Spark resolves both sides to the same attribute)
+    mins = li.groupBy(F.col("l_partkey").alias("mp_partkey")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    best = (
+        li.join(
+            mins,
+            (F.col("l_partkey") == F.col("mp_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .groupBy("l_partkey", "min_price")
+        .agg(F.min("l_suppkey").alias("s_suppkey"))
+    )
+    return best.join(s, "s_suppkey").select(
+        F.col("l_partkey").alias("p_partkey"),
+        money(F.col("min_price")).alias("min_price"),
+        "s_suppkey",
+        "s_name",
+    )
+
+
+# --- fixed-weight exponential smoothing -------------------------------------
+
+#: EWMA(alpha=1/4) truncated at 8 lags: weights 3^j / 4^(j+1) are exact
+#: binary doubles, so the weighted sum is bit-identical cross-engine.
+_EWMA_W = [(3**j) / (4 ** (j + 1)) for j in range(8)]
+
+
+@_register(
+    "store_revenue_ewma",
+    f"""
+WITH {fx.SALES_CTE.strip()},
+daily AS (
+  SELECT store_key, trans_dt, {_ms("sales_amt")} AS day_rev
+  FROM sales GROUP BY 1, 2
+),
+lagged AS (
+  SELECT store_key, trans_dt, day_rev,
+         {", ".join(f"lag(day_rev, {j}) OVER (PARTITION BY store_key ORDER BY trans_dt) AS l{j}" for j in range(1, 8))}
+  FROM daily
+)
+SELECT store_key, trans_dt,
+       {_m("day_rev")} AS day_rev,
+       {_m("day_rev * " + repr(_EWMA_W[0]) + " + " + " + ".join(f"l{j} * {_EWMA_W[j]!r}" for j in range(1, 8)))}
+         AS ewma_rev
+FROM lagged
+WHERE l7 IS NOT NULL
+""",
+)
+def store_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted trailing revenue (alpha=1/4, truncated at
+    8 observed days) per store. The geometric weights 3^j/4^(j+1) are
+    exact binary fractions, so the fixed-order weighted sum is
+    bit-identical across engines — the engine-stable form of exponential
+    smoothing (the recursive EWMA is a sequential recurrence whose
+    float error depends on history length; the truncated form is a pure
+    window projection: ONE shuffle on store_key, 7 lag() columns sharing
+    one sort). Rows before the 8th observation are excluded (no partial
+    warm-up estimates)."""
+    s = fx.sales(spark, sf_dir)
+    daily = s.groupBy("store_key", "trans_dt").agg(
+        money_sum(F.col("sales_amt")).alias("day_rev")
+    )
+    w = Window.partitionBy("store_key").orderBy("trans_dt")
+    lagged = daily.select(
+        "store_key",
+        "trans_dt",
+        "day_rev",
+        *[F.lag("day_rev", j).over(w).alias(f"l{j}") for j in range(1, 8)],
+    )
+    ewma = F.expr(
+        "day_rev * " + repr(_EWMA_W[0])
+        + " + "
+        + " + ".join(f"l{j} * {_EWMA_W[j]!r}" for j in range(1, 8))
+    )
+    return lagged.where(F.col("l7").isNotNull()).select(
+        "store_key",
+        "trans_dt",
+        money(F.col("day_rev")).alias("day_rev"),
+        money(ewma).alias("ewma_rev"),
+    )

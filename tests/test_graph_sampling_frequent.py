@@ -314,3 +314,36 @@ def test_packing_incremental_flags_out_of_order_docs(spark):
     assert out[11]["in_order"] is True and out[11]["start_tok"] == 4
     # unknown source starts at 0
     assert out[1]["start_tok"] == 0 and out[1]["in_order"] is True
+
+
+def test_min_label_propagation_components_and_partial_state(spark):
+    """Two disjoint components: after >= diameter rounds every node
+    carries its component min; at round 1 a far node has only moved one
+    hop (deterministic partial state, not an error)."""
+    # path 0-1-2-3 (diameter 3) and pair 10-11, symmetric edges
+    es = [(0, 1), (1, 2), (2, 3), (10, 11)]
+    edges = spark.createDataFrame(
+        es + [(b, a) for a, b in es], "src bigint, dst bigint"
+    )
+    done = {
+        r["node"]: r["label"]
+        for r in gph.min_label_propagation(edges, rounds=3).collect()
+    }
+    assert done == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10}
+    partial = {
+        r["node"]: r["label"]
+        for r in gph.min_label_propagation(edges, rounds=1).collect()
+    }
+    assert partial == {0: 0, 1: 0, 2: 1, 3: 2, 10: 10, 11: 10}
+
+
+def test_min_label_propagation_partitioning_invariant(spark):
+    es = [(a, b) for a in range(6) for b in range(6) if a != b and (a * b) % 4 == 0]
+    edges = spark.createDataFrame(
+        es + [(b, a) for a, b in es], "src bigint, dst bigint"
+    )
+    r1 = sorted(map(tuple, gph.min_label_propagation(edges, 2).collect()))
+    r2 = sorted(
+        map(tuple, gph.min_label_propagation(edges.repartition(7), 2).collect())
+    )
+    assert r1 == r2
