@@ -5414,3 +5414,214 @@ def store_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         money(F.col("day_rev")).alias("day_rev"),
         money(ewma).alias("ewma_rev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association: pair support + lift over co-purchases.
+# ---------------------------------------------------------------------------
+
+_LIFT6 = (
+    "CAST(round(CAST(CAST(pair_count AS DOUBLE) * n_orders"
+    " / (CAST(cnt_a AS DOUBLE) * cnt_b) AS DECIMAL(38,12)), 6) AS DOUBLE)"
+)
+
+
+@_register(
+    "part_pair_lift",
+    f"""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+item AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM basket GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM basket
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS pair_count
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, pair_count,
+       ia.cnt AS cnt_a, ib.cnt AS cnt_b,
+       {_LIFT6} AS lift
+FROM pairs
+JOIN item ia ON pairs.part_a = ia.l_partkey
+JOIN item ib ON pairs.part_b = ib.l_partkey
+CROSS JOIN tot
+ORDER BY pair_count DESC, part_a ASC, part_b ASC
+LIMIT 50
+""",
+)
+def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 co-purchased part pairs by support, with association lift
+    (P(a,b) / P(a)P(b)). The basket self-join fans out per order size
+    (bounded), pair/item counts are exact, lift is a ratio of exact
+    integers in identically-shaped double arithmetic rounded in decimal
+    — engine-stable. Sort keys are integers only (pair_count + the pair
+    itself); TakeOrdered, no global sort."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    item = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = basket.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    a = basket.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = basket.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    out = (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_count",
+            "cnt_a",
+            "cnt_b",
+            F.expr(_LIFT6).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.desc("pair_count"), F.asc("part_a"), F.asc("part_b")
+    ).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# Exact discrete percentiles with an EXPLICIT rank convention — the
+# hardened twin of token_length_percentiles (ADVICE r2: GK-sketch vs
+# quantile_disc rank conventions can disagree by one element; this form
+# pins ceil(p*N) on both engines so there is no convention to disagree
+# about).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "token_length_percentiles_exact",
+    """
+WITH d AS (
+  SELECT source, doc_id,
+         CAST(len({tokens}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT source, n_tokens,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY n_tokens ASC, doc_id ASC
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM d
+)
+SELECT source,
+       MAX(CASE WHEN rn = (25 * n + 99) // 100 THEN n_tokens END) AS tok_p25,
+       MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN n_tokens END) AS tok_p50,
+       MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN n_tokens END) AS tok_p90,
+       MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN n_tokens END) AS tok_p99
+FROM ranked
+GROUP BY source
+""".format(tokens="regexp_split_to_array(trim(text), '\\s+')"),
+)
+def token_length_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source discrete token-length percentiles as the explicit
+    ceil(p*N)-th order statistic (doc_id tie-break): one rank window per
+    source + a conditional aggregate — no sketch, no engine-specific
+    quantile convention. Use the GK twin (token_length_percentiles) at
+    corpus scale; use this one when the percentile must be auditable to
+    a rank formula."""
+    d = fx._read(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = Window.partitionBy("source")
+    ranked = d.select(
+        "source",
+        "n_tokens",
+        F.row_number()
+        .over(w.orderBy(F.asc("n_tokens"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    def at(p: int, name: str):
+        return F.max(
+            F.when(F.col("rn") == F.expr(f"({p} * n + 99) div 100"), F.col("n_tokens"))
+        ).alias(name)
+    return ranked.groupBy("source").agg(
+        at(25, "tok_p25"), at(50, "tok_p50"), at(90, "tok_p90"), at(99, "tok_p99")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Financial reconciliation: order header total vs recomputed line total.
+# Companion to fk_orphans_audit (referential integrity) and
+# lineitem_snapshot_diff (anti-entropy) — this is the VALUE-level check.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "order_total_reconciliation",
+    f"""
+WITH line_tot AS (
+  SELECT l_orderkey,
+         {_ms("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}
+           AS computed_total,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY 1
+),
+joined AS (
+  SELECT o.o_orderkey,
+         {_m("o.o_totalprice")} AS header_total,
+         lt.computed_total,
+         {_m("abs(o.o_totalprice - lt.computed_total)")} AS abs_diff
+  FROM orders o JOIN line_tot lt ON o.o_orderkey = lt.l_orderkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN abs_diff > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mismatched,
+       {_m("MAX(abs_diff)")} AS max_abs_diff,
+       {_ms("abs_diff")} AS total_abs_drift
+FROM joined
+""",
+)
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation: recompute each order's total from
+    its lines (extended price with discount and tax, exact decimal sum)
+    and compare against the stored header total — count of orders
+    drifting beyond a cent, worst drift, and the summed absolute drift.
+    One aggregation per side + one equi-join on the order key; every
+    money comparison rides the decimal hop so the mismatch COUNT is
+    engine-stable (a raw double compare would flip rows at the
+    tolerance boundary)."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    o = fx._read(spark, sf_dir, "orders")
+    line_tot = li.groupBy("l_orderkey").agg(
+        money_sum(
+            F.col("l_extendedprice")
+            * (F.lit(1) - F.col("l_discount"))
+            * (F.lit(1) + F.col("l_tax"))
+        ).alias("computed_total"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    joined = o.join(line_tot, o.o_orderkey == line_tot.l_orderkey).select(
+        money(F.col("o_totalprice")).alias("header_total"),
+        "computed_total",
+        money(F.abs(F.col("o_totalprice") - F.col("computed_total"))).alias(
+            "abs_diff"
+        ),
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("abs_diff") > 0.01, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mismatched"),
+        money(F.max("abs_diff")).alias("max_abs_diff"),
+        money_sum(F.col("abs_diff")).alias("total_abs_drift"),
+    )

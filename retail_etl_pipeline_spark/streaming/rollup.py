@@ -327,3 +327,38 @@ def stream_dedup(events: DataFrame, within: str = WATERMARK_DELAY) -> DataFrame:
     return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def stream_stream_purchase_join_outer(events: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream join: like
+    :func:`stream_stream_purchase_join`, but events with NO purchase in
+    the preceding hour still emit — with NULL purchase columns — once
+    the watermark proves no match can still arrive (state eviction is
+    the emission trigger: an outer result is only correct after the
+    right side can no longer produce a matching row). Until the
+    watermark passes an event's join window, the event sits in state and
+    emits NOTHING — the test pins both halves of that contract."""
+    left = events.select(
+        F.col("event_id").alias("l_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("user_id").alias("l_user"),
+        F.col("event_type").alias("l_type"),
+    ).withWatermark("l_ts", WATERMARK_DELAY)
+    right = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("r_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("user_id").alias("r_user"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("r_ts", WATERMARK_DELAY)
+    )
+    return left.join(
+        right,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("l_id") != F.col("r_id")),
+        "leftOuter",
+    ).select("l_id", "l_ts", "l_user", "l_type", "r_id", "purchase_value")

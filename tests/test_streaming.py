@@ -548,3 +548,89 @@ def test_streaming_incremental_state_equals_batch(spark, sf_dir):
         tuple(r) for r in finalize_rollup(rollup_partials(s)).collect()
     )
     assert got == want
+
+
+def test_stream_stream_left_outer_join_emits_on_eviction(spark):
+    """Left-outer stream-stream semantics: NULL-padded results for
+    unmatched events appear only AFTER the watermark passes their join
+    window (state eviction = outer emission); events still inside the
+    watermark horizon emit nothing at all."""
+    import os as _os
+    import shutil as _shutil
+    import pandas as _pd
+
+    from retail_etl_pipeline_spark.streaming.rollup import (
+        stream_stream_purchase_join_outer,
+    )
+
+    base = _os.path.join(TMP, "ssoj")
+    src = _os.path.join(base, "src")
+    _shutil.rmtree(base, ignore_errors=True)
+    _os.makedirs(src)
+
+    def _write(name, rows):
+        pdf = _pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["ts"] = _pd.to_datetime(pdf["ts"])
+        sdf = spark.createDataFrame(pdf)
+        tmp = _os.path.join(base, "tmp_" + name)
+        sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in _os.listdir(tmp) if f.endswith(".parquet")][0]
+        _os.rename(
+            _os.path.join(tmp, part), _os.path.join(src, name + ".parquet")
+        )
+
+    # batch 1: e1 view matched by e2 purchase; e3 view unmatched;
+    # e2 itself is also a LEFT row with no earlier purchase
+    _write("b1", [
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0),
+        (2, "2024-01-01 09:30:00", 1, "purchase", 42.0),
+        (3, "2024-01-01 10:00:00", 2, "view", 0.0),
+    ])
+    # batches 2-3 (separate triggers): far-future PURCHASES advance the
+    # watermark past batch 1's join windows. They must be purchases:
+    # the right side is filtered to purchases before its withWatermark,
+    # and the global watermark is the MIN across both sides — a plain
+    # view would advance only the left side and the right watermark
+    # (hence the global one) would sit at batch 1 forever, never
+    # flushing the outer rows. The watermark also LAGS one micro-batch
+    # (batch N runs under the watermark committed after N-1), so the
+    # third trigger is what actually flushes; e4/e5 themselves stay
+    # inside the horizon and must emit nothing.
+    _write("b2", [(4, "2024-01-02 10:00:00", 3, "purchase", 1.0)])
+    _write("b3", [(5, "2024-01-03 10:00:00", 3, "purchase", 1.0)])
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    emitted: list = []
+
+    def _sink(batch_df, batch_id):
+        emitted.extend(batch_df.collect())
+
+    q = (
+        stream_stream_purchase_join_outer(stream)
+        .writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    try:
+        rows = {(r["l_id"], r["r_id"], r["purchase_value"]) for r in emitted}
+        assert rows == {
+            (1, 2, 42.0),     # matched pair
+            (2, None, None),  # the purchase as a left row: no earlier purchase
+            (3, None, None),  # unmatched view flushed by the advanced watermark
+            (4, None, None),  # flushed by the closing no-data micro-batch
+        }, rows
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
