@@ -5625,3 +5625,144 @@ def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         money(F.max("abs_diff")).alias("max_abs_diff"),
         money_sum(F.col("abs_diff")).alias("total_abs_drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# API-surface batch: grouped-agg Arrow UDF, metadata columns, null-safe
+# join — the remaining DataFrame surfaces the inventory didn't yet touch.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "priority_weighted_median_price",
+    """
+WITH w AS (
+  SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+         CAST(COUNT(*) AS BIGINT) AS weight
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT o_orderpriority, o_totalprice, weight,
+         SUM(weight) OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice ASC, o_orderkey ASC
+         ) AS cum,
+         SUM(weight) OVER (PARTITION BY o_orderpriority) AS tot
+  FROM w
+)
+SELECT o_orderpriority,
+       MIN(CASE WHEN 2 * cum >= tot THEN o_totalprice END)
+         AS weighted_median_price
+FROM ranked
+GROUP BY o_orderpriority
+""",
+)
+def priority_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-count-weighted median order price per priority, computed with
+    a GROUPED_AGG Arrow pandas UDF (the one Python-UDF variant the
+    inventory hadn't exercised — Arrow-batched per group, never
+    per-row). Convention pinned explicitly: the LOWER weighted median
+    (smallest price whose cumulative weight reaches half the total,
+    cumulating in (price, orderkey) order) — the oracle implements the
+    identical rule with a window, which is also the form to prefer at
+    100 TB scale (stays in codegen; the UDF exists to cover the API
+    surface and as the template for group aggregations SQL can't
+    express)."""
+    from .operators.pandas_aggs import weighted_median_lower as wmedian
+
+    o = fx._read(spark, sf_dir, "orders")
+    li = fx._read(spark, sf_dir, "lineitem")
+    w = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_totalprice")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    return w.groupBy("o_orderpriority").agg(
+        wmedian(
+            F.col("o_totalprice"), F.col("weight"), F.col("o_orderkey")
+        ).alias("weighted_median_price")
+    )
+
+
+@_register(
+    "documents_file_provenance",
+    """
+SELECT 'documents.parquet' AS file_name,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM documents
+""",
+)
+def documents_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row provenance via the hidden ``_metadata`` column: which physical
+    file each document came from (basename — stable across scale dirs),
+    with per-file row counts and id ranges. The lakehouse audit op for
+    'which ingest file produced these rows'; the metadata struct is
+    populated by the scan itself, so provenance costs no extra read.
+    (The fixture is one file per table, which is what the oracle's
+    literal basename encodes.)"""
+    d = fx._read(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"([^/]+)$", 1
+            ).alias("file_name"),
+            "doc_id",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+@_register(
+    "lang_nullsafe_join",
+    """
+WITH masked AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN NULL ELSE lang END AS masked_lang
+  FROM documents
+),
+dim AS (
+  SELECT masked_lang, CAST(COUNT(*) AS BIGINT) AS lang_docs
+  FROM masked GROUP BY masked_lang
+)
+SELECT m.masked_lang AS lang_key, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MAX(d.lang_docs) AS lang_docs
+FROM masked m JOIN dim d
+  ON m.masked_lang IS NOT DISTINCT FROM d.masked_lang
+GROUP BY 1
+""",
+)
+def lang_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the dominant
+    language is masked to NULL and the join must still route those rows
+    to the NULL dim entry — a plain equality join silently drops every
+    NULL-keyed row (the classic silent-loss bug in enrichment joins
+    against dims with an 'unknown' NULL row). Null-safe equality remains
+    a hash-partitionable join key (NULL hashes like any value), so the
+    plan is an ordinary equi-join, not a nested loop."""
+    d = fx._read(spark, sf_dir, "documents")
+    masked = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(None))
+        .otherwise(F.col("lang"))
+        .alias("masked_lang"),
+    )
+    dim = masked.groupBy("masked_lang").agg(
+        F.count(F.lit(1)).alias("lang_docs")
+    )
+    j = masked.alias("m").join(
+        dim.alias("d"),
+        F.col("m.masked_lang").eqNullSafe(F.col("d.masked_lang")),
+        "inner",
+    )
+    return j.groupBy(F.col("m.masked_lang").alias("lang_key")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("d.lang_docs").alias("lang_docs"),
+    )
