@@ -5766,3 +5766,65 @@ def lang_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.max("d.lang_docs").alias("lang_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Typed schema-on-read: from_json with an explicit schema + PERMISSIVE
+# malformed handling (the third JSON surface, after get_json_object and
+# VARIANT). Some payloads are deterministically truncated so the
+# parse-failure path is genuinely exercised and counted.
+# ---------------------------------------------------------------------------
+
+_MALFORM_SQL = "CASE WHEN event_id % 10 = 0 THEN substr(props, 1, 3) ELSE props END"
+
+
+@_register(
+    "event_props_typed",
+    f"""
+WITH p AS (
+  SELECT event_type,
+         CASE WHEN json_valid({_MALFORM_SQL})
+              THEN CAST(json_extract_string({_MALFORM_SQL}, '$.k') AS BIGINT)
+         END AS k,
+         json_valid({_MALFORM_SQL}) AS ok
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+       CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_malformed,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM p
+GROUP BY event_type
+""",
+)
+def event_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing with an explicit schema: ``from_json(props,
+    'k BIGINT')`` — schema-on-read without inference scans, JVM-side.
+    Every 10th payload is deterministically truncated to exercise
+    PERMISSIVE malformed semantics. Spark 4's PERMISSIVE from_json does
+    NOT null the struct on parse failure (it yields a struct of NULL
+    fields — indistinguishable from a valid payload missing the key),
+    so malformed detection uses the explicit corrupt-record column: the
+    failure is COUNTED per event type, not silently absorbed — the
+    schema-drift early-warning every ingest pipeline needs."""
+    ev = fx._read(spark, sf_dir, "events")
+    raw = F.when(
+        F.col("event_id") % 10 == 0, F.substring("props", 1, 3)
+    ).otherwise(F.col("props"))
+    j = F.from_json(
+        raw,
+        "k BIGINT, _corrupt_record STRING",
+        {"columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    p = ev.select(
+        "event_type",
+        j.getField("k").alias("k"),
+        j.getField("_corrupt_record").isNull().alias("ok"),
+    )
+    return p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("bigint").alias("n_parsed"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1)).cast("bigint").alias("n_malformed"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+    )
