@@ -510,6 +510,17 @@ GROUP BY 1
 PACK_BLOCK_TOKENS = 512
 
 
+def _n_tok(text_col: str = "text"):
+    """Token count with the packing NULL convention (NULL text = 0
+    tokens) — shared by the batch index and the incremental extension so
+    packed and rejected rows in one manifest can never diverge on the
+    tokenizer or the NULL rule."""
+    c = F.col(text_col)
+    return (
+        F.when(c.isNull(), F.lit(0)).otherwise(token_count(c)).cast("bigint")
+    )
+
+
 def packing_index(docs: DataFrame, block_tokens: int = PACK_BLOCK_TOKENS) -> DataFrame:
     """Concat-and-chunk packing index: where each document lands when the
     corpus is concatenated per source (in deterministic doc_id order) and
@@ -532,9 +543,7 @@ def packing_index(docs: DataFrame, block_tokens: int = PACK_BLOCK_TOKENS) -> Dat
     (flagged, not silently packed — corpus_pipeline quarantines those
     upstream).
     """
-    n_tok = F.when(
-        F.col("text").isNull(), F.lit(0)
-    ).otherwise(token_count(F.col("text"))).cast("bigint")
+    n_tok = _n_tok("text")
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")
@@ -666,11 +675,22 @@ def packing_cursors(manifest: DataFrame) -> DataFrame:
     """Per-source continuation state for incremental packing: the token
     cursor (where the next document starts) and the last packed doc_id
     (the append-only watermark). Derived from a previous manifest with
-    one bounded aggregation — contiguous tiling makes the cursor simply
-    the sum of packed token counts."""
+    one bounded aggregation — contiguous tiling makes the cursor the
+    sum of PACKED token counts.
+
+    Only rows that were actually packed (non-NULL start_tok) advance the
+    cursor: a manifest legitimately contains flagged rejected rows
+    (in_order = false from an incremental extension), and counting their
+    tokens would shift every later document off the true block grid —
+    exactly the silent mis-pack the flag exists to prevent. The doc_id
+    watermark also comes from packed rows only (a rejected doc_id is by
+    definition not ahead of the watermark)."""
+    packed = F.col("start_tok").isNotNull()
     return manifest.groupBy("source").agg(
-        F.sum("n_tokens").cast("bigint").alias("cursor_tok"),
-        F.max("doc_id").alias("last_doc_id"),
+        F.sum(F.when(packed, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("cursor_tok"),
+        F.max(F.when(packed, F.col("doc_id"))).alias("last_doc_id"),
     )
 
 
@@ -743,13 +763,10 @@ def packing_index_incremental(
         .alias("spans_blocks"),
         F.lit(True).alias("in_order"),
     )
-    n_tok = F.when(F.col("text").isNull(), F.lit(0)).otherwise(
-        token_count(F.col("text"))
-    ).cast("bigint")
     rejected_rows = j0.where(~F.col("_in_order")).select(
         "source",
         "doc_id",
-        n_tok.alias("n_tokens"),
+        _n_tok("text").alias("n_tokens"),
         F.lit(None).cast("bigint").alias("start_tok"),
         F.lit(None).cast("bigint").alias("first_block"),
         F.lit(None).cast("bigint").alias("last_block"),

@@ -215,8 +215,13 @@ def min_label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     doubles the plan per round — 2^rounds recomputes of the edge build."""
     n_parts = _loop_partitions(edges)
     edges = edges.repartition(n_parts, "src").persist()
+    # initialize from src UNION dst: on a non-symmetric edge list a
+    # dst-only node would otherwise vanish from the output entirely
+    # (the label relation drives the final left join). Symmetric inputs
+    # (copurchase_edges) pay only a cheap distinct over the same keys.
     labels = (
         edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
         .select("node", F.col("node").alias("label"))
         .repartition(n_parts, "node")

@@ -5509,7 +5509,7 @@ def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH d AS (
   SELECT source, doc_id,
-         CAST(len({tokens}) AS BIGINT) AS n_tokens
+         COALESCE(CAST(len({tokens}) AS BIGINT), 0) AS n_tokens
   FROM documents
 ),
 ranked AS (
@@ -5536,10 +5536,13 @@ def token_length_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFram
     quantile convention. Use the GK twin (token_length_percentiles) at
     corpus scale; use this one when the percentile must be auditable to
     a rank formula."""
+    # NULL text coalesces to 0 tokens on BOTH sides: Spark ranks NULLs
+    # first, DuckDB last — with even one NULL the ceil(p*N) rank would
+    # land on different rows
     d = fx._read(spark, sf_dir, "documents").select(
         "source",
         "doc_id",
-        tx.token_count(F.col("text")).alias("n_tokens"),
+        F.coalesce(tx.token_count(F.col("text")), F.lit(0)).alias("n_tokens"),
     )
     w = Window.partitionBy("source")
     ranked = d.select(
@@ -5817,10 +5820,14 @@ def event_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k BIGINT, _corrupt_record STRING",
         {"columnNameOfCorruptRecord": "_corrupt_record"},
     )
+    # NULL props: from_json(NULL) is a NULL struct whose corrupt field
+    # is also NULL — without the isNotNull guard a missing payload would
+    # count as parsed while the oracle (json_valid(NULL) -> NULL -> ELSE)
+    # counts it malformed
     p = ev.select(
         "event_type",
         j.getField("k").alias("k"),
-        j.getField("_corrupt_record").isNull().alias("ok"),
+        (j.getField("_corrupt_record").isNull() & raw.isNotNull()).alias("ok"),
     )
     return p.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -347,3 +347,48 @@ def test_min_label_propagation_partitioning_invariant(spark):
         map(tuple, gph.min_label_propagation(edges.repartition(7), 2).collect())
     )
     assert r1 == r2
+
+
+def test_packing_cursors_ignore_rejected_rows(spark):
+    """A manifest containing flagged rejected rows must not let their
+    tokens advance the cursor: chained incremental extension stays
+    bit-equal to a full repack (the review-caught silent mis-pack)."""
+    from retail_etl_pipeline_spark.operators import corpus as cp
+
+    schema = "source string, doc_id bigint, text string"
+    r1 = spark.createDataFrame(
+        [("s", 1, "a b c"), ("s", 2, "d e f")], schema
+    )
+    man1 = cp.packing_index(r1, 4)
+    # round 2: one late (rejected, 3 tokens) + one good doc
+    r2 = spark.createDataFrame(
+        [("s", 0, "x y z"), ("s", 3, "g h")], schema
+    )
+    man2 = cp.packing_index_incremental(r2, cp.packing_cursors(man1), 4)
+    # the union manifest is exactly what a pipeline would persist
+    manifest = man1.select(
+        "source", "doc_id", "n_tokens", "start_tok",
+        "first_block", "last_block", "spans_blocks",
+    ).withColumn("in_order", F.lit(True)).unionByName(man2)
+    # round 3 cursor must be 8 (6 + 2 packed tokens), NOT 11
+    cur = {r["source"]: (r["cursor_tok"], r["last_doc_id"])
+           for r in cp.packing_cursors(manifest).collect()}
+    assert cur == {"s": (8, 3)}
+    r3 = spark.createDataFrame([("s", 4, "i j k l")], schema)
+    man3 = cp.packing_index_incremental(r3, cp.packing_cursors(manifest), 4)
+    full = cp.packing_index(
+        r1.unionByName(r2.where("doc_id <> 0")).unionByName(r3), 4
+    ).where(F.col("doc_id") == 4)
+    got = man3.collect()[0]
+    want = full.collect()[0]
+    assert (got["start_tok"], got["first_block"], got["last_block"]) == (
+        want["start_tok"], want["first_block"], want["last_block"]
+    )
+
+
+def test_min_label_propagation_keeps_dst_only_nodes(spark):
+    """Non-symmetric edge list: a node appearing only as dst must still
+    be labeled (review-caught silent drop)."""
+    edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    out = {r["node"]: r["label"] for r in gph.min_label_propagation(edges, 2).collect()}
+    assert out == {1: 1, 2: 1}

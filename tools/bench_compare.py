@@ -40,8 +40,14 @@ def _load(path: str) -> dict:
             for k, v in pairs
             if k not in ("metric", "value", "sf", "n", "rc", "cpus")
         }
-        return {"value": doc.get("total"), "queries": queries,
-                "truncated": True}
+        # the wrapper has no headline total; reconstruct it from the
+        # recovered per-query times (marked truncated — the tail may
+        # have been cut, so this is a lower bound)
+        return {
+            "value": round(sum(queries.values()), 1),
+            "queries": queries,
+            "truncated": True,
+        }
     for line in reversed(text.splitlines()):
         line = line.strip()
         if line.startswith("{"):
