@@ -4267,45 +4267,27 @@ GROUP BY store_key
 """,
 )
 def missing_sales_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-store day-spine densification: how many calendar days inside
-    the store's own [first, last] sales window had no sales."""
+    """Per-store gap count inside the store's own [first, last] sales
+    window — as PURE ARITHMETIC: span = max - min + 1, missing = span -
+    distinct active days. One aggregation, no spine.
+
+    This query used to materialize the day spine (sequence+explode) and
+    anti-join the actual days back, only to COUNT the leftovers — 8x
+    slower at sf0.1 for the identical result (the oracle was always the
+    arithmetic form). The lesson is the plan-shape one: densify only
+    when downstream needs the gap ROWS (store_revenue_interpolated
+    does — that is where the spine pattern lives now)."""
     s = fx.sales(spark, sf_dir).select("store_key", "trans_dt")
-    span = s.groupBy("store_key").agg(
-        F.min("trans_dt").alias("d0"),
-        F.max("trans_dt").alias("d1"),
-        F.count_distinct("trans_dt").alias("n_active_days"),
-    )
-    spine = span.select(
-        "store_key",
-        "n_active_days",
-        F.explode(F.sequence("d0", "d1")).alias("cal_dt"),
-    )
-    actual = s.distinct()
-    missing = (
-        spine.join(
-            actual,
-            (spine.store_key == actual.store_key)
-            & (spine.cal_dt == actual.trans_dt),
-            "left_anti",
-        )
-        .groupBy("store_key", "n_active_days")
-        .agg(F.count(F.lit(1)).alias("n_missing_days"))
-    )
-    # stores with zero gaps drop out of the anti-join: restore them
-    return (
-        span.select("store_key", "n_active_days")
-        .join(missing.select("store_key", "n_missing_days"), "store_key", "left")
-        .select(
-            "store_key",
-            (
-                F.col("n_active_days")
-                + F.coalesce(F.col("n_missing_days"), F.lit(0))
-            ).cast("bigint").alias("n_days_span"),
-            F.col("n_active_days").cast("bigint"),
-            F.coalesce(F.col("n_missing_days"), F.lit(0))
-            .cast("bigint")
-            .alias("n_missing_days"),
-        )
+    return s.groupBy("store_key").agg(
+        (
+            F.datediff(F.max("trans_dt"), F.min("trans_dt")) + 1
+        ).cast("bigint").alias("n_days_span"),
+        F.count_distinct("trans_dt").cast("bigint").alias("n_active_days"),
+        (
+            F.datediff(F.max("trans_dt"), F.min("trans_dt"))
+            + 1
+            - F.count_distinct("trans_dt")
+        ).cast("bigint").alias("n_missing_days"),
     )
 
 
@@ -5834,4 +5816,156 @@ def event_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("bigint").alias("n_parsed"),
         F.sum(F.when(F.col("ok"), 0).otherwise(1)).cast("bigint").alias("n_malformed"),
         F.sum("k").cast("bigint").alias("sum_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MapType surface: from_json into map<string,bigint> + map functions —
+# schema-on-read for payloads whose KEY SET drifts (the struct form
+# needs every key declared; the map form discovers them). Output stays
+# scalar/string (map-typed result columns are not driver-hashable — the
+# r2 representation-failure class).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "event_props_map",
+    """
+WITH kv AS (
+  SELECT event_type,
+         unnest(json_keys(props)) AS key,
+         CAST(json_extract_string(props, '$.' || unnest(json_keys(props)))
+              AS BIGINT) AS val
+  FROM events
+)
+SELECT event_type,
+       string_agg(DISTINCT key, ',' ORDER BY key) AS keys_seen,
+       CAST(COUNT(*) AS BIGINT) AS n_entries,
+       CAST(SUM(val) AS BIGINT) AS sum_vals
+FROM kv
+GROUP BY event_type
+""",
+)
+def event_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-drift-tolerant JSON parsing: props as ``map<string,bigint>``
+    (no keys declared up front), exploded with ``explode(map)`` and
+    profiled per event type — which keys appear, how many entries, the
+    value sum. The map path is what ingest uses BEFORE a payload's
+    schema is pinned; once keys stabilize, event_props_typed's struct
+    form takes over (cheaper, typed). Map work happens JVM-side; the
+    output is scalars + a sorted joined key list (map columns never
+    reach the result — the driver's canonicalizer can't hash them)."""
+    ev = fx._read(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    kv = ev.select(
+        "event_type", F.explode(m).alias("key", "val")
+    )
+    return kv.groupBy("event_type").agg(
+        F.array_join(F.sort_array(F.collect_set("key")), ",").alias("keys_seen"),
+        F.count(F.lit(1)).alias("n_entries"),
+        F.sum("val").cast("bigint").alias("sum_vals"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping markers on multi-level rollups + ANSI-safe try_cast parsing —
+# the last two scalar surfaces the inventory hadn't pinned.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "region_segment_rollup_gid",
+    f"""
+SELECT COALESCE(r.r_name, 'ALL') AS region,
+       COALESCE(c.c_mktsegment, 'ALL') AS segment,
+       CAST(2 * GROUPING(r.r_name) + GROUPING(c.c_mktsegment) AS BIGINT)
+         AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {_ms("c.c_acctbal")} AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, c.c_mktsegment)
+""",
+)
+def region_segment_rollup_gid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region/segment rollup with EXPLICIT grouping markers: gid =
+    2*grouping(region) + grouping(segment) distinguishes detail rows
+    from the subtotal levels — without it, a real region named 'ALL'
+    would be indistinguishable from the rollup total (the classic
+    COALESCE-label ambiguity). The marker is composed from grouping()
+    bits identically on both engines rather than relying on either's
+    grouping_id() bit order."""
+    c = fx._read(spark, sf_dir, "customer")
+    n = fx._read(spark, sf_dir, "nation")
+    r = fx._read(spark, sf_dir, "region")
+    base = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        base.rollup("r_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            money_sum(F.col("c_acctbal")).alias("total_acctbal"),
+            (
+                2 * F.grouping("r_name") + F.grouping("c_mktsegment")
+            ).cast("bigint").alias("gid"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "gid",
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+
+
+# engine-specific only in the cast keyword (Spark: STRING, DuckDB:
+# VARCHAR); values round-trip through shortest-repr formatting on both,
+# so the parsed-back doubles are identical
+_MESSY_BAL_T = (
+    "CASE WHEN s_suppkey % 7 = 0 THEN 'N/A'"
+    " WHEN s_suppkey % 11 = 0 THEN ''"
+    " ELSE CAST(s_acctbal AS {t}) END"
+)
+_MESSY_BAL = _MESSY_BAL_T.format(t="VARCHAR")
+_MESSY_BAL_SPARK = _MESSY_BAL_T.format(t="STRING")
+
+
+@_register(
+    "supplier_try_cast_audit",
+    f"""
+WITH raw AS (
+  SELECT s_nationkey, {_MESSY_BAL} AS bal_str FROM supplier
+),
+parsed AS (
+  SELECT s_nationkey, bal_str, TRY_CAST(bal_str AS DOUBLE) AS bal
+  FROM raw
+)
+SELECT s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unparsable,
+       {_ms("bal")} AS parsed_total
+FROM parsed
+GROUP BY s_nationkey
+""",
+)
+def supplier_try_cast_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe parsing of messy numeric strings: under Spark 4's
+    default ANSI mode a plain CAST on 'N/A' kills the whole job at row
+    one; try_cast degrades the single row to NULL so the batch survives
+    AND the failure count is reported per group (parse errors as data,
+    not exceptions). Strings are deterministically dirtied from the
+    fixture so the failure path is genuinely exercised."""
+    s = fx._read(spark, sf_dir, "supplier")
+    raw = s.select("s_nationkey", F.expr(_MESSY_BAL_SPARK).alias("bal_str"))
+    parsed = raw.withColumn("bal", F.expr("try_cast(bal_str AS DOUBLE)"))
+    return parsed.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("bal").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unparsable"),
+        money_sum(F.col("bal")).alias("parsed_total"),
     )
