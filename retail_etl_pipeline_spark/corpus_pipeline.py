@@ -204,3 +204,57 @@ def training_manifest(
         F.col(stream_col).alias("source"), "doc_id", "text"
     )
     return packing_index(base, block_tokens=block_tokens)
+
+
+def stream_corpus_manifest(
+    spark: SparkSession,
+    source_dir: str,
+    manifest_dir: str,
+    checkpoint_dir: str,
+    block_tokens: int = 512,
+):
+    """Continuously extend the packing manifest as document batches
+    arrive: a Structured Streaming ``foreachBatch`` loop around
+    ``packing_index_incremental`` — each micro-batch reads the cursor
+    state OFF THE MANIFEST ITSELF (packing_cursors is a bounded
+    aggregation over it; no separate state store to drift out of sync),
+    packs only the delta, and appends.
+
+    Exactly-once notes: the append + checkpoint pair gives at-least-once
+    appends on crash-replay; manifest consumers dedupe on doc_id (the
+    rows are deterministic, so replayed appends are byte-identical
+    duplicates, not conflicts). Because per-source prefix sums
+    decompose, the streamed manifest is bit-equal to a batch repack of
+    everything seen — provided batches arrive in doc_id order per
+    source; out-of-order arrivals come back flagged (in_order = false)
+    rather than silently mis-packed, and land in the manifest as the
+    audit trail of what must be re-packed.
+
+    Returns the started StreamingQuery (AvailableNow trigger — drain
+    what exists, then stop; swap the trigger for continuous tailing).
+    """
+    from .operators.corpus import packing_cursors, packing_index_incremental
+
+    stream = spark.readStream.schema(
+        "doc_id long, source string, text string"
+    ).parquet(source_dir)
+
+    empty_cursors = spark.createDataFrame(
+        [], "source string, cursor_tok bigint, last_doc_id bigint"
+    )
+
+    def _extend(batch_df, batch_id: int) -> None:
+        try:
+            manifest = batch_df.sparkSession.read.parquet(manifest_dir)
+            cursors = packing_cursors(manifest)
+        except Exception:  # first batch: no manifest yet
+            cursors = empty_cursors
+        inc = packing_index_incremental(batch_df, cursors, block_tokens)
+        inc.write.mode("append").parquet(manifest_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_extend)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

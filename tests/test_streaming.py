@@ -634,3 +634,62 @@ def test_stream_stream_left_outer_join_emits_on_eviction(spark):
         }, rows
     finally:
         _shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_corpus_manifest_equals_batch_repack(spark):
+    """The streamed, incrementally-extended packing manifest must be
+    bit-equal to one batch packing_index over everything (per-source
+    prefix sums decompose; cursors are re-derived from the manifest each
+    micro-batch)."""
+    import os as _os
+    import shutil as _shutil
+
+    from retail_etl_pipeline_spark.corpus_pipeline import stream_corpus_manifest
+    from retail_etl_pipeline_spark.operators.corpus import packing_index
+
+    base = _os.path.join(TMP, "stream_manifest")
+    src = _os.path.join(base, "src")
+    _shutil.rmtree(base, ignore_errors=True)
+    _os.makedirs(src)
+
+    rows1 = [("s%d" % (i % 2), i, "tok " * (i % 5 + 1)) for i in range(10)]
+    rows2 = [("s%d" % (i % 2), i, "tok " * (i % 7 + 2)) for i in range(10, 22)]
+    schema = "doc_id long, source string, text string"
+
+    def _file(name, rows):
+        df = spark.createDataFrame(
+            [(d, s, t) for (s, d, t) in rows], schema
+        )
+        tmp = _os.path.join(base, "tmp_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in _os.listdir(tmp) if f.endswith(".parquet")][0]
+        _os.rename(_os.path.join(tmp, part), _os.path.join(src, name + ".parquet"))
+
+    _file("b1", rows1)
+    q = stream_corpus_manifest(
+        spark, src, _os.path.join(base, "manifest"),
+        _os.path.join(base, "ckpt"), block_tokens=8,
+    )
+    q.awaitTermination(120)
+    q.stop()
+    _file("b2", rows2)
+    q = stream_corpus_manifest(
+        spark, src, _os.path.join(base, "manifest"),
+        _os.path.join(base, "ckpt"), block_tokens=8,
+    )
+    q.awaitTermination(120)
+    q.stop()
+    try:
+        streamed = spark.read.parquet(_os.path.join(base, "manifest"))
+        all_docs = spark.createDataFrame(
+            [(d, s, t) for (s, d, t) in rows1 + rows2], schema
+        )
+        batch = packing_index(all_docs, 8)
+        cols = ["source", "doc_id", "n_tokens", "start_tok",
+                "first_block", "last_block", "spans_blocks"]
+        a = sorted(map(tuple, streamed.select(*cols).collect()))
+        b = sorted(map(tuple, batch.select(*cols).collect()))
+        assert a == b
+        assert streamed.where("in_order = false").count() == 0
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
