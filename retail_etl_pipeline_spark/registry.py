@@ -5969,3 +5969,136 @@ def supplier_try_cast_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_unparsable"),
         money_sum(F.col("bal")).alias("parsed_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product analytics: rolling active users via bounded contribution
+# explode (windowed COUNT DISTINCT without windowed count-distinct),
+# and self-referential revenue anomaly days.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "daily_active_users_rolling",
+    _with_events_cte("""
+WITH acts AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events_norm
+),
+contrib AS (
+  SELECT DISTINCT user_id,
+         CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+                                     CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS target_day
+  FROM acts
+),
+wau AS (
+  SELECT target_day, CAST(COUNT(*) AS BIGINT) AS wau FROM contrib
+  GROUP BY target_day
+),
+dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM acts GROUP BY day
+)
+SELECT d.day, d.dau, w.wau,
+       (d.dau * 1000000) // w.wau AS stickiness_ppm
+FROM dau d JOIN wau w ON d.day = w.target_day
+"""),
+)
+def daily_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and trailing-7-day WAU per day, plus the DAU/WAU stickiness
+    ratio (exact ppm). Windowed COUNT DISTINCT does not exist as a
+    window function — the scale-safe form is the bounded CONTRIBUTION
+    EXPLODE: each active (user, day) contributes to the 7 target days
+    it keeps the user 'weekly-active' for, distinct once, then an
+    ordinary groupBy. Fan-out is exactly the window width (7), the
+    shuffle carries (user, day) pairs, and no per-day state or
+    re-scan exists — against a naive per-day subquery re-scan this is
+    the difference between O(days * events) and O(7 * events). Days are
+    restricted to those with actual activity (no trailing phantom
+    days past the data's end)."""
+    ev = fx.events_stream(spark, sf_dir)
+    acts = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    contrib = (
+        acts.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("target_day"),
+        )
+        .distinct()
+    )
+    wau = contrib.groupBy("target_day").agg(F.count(F.lit(1)).alias("wau"))
+    dau = acts.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(wau, dau.day == wau.target_day).select(
+        "day",
+        "dau",
+        "wau",
+        F.expr("(dau * 1000000) div wau").alias("stickiness_ppm"),
+    )
+
+
+@_register(
+    "store_revenue_anomaly_days",
+    f"""
+WITH {fx.SALES_CTE.strip()},
+daily AS (
+  SELECT store_key, trans_dt, {_ms("sales_amt")} AS day_rev
+  FROM sales GROUP BY 1, 2
+),
+stats AS (
+  SELECT store_key, trans_dt, day_rev,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(CAST(day_rev AS DECIMAL(30,6))) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(day_rev * day_rev AS DECIMAL(30,6))) OVER w AS DOUBLE)
+           AS s2
+  FROM daily
+  WINDOW w AS (
+    PARTITION BY store_key ORDER BY trans_dt
+    ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT store_key, trans_dt,
+       day_rev,
+       {_m("(day_rev - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))")} AS z
+FROM stats
+WHERE n >= 14
+  AND (s2 / n - (s1 / n) * (s1 / n)) > 0
+  AND abs((day_rev - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))) > 3
+""",
+)
+def store_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose revenue sits more than 3 trailing sigmas from the
+    store's OWN trailing-28-day distribution (self-referential anomaly
+    detection — no global model). Trailing moments ride ONE frame
+    window per store in exact DECIMAL (the moment-sum discipline:
+    bit-stable under any partitioning); the z-score is
+    identically-shaped double arithmetic rounded through the money hop.
+    Days with under 14 trailing observations or zero variance are
+    excluded (no z-score is defined there)."""
+    s = fx.sales(spark, sf_dir)
+    daily = s.groupBy("store_key", "trans_dt").agg(
+        money_sum(F.col("sales_amt")).alias("day_rev")
+    )
+    w = (
+        Window.partitionBy("store_key")
+        .orderBy("trans_dt")
+        .rowsBetween(-28, -1)
+    )
+    stats = daily.select(
+        "store_key",
+        "trans_dt",
+        "day_rev",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.col("day_rev").cast("decimal(30,6)"))
+        .over(w)
+        .cast("double")
+        .alias("s1"),
+        F.sum((F.col("day_rev") * F.col("day_rev")).cast("decimal(30,6)"))
+        .over(w)
+        .cast("double")
+        .alias("s2"),
+    )
+    z = F.expr("(day_rev - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))")
+    var = F.expr("s2 / n - (s1 / n) * (s1 / n)")
+    return stats.where(
+        (F.col("n") >= 14) & (var > 0) & (F.abs(z) > 3)
+    ).select("store_key", "trans_dt", "day_rev", money(z).alias("z"))
