@@ -6102,3 +6102,65 @@ def store_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.where(
         (F.col("n") >= 14) & (var > 0) & (F.abs(z) > 3)
     ).select("store_key", "trans_dt", "day_rev", money(z).alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit: near-dup clusters spanning train/val/test — the
+# dedup-aware split-integrity check (a near-duplicate of a training doc
+# sitting in the test split contaminates evaluation even though the
+# doc-level split is perfectly deterministic).
+# ---------------------------------------------------------------------------
+
+_SPLIT_CASE = f"""CASE WHEN (CAST(doc_id AS HUGEINT) * {cp.SPLIT_MIX}) % {cp.SPLIT_MOD}
+                 < {cp.SPLIT_TRAIN_LT} THEN 'train'
+            WHEN (CAST(doc_id AS HUGEINT) * {cp.SPLIT_MIX}) % {cp.SPLIT_MOD}
+                 < {cp.SPLIT_VAL_LT} THEN 'val'
+            ELSE 'test' END"""
+
+_LEAKAGE_SQL = dd.NEARDUP_COMPONENTS_SQL.strip().replace(
+    """SELECT a AS doc_id, MIN(b) AS component
+FROM reach
+GROUP BY a""",
+    f"""comp AS (
+  SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a
+),
+labeled AS (
+  SELECT component, doc_id, {_SPLIT_CASE} AS split FROM comp
+)
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+       string_agg(DISTINCT split, ',' ORDER BY split) AS splits_seen,
+       COUNT(DISTINCT split) > 1 AS leaks
+FROM labeled
+GROUP BY component""",
+)
+# the replaced tail turns the final SELECT into a CTE: re-stitch syntax
+assert "comp AS (" in _LEAKAGE_SQL
+_LEAKAGE_SQL = _LEAKAGE_SQL.replace(
+    "reach(a, b) AS (", "reach(a, b) AS ("
+).replace(")\ncomp AS (", "),\ncomp AS (")
+
+
+@_register("split_leakage_audit", _LEAKAGE_SQL)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup cluster: which splits its members landed in, and
+    whether the cluster LEAKS across splits. Doc-level hash splits are
+    deterministic but duplicate-blind — the audit composes the verified
+    near-dup components with the split assignment (two existing bounded
+    relations, one groupBy; no new scans of text). Leaking clusters are
+    the re-assignment worklist (move the whole cluster to one split, or
+    drop the eval-side members)."""
+    docs = fx._read(spark, sf_dir, "documents")
+    comp = dd.neardup_components(docs)
+    labeled = comp.select(
+        "component", "doc_id", cp.split_assignment().alias("split")
+    )
+    return labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("split").alias("n_splits"),
+        F.array_join(F.sort_array(F.collect_set("split")), ",").alias(
+            "splits_seen"
+        ),
+        (F.count_distinct("split") > 1).alias("leaks"),
+    )
