@@ -215,42 +215,107 @@ def stream_corpus_manifest(
 ):
     """Continuously extend the packing manifest as document batches
     arrive: a Structured Streaming ``foreachBatch`` loop around
-    ``packing_index_incremental`` — each micro-batch reads the cursor
-    state OFF THE MANIFEST ITSELF (packing_cursors is a bounded
-    aggregation over it; no separate state store to drift out of sync),
-    packs only the delta, and appends.
+    ``packing_index_incremental``.
 
-    Exactly-once notes: the append + checkpoint pair gives at-least-once
-    appends on crash-replay; manifest consumers dedupe on doc_id (the
-    rows are deterministic, so replayed appends are byte-identical
-    duplicates, not conflicts). Because per-source prefix sums
-    decompose, the streamed manifest is bit-equal to a batch repack of
-    everything seen — provided batches arrive in doc_id order per
-    source; out-of-order arrivals come back flagged (in_order = false)
-    rather than silently mis-packed, and land in the manifest as the
-    audit trail of what must be re-packed.
+    Effectively-once on crash-replay, keyed by ``batch_id``:
+
+    - manifest rows land in a ``batch_id=N`` partition via DYNAMIC
+      partition overwrite — a replayed batch REWRITES its own partition
+      with byte-identical rows instead of appending duplicates;
+    - cursors come from a bounded per-batch SNAPSHOT sidecar
+      (``_cursors/batch_id=N`` holds the full per-source state after
+      batch N): batch N always reads the snapshot of the latest batch
+      < N, so a replay sees the same inputs it saw the first time —
+      deriving cursors from the manifest itself would see the crashed
+      batch's own rows and flag every replayed doc as out-of-order.
+      The snapshot is O(|sources|), so per-batch cost does not grow
+      with manifest age (re-aggregating the manifest would be
+      O(manifest) per batch — quadratic over a long-running stream).
+
+    Because per-source prefix sums decompose, the streamed manifest is
+    bit-equal to a batch repack of everything seen — provided batches
+    arrive in doc_id order per source; out-of-order arrivals come back
+    flagged (in_order = false) rather than silently mis-packed, the
+    audit trail of what must be re-packed (their tokens never advance
+    the snapshots — packing_cursors counts packed rows only).
 
     Returns the started StreamingQuery (AvailableNow trigger — drain
     what exists, then stop; swap the trigger for continuous tailing).
     """
+    import os
+
     from .operators.corpus import packing_cursors, packing_index_incremental
 
     stream = spark.readStream.schema(
         "doc_id long, source string, text string"
     ).parquet(source_dir)
 
-    empty_cursors = spark.createDataFrame(
-        [], "source string, cursor_tok bigint, last_doc_id bigint"
-    )
+    cursors_dir = os.path.join(manifest_dir, "_cursors")
+    _CURSOR_SCHEMA = "source string, cursor_tok bigint, last_doc_id bigint"
+
+    def _latest_cursors(session, before_batch: int):
+        """Full cursor state after the newest batch < before_batch, or
+        empty state for the first batch. Listing the sidecar directory
+        is explicit (no exception-swallowing read: a TRANSIENT manifest
+        read failure must fail the batch, not silently restart offsets
+        from zero)."""
+        if os.path.isdir(cursors_dir):
+            done = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(cursors_dir)
+                if d.startswith("batch_id=")
+                and int(d.split("=", 1)[1]) < before_batch
+            )
+            if done:
+                return session.read.schema(_CURSOR_SCHEMA).parquet(
+                    os.path.join(cursors_dir, f"batch_id={done[-1]}")
+                )
+        return session.createDataFrame([], _CURSOR_SCHEMA)
 
     def _extend(batch_df, batch_id: int) -> None:
-        try:
-            manifest = batch_df.sparkSession.read.parquet(manifest_dir)
-            cursors = packing_cursors(manifest)
-        except Exception:  # first batch: no manifest yet
-            cursors = empty_cursors
-        inc = packing_index_incremental(batch_df, cursors, block_tokens)
-        inc.write.mode("append").parquet(manifest_dir)
+        session = batch_df.sparkSession
+        prev = _latest_cursors(session, batch_id)
+        inc = packing_index_incremental(batch_df, prev, block_tokens)
+        (
+            inc.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(manifest_dir)
+        )
+        # next full snapshot = previous state merged with this batch's
+        # packed contribution (outer merge on source, O(|sources|))
+        delta = packing_cursors(inc)
+        merged = (
+            prev.select(
+                "source",
+                F.col("cursor_tok").alias("prev_tok"),
+                F.col("last_doc_id").alias("prev_id"),
+            )
+            .join(
+                delta.select(
+                    "source",
+                    F.col("cursor_tok").alias("d_tok"),
+                    F.col("last_doc_id").alias("d_id"),
+                ),
+                "source",
+                "full_outer",
+            )
+            .select(
+                "source",
+                (
+                    F.coalesce("prev_tok", F.lit(0))
+                    + F.coalesce("d_tok", F.lit(0))
+                ).cast("bigint").alias("cursor_tok"),
+                F.greatest(
+                    F.coalesce("prev_id", F.lit(-(2**62))),
+                    F.coalesce("d_id", F.lit(-(2**62))),
+                ).alias("last_doc_id"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(cursors_dir, f"batch_id={int(batch_id)}")
+        )
 
     return (
         stream.writeStream.foreachBatch(_extend)

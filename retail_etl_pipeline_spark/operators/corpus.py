@@ -426,15 +426,20 @@ def corpus_split(docs: DataFrame) -> DataFrame:
     )
 
 
-CORPUS_SPLIT_SQL = f"""
-SELECT CASE WHEN doc_id IS NULL THEN NULL
+#: the one SQL rendering of :func:`split_assignment` — NULL ids get a
+#: NULL split (without the guard they'd concentrate in 'test'); every
+#: oracle that labels splits must reuse THIS fragment, not re-derive it.
+SPLIT_CASE_SQL = f"""CASE WHEN doc_id IS NULL THEN NULL
             WHEN (CAST(doc_id AS HUGEINT) * {SPLIT_MIX}) % {SPLIT_MOD}
                  < {SPLIT_TRAIN_LT}
             THEN 'train'
             WHEN (CAST(doc_id AS HUGEINT) * {SPLIT_MIX}) % {SPLIT_MOD}
                  < {SPLIT_VAL_LT}
             THEN 'val'
-            ELSE 'test' END AS split,
+            ELSE 'test' END"""
+
+CORPUS_SPLIT_SQL = f"""
+SELECT {SPLIT_CASE_SQL} AS split,
        source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(len({TOKENS_SQL.format(c='text')})) AS BIGINT) AS n_tokens,

@@ -4243,13 +4243,10 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# calendar densification (gap filling): per-store missing sales days via
-# sequence() + explode + left-anti join — the spine generation every
-# time-series layer needs. The spine explodes executor-side from one
-# (min, max) row per store (no driver loop, no cross join with a global
-# calendar); the anti-join probes the actual day set. The oracle counts
-# the same gaps arithmetically (range length minus distinct active days)
-# — same relation, independent derivation.
+# per-store missing sales days — counted arithmetically (span minus
+# distinct active days) on both engines; the day-spine densification
+# pattern (sequence + explode) lives where the gap ROWS are actually
+# consumed, store_revenue_interpolated.
 # ---------------------------------------------------------------------------
 
 
@@ -5834,9 +5831,11 @@ def event_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH kv AS (
   SELECT event_type,
          unnest(json_keys(props)) AS key,
-         CAST(json_extract_string(props, '$.' || unnest(json_keys(props)))
-              AS BIGINT) AS val
+         TRY_CAST(json_extract_string(props, '$.'
+                                      || unnest(json_keys(props)))
+                  AS BIGINT) AS val
   FROM events
+  WHERE COALESCE(json_valid(props), FALSE)
 )
 SELECT event_type,
        string_agg(DISTINCT key, ',' ORDER BY key) AS keys_seen,
@@ -5854,7 +5853,13 @@ def event_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema is pinned; once keys stabilize, event_props_typed's struct
     form takes over (cheaper, typed). Map work happens JVM-side; the
     output is scalars + a sorted joined key list (map columns never
-    reach the result — the driver's canonicalizer can't hash them)."""
+    reach the result — the driver's canonicalizer can't hash them).
+    Drift guards: the oracle filters json_valid and TRY_CASTs values so
+    malformed payloads degrade instead of erroring; note the engines'
+    residual semantic difference under VALUE-type drift (Spark nulls
+    the whole map for an unparsable value, DuckDB nulls just that
+    entry) — the fixture contains neither, and event_props_typed is
+    the query that counts malformed payloads deliberately."""
     ev = fx._read(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
     kv = ev.select(
@@ -6067,13 +6072,15 @@ WHERE n >= 14
 )
 def store_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Days whose revenue sits more than 3 trailing sigmas from the
-    store's OWN trailing-28-day distribution (self-referential anomaly
-    detection — no global model). Trailing moments ride ONE frame
-    window per store in exact DECIMAL (the moment-sum discipline:
-    bit-stable under any partitioning); the z-score is
-    identically-shaped double arithmetic rounded through the money hop.
-    Days with under 14 trailing observations or zero variance are
-    excluded (no z-score is defined there)."""
+    store's OWN trailing distribution over its last 28 OBSERVED sales
+    days (a ROWS frame — on a store with gaps that spans more calendar
+    time than 28 days; swap to a RANGE frame over a day number for
+    strict calendar windows). Trailing moments ride ONE frame window
+    per store in exact DECIMAL (the moment-sum discipline: bit-stable
+    under any partitioning); the z-score is identically-shaped double
+    arithmetic rounded through the money hop. Days with fewer than 14
+    trailing observations or zero variance are excluded (no z-score is
+    defined there)."""
     s = fx.sales(spark, sf_dir)
     daily = s.groupBy("store_key", "trans_dt").agg(
         money_sum(F.col("sales_amt")).alias("day_rev")
@@ -6111,21 +6118,25 @@ def store_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doc-level split is perfectly deterministic).
 # ---------------------------------------------------------------------------
 
-_SPLIT_CASE = f"""CASE WHEN (CAST(doc_id AS HUGEINT) * {cp.SPLIT_MIX}) % {cp.SPLIT_MOD}
-                 < {cp.SPLIT_TRAIN_LT} THEN 'train'
-            WHEN (CAST(doc_id AS HUGEINT) * {cp.SPLIT_MIX}) % {cp.SPLIT_MOD}
-                 < {cp.SPLIT_VAL_LT} THEN 'val'
-            ELSE 'test' END"""
-
-_LEAKAGE_SQL = dd.NEARDUP_COMPONENTS_SQL.strip().replace(
-    """SELECT a AS doc_id, MIN(b) AS component
+# ONE string surgery: the components query's final "  )\nSELECT ..."
+# tail (including the reach CTE's closing paren, which picks up the
+# comma the extended CTE list needs) becomes comp/labeled CTEs plus the
+# leakage projection. The split CASE is the SHARED fragment from
+# operators/corpus.py — same NULL-id guard as split_assignment(), not a
+# re-derived copy that could drift.
+_LEAKAGE_TAIL = """)
+SELECT a AS doc_id, MIN(b) AS component
 FROM reach
-GROUP BY a""",
-    f"""comp AS (
+GROUP BY a"""
+assert _LEAKAGE_TAIL in dd.NEARDUP_COMPONENTS_SQL
+_LEAKAGE_SQL = dd.NEARDUP_COMPONENTS_SQL.strip().replace(
+    _LEAKAGE_TAIL.strip(),
+    f"""),
+comp AS (
   SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a
 ),
 labeled AS (
-  SELECT component, doc_id, {_SPLIT_CASE} AS split FROM comp
+  SELECT component, doc_id, {cp.SPLIT_CASE_SQL} AS split FROM comp
 )
 SELECT component,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -6134,12 +6145,8 @@ SELECT component,
        COUNT(DISTINCT split) > 1 AS leaks
 FROM labeled
 GROUP BY component""",
+    1,
 )
-# the replaced tail turns the final SELECT into a CTE: re-stitch syntax
-assert "comp AS (" in _LEAKAGE_SQL
-_LEAKAGE_SQL = _LEAKAGE_SQL.replace(
-    "reach(a, b) AS (", "reach(a, b) AS ("
-).replace(")\ncomp AS (", "),\ncomp AS (")
 
 
 @_register("split_leakage_audit", _LEAKAGE_SQL)

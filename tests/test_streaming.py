@@ -665,18 +665,27 @@ def test_stream_corpus_manifest_equals_batch_repack(spark):
         part = [f for f in _os.listdir(tmp) if f.endswith(".parquet")][0]
         _os.rename(_os.path.join(tmp, part), _os.path.join(src, name + ".parquet"))
 
+    manifest_dir = _os.path.join(base, "manifest")
+    ckpt = _os.path.join(base, "ckpt")
     _file("b1", rows1)
-    q = stream_corpus_manifest(
-        spark, src, _os.path.join(base, "manifest"),
-        _os.path.join(base, "ckpt"), block_tokens=8,
-    )
+    q = stream_corpus_manifest(spark, src, manifest_dir, ckpt, block_tokens=8)
     q.awaitTermination(120)
     q.stop()
+    # snapshot the checkpoint BEFORE batch 2 — restoring it later
+    # simulates a crash after batch 2's writes but before its commit
+    _shutil.copytree(ckpt, ckpt + "_pre_b2")
     _file("b2", rows2)
-    q = stream_corpus_manifest(
-        spark, src, _os.path.join(base, "manifest"),
-        _os.path.join(base, "ckpt"), block_tokens=8,
-    )
+    q = stream_corpus_manifest(spark, src, manifest_dir, ckpt, block_tokens=8)
+    q.awaitTermination(120)
+    q.stop()
+    # crash-replay: restore the pre-batch-2 checkpoint and run again —
+    # batch 2 replays, REWRITES its own batch_id partition with
+    # byte-identical rows (dynamic overwrite), and nothing is flagged
+    # out-of-order (cursors come from the batch-1 snapshot, not from a
+    # manifest already containing the crashed batch's rows)
+    _shutil.rmtree(ckpt)
+    _shutil.copytree(ckpt + "_pre_b2", ckpt)
+    q = stream_corpus_manifest(spark, src, manifest_dir, ckpt, block_tokens=8)
     q.awaitTermination(120)
     q.stop()
     try:
