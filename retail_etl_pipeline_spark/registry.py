@@ -6171,3 +6171,122 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.count_distinct("split") > 1).alias("leaks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining built-in surfaces with honest oracles: bitmap aggregates
+# (exact distinct via bitmap buckets), AES column encryption (roundtrip
+# invariant — GCM ciphertexts are randomized, so the CHECK is the
+# deterministic thing), and XPath extraction over synthesized XML
+# (ground truth from the same synthesis arithmetic).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "nation_distinct_customers_bitmap",
+    """
+SELECT c_nationkey,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct_customers
+FROM customer
+GROUP BY c_nationkey
+""",
+)
+def nation_distinct_customers_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct customers per nation via Spark's bitmap aggregate
+    family: keys bucket into 4096-bit bitmaps
+    (bitmap_bucket_number / bitmap_bit_position), one
+    bitmap_construct_agg per (nation, bucket), bitmap_count summed per
+    nation. Same answer as COUNT(DISTINCT) — the oracle — but the
+    shuffle carries fixed 512-byte bitmaps instead of raw key lists,
+    and bucket bitmaps are mergeable partials (OR), the same algebra
+    the incremental/LC rollups use. The distinct-count expansion
+    Catalyst generates for COUNT(DISTINCT) is the thing this avoids."""
+    c = fx._read(spark, sf_dir, "customer")
+    per_bucket = (
+        c.select(
+            "c_nationkey",
+            F.expr("bitmap_bucket_number(c_custkey)").alias("bucket"),
+            F.expr("bitmap_bit_position(c_custkey)").alias("pos"),
+        )
+        .groupBy("c_nationkey", "bucket")
+        .agg(F.expr("bitmap_count(bitmap_construct_agg(pos))").alias("n"))
+    )
+    return per_bucket.groupBy("c_nationkey").agg(
+        F.sum("n").cast("bigint").alias("n_distinct_customers")
+    )
+
+
+@_register(
+    "pii_encryption_roundtrip",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_roundtrip_ok,
+       CAST(0 AS BIGINT) AS n_mismatched
+FROM customer
+""",
+)
+def pii_encryption_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption for PII at rest: aes_encrypt the customer
+    name (AES-GCM — ciphertexts are RANDOMIZED per row per run, which is
+    the security property), aes_decrypt it back, and verify the
+    roundtrip row by row. The deterministic, oracle-checkable output is
+    the invariant (every row decrypts to its original), not the
+    ciphertext; the oracle states that invariant directly. Both
+    directions run JVM-side in one projection — no Python, no shuffle
+    beyond the count."""
+    c = fx._read(spark, sf_dir, "customer")
+    # 16-byte demo key (AES-128); real deployments pull this from a KMS
+    rt = c.select(
+        (
+            F.expr(
+                "aes_decrypt(aes_encrypt(c_name, '0123456789abcdef'),"
+                " '0123456789abcdef')"
+            ).cast("string")
+            == F.col("c_name")
+        ).alias("ok")
+    )
+    return rt.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_roundtrip_ok"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_mismatched"),
+    )
+
+
+@_register(
+    "event_xml_extract",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id % 1000) AS BIGINT) AS sum_codes
+FROM events
+GROUP BY event_type
+""",
+)
+def event_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath extraction surface: events wrapped into XML envelopes
+    (synthesized deterministically — the fixture carries no XML) and the
+    code read back with ``xpath_long``. The oracle computes the ground
+    truth from the same synthesis arithmetic, so what is verified is
+    that the XML parse path extracts exactly what was embedded — the
+    legacy-feed ingestion pattern (SOAP/XML exports) without pretending
+    the warehouse speaks XPath."""
+    ev = fx._read(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<ev><type>"),
+        F.col("event_type"),
+        F.lit("</type><code>"),
+        (F.col("event_id") % 1000).cast("string"),
+        F.lit("</code></ev>"),
+    )
+    parsed = ev.select("event_type", xml.alias("xml")).select(
+        "event_type",
+        F.expr("xpath_long(xml, '/ev/code/text()')").alias("code"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("code").cast("bigint").alias("sum_codes"),
+    )
