@@ -6299,3 +6299,73 @@ def event_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("code").cast("bigint").alias("sum_codes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# explode_outer: the keep-empty-rows generator variant — an enrichment
+# fan-out must not silently drop entities that have nothing to fan out
+# (a plain explode of a doc's URL list loses every URL-less doc from the
+# output, the generator-shaped cousin of the inner-join-drops-NULLs bug
+# that lang_nullsafe_join pins).
+# ---------------------------------------------------------------------------
+
+_DOC_URLS_SQL = """CASE
+  WHEN doc_id % 9 = 0 THEN
+    ['https://a.example.org/p/' || CAST(doc_id % 50 AS VARCHAR),
+     'https://b.example.org/q/' || CAST(doc_id % 50 AS VARCHAR)]
+  WHEN doc_id % 3 = 0 THEN
+    ['https://a.example.org/p/' || CAST(doc_id % 50 AS VARCHAR)]
+  ELSE CAST([] AS VARCHAR[]) END"""
+
+
+@_register(
+    "docs_url_explode_outer",
+    f"""
+WITH withurls AS (
+  SELECT doc_id, {_DOC_URLS_SQL} AS urls FROM documents
+),
+outered AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(urls) = 0 THEN [CAST(NULL AS VARCHAR)]
+                ELSE urls END) AS url
+  FROM withurls
+)
+SELECT url IS NOT NULL AS has_url,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_urls
+FROM outered
+GROUP BY 1
+""",
+)
+def docs_url_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer over a synthesized per-doc URL list (two URLs,
+    one, or none): URL-less docs survive as NULL-url rows, so the
+    output accounts for EVERY document — the row-count audit that
+    catches a plain explode silently dropping the empty-list entities.
+    (DuckDB's unnest drops empties like explode does; the oracle
+    emulates the outer form by substituting a [NULL] list.)"""
+    d = fx._read(spark, sf_dir, "documents")
+    n = (F.col("doc_id") % 50).cast("string")
+    urls = (
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.array(
+                F.concat(F.lit("https://a.example.org/p/"), n),
+                F.concat(F.lit("https://b.example.org/q/"), n),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 0,
+            F.array(F.concat(F.lit("https://a.example.org/p/"), n)),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
+    outered = d.select(
+        "doc_id", F.explode_outer(urls).alias("url")
+    )
+    return outered.groupBy(F.col("url").isNotNull().alias("has_url")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count_distinct("url").alias("n_distinct_urls"),
+    )
