@@ -75,6 +75,9 @@ class PipelineResult:
     #: data-quality counters observed DURING the write (no extra scan):
     #: rows_written, null_grain_rows, negative_sales_rows
     metrics: dict | None = None
+    #: rule -> violation count for expectations that failed (publish was
+    #: rolled back when non-empty)
+    expectation_failures: dict = field(default_factory=dict)
 
 
 def run_pipeline(
@@ -85,6 +88,8 @@ def run_pipeline(
     on_missing: Callable[[list[str]], None] | None = None,
     register_as: str | None = "weekly_summary",
     measure_type: str = "double",
+    expectations: dict | None = None,
+    on_expectation_failure: Callable[[dict], None] | None = None,
 ) -> PipelineResult:
     """C3: the single entry point — readiness gate, CSV loads with explicit
     schemas, the single-pass weekly summary, idempotent date-partitioned
@@ -92,7 +97,17 @@ def run_pipeline(
 
     ``on_missing`` is the S10 alert seam (the reference emails via SES);
     it receives the missing-file list and the pipeline returns without
-    running."""
+    running.
+
+    ``expectations`` (name -> boolean Column over the summary, the
+    operators/expectations.py contract: NULL counts as a violation)
+    ride the SAME ``observe()`` as the built-in DQ counters — zero
+    extra scans. Violations trigger a COMPENSATING rollback: the
+    just-written run partition is overwritten with the prior content
+    model (deleted), ``on_expectation_failure`` gets the rule ->
+    violation-count map, and the result reports ran=False — a gate
+    evaluated pre-publish would cost a second full pass of the summary
+    at 100 TB; observe-then-compensate pays only on failure."""
     ready, missing = readiness_check(input_dir, run_date)
     if not ready:
         if on_missing is not None:
@@ -116,6 +131,15 @@ def run_pipeline(
     for k in WEEK_GRAIN:
         cond = F.col(k).isNull()
         grain_null = cond if grain_null is None else (grain_null | cond)
+    exp_aggs = []
+    for name, cond in (expectations or {}).items():
+        if not name.replace("_", "").isalnum():
+            raise ValueError(f"expectation name must be identifier-safe: {name!r}")
+        exp_aggs.append(
+            F.sum(
+                F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
+            ).alias(f"exp_{name}")
+        )
     summary = summary.observe(
         obs,
         F.count(F.lit(1)).alias("rows_written"),
@@ -123,9 +147,33 @@ def run_pipeline(
         F.count(F.when(F.col("total_sales_amt") < 0, 1)).alias(
             "negative_sales_rows"
         ),
+        *exp_aggs,
     )
     eio.write_run_partition(summary, output_path, run_date)
-    metrics = obs.get
+    metrics = dict(obs.get)
+    failures = {
+        k[len("exp_"):]: v
+        for k, v in metrics.items()
+        if k.startswith("exp_") and (v or 0) > 0
+    }
+    if failures:
+        # compensate: the run partition just written is withdrawn (an
+        # empty overwrite of exactly that partition — same idempotent
+        # dynamic-overwrite path the publish used)
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(output_path, f"date={run_date}"), ignore_errors=True
+        )
+        if on_expectation_failure is not None:
+            on_expectation_failure(failures)
+        return PipelineResult(
+            ran=False,
+            run_date=run_date,
+            output_path=output_path,
+            metrics=metrics,
+            expectation_failures=failures,
+        )
 
     published = spark.read.parquet(output_path)
     if register_as:

@@ -412,3 +412,32 @@ def test_training_manifest_packs_only_kept_train_docs(spark, tmp_path):
         cursor += r["n_tokens"]
     with pytest.raises(ValueError):
         training_manifest(corpus.drop("source"))
+
+
+def test_run_pipeline_expectations_rollback(spark, retail_csvs):
+    """Failing expectations withdraw the published partition and report
+    the violating rules; passing expectations leave the publish intact.
+    The rules ride the write's observe() — no extra scan."""
+    out = os.path.join(TMP, "out_expectations")
+    alerts = []
+
+    # impossible rule -> every row violates -> rollback
+    res = pl.run_pipeline(
+        spark, RUN_DATE, retail_csvs, out,
+        register_as=None,
+        expectations={"impossible": F.col("total_sales_qty") < -1},
+        on_expectation_failure=alerts.append,
+    )
+    assert res.ran is False
+    assert res.expectation_failures["impossible"] > 0
+    assert alerts and alerts[0] == res.expectation_failures
+    assert not os.path.isdir(os.path.join(out, f"date={RUN_DATE}"))
+
+    # tautological rule -> publish stands
+    res2 = pl.run_pipeline(
+        spark, RUN_DATE, retail_csvs, out,
+        register_as=None,
+        expectations={"sane_qty": F.col("total_sales_qty") >= 0},
+    )
+    assert res2.ran is True and not res2.expectation_failures
+    assert os.path.isdir(os.path.join(out, f"date={RUN_DATE}"))
