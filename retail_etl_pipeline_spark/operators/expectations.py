@@ -23,6 +23,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def validate_rule_name(name: str) -> None:
+    """Rule names become column names and stack() literals — enforce
+    identifier-safety in every consumer (check_expectations and the
+    run_pipeline publish gate share this)."""
+    if not name.replace("_", "").isalnum():
+        raise ValueError(f"rule name must be identifier-safe: {name!r}")
+
+
+def violations_expr(cond: Column) -> Column:
+    """The one rendering of NULL-as-violation counting: a rule
+    evaluating to NULL counts as a violation (three-valued logic made
+    explicit). Shared so the pipeline gate and the standalone checker
+    cannot drift."""
+    return F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1))
+
+
 def check_expectations(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
     """Evaluate named expectations; returns (rule, n_rows, violations,
     pass_rate_ppm) — one output row per rule, one input scan total.
@@ -32,16 +48,10 @@ def check_expectations(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
     if not rules:
         raise ValueError("at least one expectation required")
     for name in rules:
-        if not name.replace("_", "").isalnum():
-            raise ValueError(f"rule name must be identifier-safe: {name!r}")
+        validate_rule_name(name)
     aggs = [F.count(F.lit(1)).alias("_n")]
     for name, cond in rules.items():
-        aggs.append(
-            F.sum(
-                # NULL -> violation: coalesce the rule, not the count
-                F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
-            ).alias(f"_v_{name}")
-        )
+        aggs.append(violations_expr(cond).alias(f"_v_{name}"))
     one = df.agg(*aggs)
     stack_args = ", ".join(f"'{n}', _v_{n}" for n in rules)
     long = one.select(

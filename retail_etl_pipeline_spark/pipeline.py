@@ -73,7 +73,8 @@ class PipelineResult:
     output_path: str | None = None
     output_rows: int | None = None
     #: data-quality counters observed DURING the write (no extra scan):
-    #: rows_written, null_grain_rows, negative_sales_rows
+    #: rows_written, null_grain_rows, negative_sales_rows, plus one
+    #: ``exp_<rule>`` violation counter per expectation passed in
     metrics: dict | None = None
     #: rule -> violation count for expectations that failed (publish was
     #: rolled back when non-empty)
@@ -102,12 +103,16 @@ def run_pipeline(
     ``expectations`` (name -> boolean Column over the summary, the
     operators/expectations.py contract: NULL counts as a violation)
     ride the SAME ``observe()`` as the built-in DQ counters — zero
-    extra scans. Violations trigger a COMPENSATING rollback: the
-    just-written run partition is overwritten with the prior content
-    model (deleted), ``on_expectation_failure`` gets the rule ->
-    violation-count map, and the result reports ran=False — a gate
+    extra scans. With expectations, the run partition is written to a
+    STAGING sibling first and only PROMOTED (Hadoop FS partition
+    rename — metadata-cheap on hdfs/local, a server-side copy on
+    object stores) after every rule passes: a failing re-run leaves
+    the previously published partition untouched (writing straight to
+    the live path would have dynamically overwritten good data before
+    the verdict existed), ``on_expectation_failure`` gets the rule ->
+    violation-count map, and the result reports ran=False. A gate
     evaluated pre-publish would cost a second full pass of the summary
-    at 100 TB; observe-then-compensate pays only on failure."""
+    at 100 TB; stage-observe-promote pays one partition move instead."""
     ready, missing = readiness_check(input_dir, run_date)
     if not ready:
         if on_missing is not None:
@@ -131,15 +136,12 @@ def run_pipeline(
     for k in WEEK_GRAIN:
         cond = F.col(k).isNull()
         grain_null = cond if grain_null is None else (grain_null | cond)
+    from .operators.expectations import validate_rule_name, violations_expr
+
     exp_aggs = []
     for name, cond in (expectations or {}).items():
-        if not name.replace("_", "").isalnum():
-            raise ValueError(f"expectation name must be identifier-safe: {name!r}")
-        exp_aggs.append(
-            F.sum(
-                F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
-            ).alias(f"exp_{name}")
-        )
+        validate_rule_name(name)
+        exp_aggs.append(violations_expr(cond).alias(f"exp_{name}"))
     summary = summary.observe(
         obs,
         F.count(F.lit(1)).alias("rows_written"),
@@ -149,31 +151,53 @@ def run_pipeline(
         ),
         *exp_aggs,
     )
-    eio.write_run_partition(summary, output_path, run_date)
+    gated = bool(expectations)
+    staging_root = output_path.rstrip("/") + ".__staging__"
+    write_target = staging_root if gated else output_path
+    eio.write_run_partition(summary, write_target, run_date)
     metrics = dict(obs.get)
-    failures = {
-        k[len("exp_"):]: v
-        for k, v in metrics.items()
-        if k.startswith("exp_") and (v or 0) > 0
-    }
-    if failures:
-        # compensate: the run partition just written is withdrawn (an
-        # empty overwrite of exactly that partition — same idempotent
-        # dynamic-overwrite path the publish used)
-        import shutil
-
-        shutil.rmtree(
-            os.path.join(output_path, f"date={run_date}"), ignore_errors=True
-        )
-        if on_expectation_failure is not None:
-            on_expectation_failure(failures)
-        return PipelineResult(
-            ran=False,
-            run_date=run_date,
-            output_path=output_path,
-            metrics=metrics,
-            expectation_failures=failures,
-        )
+    if gated:
+        # all filesystem surgery through the Hadoop FS API — portable
+        # across file/hdfs/s3a (a local shutil would silently no-op on
+        # object-store paths and leave the bad partition live)
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        out_root = hpath(output_path.rstrip("/"))
+        fs = out_root.getFileSystem(spark._jsc.hadoopConfiguration())
+        staged_part = hpath(f"{staging_root}/date={run_date}")
+        live_part = hpath(f"{output_path.rstrip('/')}/date={run_date}")
+        failures = {
+            k[len("exp_"):]: v
+            for k, v in metrics.items()
+            if k.startswith("exp_") and (v or 0) > 0
+        }
+        if failures:
+            # withdraw the staging area; the live path (including any
+            # previously published content for this date) is untouched
+            if not fs.delete(hpath(staging_root), True):
+                raise RuntimeError(
+                    f"failed to clear staging {staging_root} after "
+                    "expectation failure — bad data may remain staged"
+                )
+            if on_expectation_failure is not None:
+                on_expectation_failure(failures)
+            return PipelineResult(
+                ran=False,
+                run_date=run_date,
+                output_path=output_path,
+                metrics=metrics,
+                expectation_failures=failures,
+            )
+        # promote: replace exactly this run's partition with the staged one
+        fs.mkdirs(out_root)
+        if fs.exists(live_part):
+            if not fs.delete(live_part, True):
+                raise RuntimeError(f"failed to replace {live_part}")
+        if not fs.rename(staged_part, live_part):
+            raise RuntimeError(
+                f"failed to promote staged partition to {live_part}"
+            )
+        fs.delete(hpath(staging_root), True)
 
     published = spark.read.parquet(output_path)
     if register_as:

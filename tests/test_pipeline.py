@@ -441,3 +441,17 @@ def test_run_pipeline_expectations_rollback(spark, retail_csvs):
     )
     assert res2.ran is True and not res2.expectation_failures
     assert os.path.isdir(os.path.join(out, f"date={RUN_DATE}"))
+    n_good = spark.read.parquet(out).count()
+    assert n_good == 3
+
+    # a FAILING re-run of the same date must leave the previously
+    # published good partition untouched (stage-then-promote: the bad
+    # write never reaches the live path)
+    res3 = pl.run_pipeline(
+        spark, RUN_DATE, retail_csvs, out,
+        register_as=None,
+        expectations={"impossible": F.col("total_sales_qty") < -1},
+    )
+    assert res3.ran is False
+    assert spark.read.parquet(out).count() == n_good
+    assert not os.path.isdir(out + ".__staging__")
