@@ -6369,3 +6369,147 @@ def docs_url_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").alias("n_docs"),
         F.count_distinct("url").alias("n_distinct_urls"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Map higher-order functions + PSI distribution drift — the last two
+# round-4-queue items that are implementable here (map HOFs over the
+# from_json map; PSI with decimal-rounded per-bin contributions).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "event_props_map_hof",
+    """
+WITH kv AS (
+  SELECT event_type,
+         unnest(json_keys(props)) AS key,
+         TRY_CAST(json_extract_string(props, '$.'
+                                      || unnest(json_keys(props)))
+                  AS BIGINT) AS val
+  FROM events
+  WHERE COALESCE(json_valid(props), FALSE)
+),
+kept AS (
+  -- map_filter(v >= 20) then transform_values(v -> v * 3 + 1)
+  SELECT event_type, key, val * 3 + 1 AS val3
+  FROM kv WHERE val >= 20
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_kept_entries,
+       CAST(SUM(val3) AS BIGINT) AS sum_transformed
+FROM kept
+GROUP BY event_type
+""",
+)
+def event_props_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: the parsed props map filtered with
+    ``map_filter`` (drop entries under a threshold) and rewritten with
+    ``transform_values`` — both JVM lambda HOFs running inside the
+    projection, then exploded and aggregated. The per-entry pipeline a
+    feature store runs on map-typed payloads; the oracle applies the
+    same predicate/transform at the exploded-entry level. (HOF lambdas
+    are interpreted, not codegen — fine once per entry; the hot-path
+    caveat from SCALE.md's vector-math row applies at billions of
+    entries.)"""
+    ev = fx._read(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    transformed = F.transform_values(
+        F.map_filter(m, lambda k, v: v >= 20),
+        lambda k, v: v * 3 + 1,
+    )
+    kv = ev.select(
+        "event_type", F.explode(transformed).alias("key", "val3")
+    )
+    return kv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept_entries"),
+        F.sum("val3").cast("bigint").alias("sum_transformed"),
+    )
+
+
+# PSI bins: token-length buckets of 8; add-1 smoothing keeps every bin
+# strictly positive so ln(p/q) is defined.
+_PSI_BINS = 8
+_PSI_BUCKET_SQL = (
+    "LEAST(CAST(len("
+    + tx.TOKENS_SQL.format(c="text")
+    + f") AS BIGINT) // 8, {_PSI_BINS - 1})"
+)
+
+
+@_register(
+    "corpus_drift_psi",
+    f"""
+WITH b AS (
+  SELECT doc_id % 2 = 0 AS cohort_a,
+         {_PSI_BUCKET_SQL} AS bucket
+  FROM documents
+),
+counts AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN cohort_a THEN 1 ELSE 0 END) + 1 AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN cohort_a THEN 0 ELSE 1 END) + 1 AS BIGINT) AS nb
+  FROM b GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+  FROM counts
+),
+contrib AS (
+  SELECT bucket,
+         CAST(round(CAST(
+           (CAST(na AS DOUBLE) / ta - CAST(nb AS DOUBLE) / tb)
+           * ln((CAST(na AS DOUBLE) / ta) / (CAST(nb AS DOUBLE) / tb))
+           AS DECIMAL(38,12)), 6) AS DECIMAL(38,6)) AS c
+  FROM counts, tot
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(c) AS DOUBLE) AS psi
+FROM contrib
+""",
+)
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between two corpus cohorts (even vs
+    odd doc_id — the stand-in for yesterday-vs-today) over token-length
+    bins: PSI = sum (p-q) * ln(p/q), the standard drift alarm for a
+    training-data intake. Counts are exact with add-1 smoothing (every
+    bin positive -> ln defined); each bin's contribution is computed in
+    identically-shaped double arithmetic, rounded IN DECIMAL at 6
+    places, and the total is an exact decimal sum — so the statistic is
+    partition- and engine-stable up to ln()'s last-ulp (not formally
+    correctly-rounded everywhere; a 1-ulp disagreement would need the
+    contribution to sit within ~1e-16 of a 1e-6 rounding tie to
+    surface — accepted and documented, same class as the equi-depth
+    percentile interpolation)."""
+    d = fx._read(spark, sf_dir, "documents")
+    bucket = F.least(
+        (tx.token_count(F.col("text")) / 8).cast("bigint"),
+        F.lit(_PSI_BINS - 1),
+    )
+    b = d.select(
+        (F.col("doc_id") % 2 == 0).alias("cohort_a"), bucket.alias("bucket")
+    )
+    counts = b.groupBy("bucket").agg(
+        (F.sum(F.when(F.col("cohort_a"), 1).otherwise(0)) + 1)
+        .cast("bigint")
+        .alias("na"),
+        (F.sum(F.when(F.col("cohort_a"), 0).otherwise(1)) + 1)
+        .cast("bigint")
+        .alias("nb"),
+    )
+    tot = counts.agg(
+        F.sum("na").cast("bigint").alias("ta"),
+        F.sum("nb").cast("bigint").alias("tb"),
+    )
+    contrib = counts.crossJoin(F.broadcast(tot)).select(
+        F.expr(
+            "CAST(round(CAST("
+            "(CAST(na AS DOUBLE) / ta - CAST(nb AS DOUBLE) / tb)"
+            " * ln((CAST(na AS DOUBLE) / ta) / (CAST(nb AS DOUBLE) / tb))"
+            " AS DECIMAL(38,12)), 6) AS DECIMAL(38,6))"
+        ).alias("c")
+    )
+    return contrib.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("c").cast("double").alias("psi"),
+    )
