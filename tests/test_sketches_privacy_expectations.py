@@ -177,3 +177,53 @@ def test_mg_candidates_non_string_column(spark):
     }
     assert out[7] == 51  # 50 plus the one from range(40)
     assert all(isinstance(key, int) for key in out)
+
+
+# --- hypothesis armor for the sketch/expectation algebra --------------------
+
+
+def test_cms_matches_pure_python_model(spark):
+    """The relational CMS equals a direct python model of the same
+    hashes on a fixed skewed stream — cell-for-cell."""
+    import hashlib
+
+    rows = [(f"t{i % 7}",) for i in range(60)] + [("hot",)] * 25
+    df = spark.createDataFrame(rows, "tok string").repartition(6)
+    got = {
+        (r["j"], r["cell"]): r["cnt"]
+        for r in sk.cms_build(df, "tok").collect()
+    }
+    model: dict = {}
+    for (tok,) in rows:
+        fp = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        for j, mix in enumerate(sk.CMS_MIX):
+            cell = (fp * mix) % (2**32) % sk.CMS_WIDTH
+            model[(j, cell)] = model.get((j, cell), 0) + 1
+    assert got == model
+
+
+def test_expectations_random_rules_sum_to_rowcount(spark):
+    """For any rule, violations + passes == n_rows (NULLs land on the
+    violation side, never dropped)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(
+            st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+            min_size=1,
+            max_size=30,
+        ),
+        st.integers(min_value=-40, max_value=40),
+    )
+    @settings(max_examples=15, deadline=None)
+    def _check(vals, threshold):
+        df = spark.createDataFrame([(v,) for v in vals], "v int")
+        out = ex.check_expectations(
+            df, {"above": F.col("v") > threshold}
+        ).collect()[0]
+        passes = sum(1 for v in vals if v is not None and v > threshold)
+        assert out["n_rows"] == len(vals)
+        assert out["violations"] == len(vals) - passes
+
+    _check()
