@@ -57,17 +57,44 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
+    # summary fields FIRST: the driver records only a bounded tail of
+    # stdout, so totals/top-10 must survive even if the full per-query
+    # map is truncated; the complete record is also committed to
+    # BENCH_LOCAL.json in the repo
+    record = {
+        "metric": "total_query_time",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n": len(timings),
+        "total_s": total,
+        "max": max(timings.values()) if timings else 0.0,
+        "top10": top10,
+        "queries": timings,
+        # duplicated at the END of the line too: the driver's record is a
+        # bounded TAIL of stdout, so a trailing summary survives even when
+        # the full per-query map overflows the window
+        "summary_tail": {
+            "n": len(timings),
+            "total_s": total,
+            "max": max(timings.values()) if timings else 0.0,
+            "top10": top10,
+        },
+    }
+    print(json.dumps(record))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json"),
+            "w",
+        ) as f:
+            json.dump(record, f, indent=1, sort_keys=False)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line is still the record
     spark.stop()
 
 

@@ -255,16 +255,24 @@ def stream_corpus_manifest(
 
     def _latest_cursors(session, before_batch: int):
         """Full cursor state after the newest batch < before_batch, or
-        empty state for the first batch. Listing the sidecar directory
-        is explicit (no exception-swallowing read: a TRANSIENT manifest
-        read failure must fail the batch, not silently restart offsets
-        from zero)."""
-        if os.path.isdir(cursors_dir):
+        empty state for the first batch. The sidecar listing goes through
+        the Hadoop FS API (like run_pipeline's promote step) — a local
+        ``os.listdir`` silently returns nothing on hdfs/s3a, which would
+        restart every batch from cursor 0 and mis-pack the manifest. The
+        listing is explicit (no exception-swallowing read: a TRANSIENT
+        manifest read failure must fail the batch, not silently restart
+        offsets from zero)."""
+        jvm = session._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        root = hpath(cursors_dir)
+        fs = root.getFileSystem(session._jsc.hadoopConfiguration())
+        if fs.exists(root):
             done = sorted(
-                int(d.split("=", 1)[1])
-                for d in os.listdir(cursors_dir)
-                if d.startswith("batch_id=")
-                and int(d.split("=", 1)[1]) < before_batch
+                int(name.split("=", 1)[1])
+                for st in fs.listStatus(root)
+                for name in [st.getPath().getName()]
+                if name.startswith("batch_id=")
+                and int(name.split("=", 1)[1]) < before_batch
             )
             if done:
                 return session.read.schema(_CURSOR_SCHEMA).parquet(

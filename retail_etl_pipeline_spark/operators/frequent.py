@@ -94,12 +94,22 @@ def exact_heavy_hitters(
         .agg(F.count(F.lit(1)).alias("term_freq"))
     )
     total = df.agg(F.count(F.lit(1)).alias("_total"))
+    # products widened to DECIMAL(38,0): at the module's documented
+    # ~1e13-token corpus scale, term_freq * 1e6 (and * denom) overflow
+    # BIGINT and throw under ANSI — same class fixed in sampling.py /
+    # graph.py / source_mix_weights
     return (
         counted.crossJoin(F.broadcast(total))
-        .where(F.col("term_freq") * denom >= F.col("_total"))
+        .where(
+            F.col("term_freq").cast("decimal(38,0)") * denom
+            >= F.col("_total")
+        )
         .select(
             col,
             "term_freq",
-            F.expr(f"(term_freq * 1000000) div _total").alias("freq_ppm"),
+            F.expr(
+                "cast((cast(term_freq as decimal(38,0)) * 1000000)"
+                " div _total as bigint)"
+            ).alias("freq_ppm"),
         )
     )

@@ -86,10 +86,16 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, col: str) -> DataFrame:
             )
         ).alias("jc"),
     ).select(col, "jc.j", "jc.cell")
+    # LEFT join with coalesce(cnt, 0): a probe key absent from the corpus
+    # hashes to unmaterialized (zero-count) cells — an inner join would
+    # drop it from the output instead of returning the true CMS estimate
+    # of 0 (and a partially-absent key's min could never reach 0)
     return (
-        probe_cells.join(F.broadcast(sketch), ["j", "cell"], "inner")
+        probe_cells.join(F.broadcast(sketch), ["j", "cell"], "left")
         .groupBy(col)
-        .agg(F.min("cnt").alias("cms_estimate"))
+        .agg(
+            F.min(F.coalesce("cnt", F.lit(0))).alias("cms_estimate")
+        )
     )
 
 

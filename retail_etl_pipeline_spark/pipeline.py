@@ -152,7 +152,10 @@ def run_pipeline(
         *exp_aggs,
     )
     gated = bool(expectations)
-    staging_root = output_path.rstrip("/") + ".__staging__"
+    # staging root is PER-RUN: a shared root would let a concurrent gated
+    # run for another run_date lose its staged partition to this run's
+    # recursive staging-root cleanup (both on failure and post-promote)
+    staging_root = output_path.rstrip("/") + f".__staging__-{run_date}"
     write_target = staging_root if gated else output_path
     eio.write_run_partition(summary, write_target, run_date)
     metrics = dict(obs.get)

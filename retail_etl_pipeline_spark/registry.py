@@ -4914,7 +4914,7 @@ _ORDER_RULES_SQL = {
     + "\nUNION ALL\n".join(
         f"SELECT '{name}' AS rule, CAST(n AS BIGINT) AS n_rows,"
         f" CAST(v_{name} AS BIGINT) AS violations,"
-        f" ((n - v_{name}) * 1000000) // n AS pass_ppm FROM agg"
+        f" CAST(((n - v_{name}) * 1000000) // n AS BIGINT) AS pass_ppm FROM agg"
         for name in _ORDER_RULES_SQL
     ),
 )
