@@ -284,3 +284,114 @@ FROM l{rounds}
 GROUP BY label
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-depth BFS: min hop distance from a seed node
+# ---------------------------------------------------------------------------
+
+#: "unreached" sentinel — large enough that dist+1 can never collide
+#: with a real hop count, small enough that +rounds stays in BIGINT.
+BFS_INF = 10**15
+
+
+def bfs_hops(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Min-hop distance from the smallest node id, bounded at ``rounds``
+    hops: d_0(seed) = 0; d_{t+1}(v) = min(d_t(v), 1 + min over
+    in-neighbors d_t(u)). Pure min-plus algebra — deterministic at ANY
+    fixed round count (unreached nodes keep the BFS_INF sentinel), which
+    is what makes the bounded form oracle-checkable without convergence
+    detection; run with rounds >= diameter for exact single-source hop
+    distances. Returns (node, hops).
+
+    Same loop discipline as min_label_propagation above: graph-sized
+    partitioning and a localCheckpoint per round (the distance relation
+    is read twice per round — neighbor-relax and keep-own)."""
+    n_parts = _loop_partitions(edges)
+    edges = edges.repartition(n_parts, "src").persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # the seed is derived relationally (one bounded row, broadcast) —
+    # no driver round-trip, so the whole plan stays lazy/composable
+    seed = nodes.agg(F.min("node").alias("_seed"))
+    dist = (
+        nodes.crossJoin(F.broadcast(seed))
+        .select(
+            "node",
+            F.when(F.col("node") == F.col("_seed"), F.lit(0))
+            .otherwise(F.lit(BFS_INF))
+            .cast("bigint")
+            .alias("hops"),
+        )
+        .repartition(n_parts, "node")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        relax = (
+            edges.join(dist, edges.src == dist.node, "inner")
+            .select(F.col("dst").alias("n2"), (F.col("hops") + 1).alias("h"))
+            .repartition(n_parts, "n2")
+            .groupBy("n2")
+            .agg(F.min("h").alias("relaxed"))
+        )
+        dist = (
+            dist.join(relax, dist.node == F.col("n2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("hops"),
+                    F.coalesce(F.col("relaxed"), F.col("hops")),
+                ).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    return dist
+
+
+def bfs_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled DuckDB twin of :func:`bfs_hops` over the co-purchase
+    edge list, aggregated to a per-hop histogram."""
+    cte = [
+        """edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+)""",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        f"""d0 AS (
+  SELECT node,
+         CASE WHEN node = (SELECT MIN(node) FROM nodes)
+              THEN 0 ELSE {BFS_INF} END AS hops
+  FROM nodes
+)""",
+    ]
+    for i in range(rounds):
+        cte.append(
+            f"""d{i + 1} AS (
+  SELECT d.node,
+         LEAST(d.hops, COALESCE(m.relaxed, d.hops)) AS hops
+  FROM d{i} d
+  LEFT JOIN (
+    SELECT e.dst AS node, MIN(d.hops) + 1 AS relaxed
+    FROM edges e JOIN d{i} d ON e.src = d.node
+    GROUP BY e.dst
+  ) m ON d.node = m.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"""
+SELECT CAST(hops AS BIGINT) AS hops,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(node) AS BIGINT) AS min_node,
+       CAST(MAX(node) AS BIGINT) AS max_node
+FROM d{rounds}
+WHERE hops < {BFS_INF}
+GROUP BY hops
+"""
+    )

@@ -85,3 +85,76 @@ def sample_per_group(
     return staged.withColumn("sample_rank", F.row_number().over(w)).where(
         F.col("sample_rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling, A-Res form (Efraimidis-Spirakis, IPL 2006)
+# ---------------------------------------------------------------------------
+
+#: A-Res key scale: keys are rounded IN DECIMAL at this many places so
+#: the cross-engine ordering is decided on identical decimal values
+#: (ln() is not formally correctly-rounded everywhere; a disagreement
+#: would need a key within ~1e-16 of a 1e-12 rounding tie — the same
+#: accepted class as corpus_drift_psi, documented there).
+ARES_KEY_SCALE = 12
+
+_ARES_KEY_EXPR = (
+    "CAST(round(CAST(ln(CAST(_u AS DOUBLE) / {mod}) / _w"
+    " AS DECIMAL(38,18)), {scale}) AS DECIMAL(38,{scale}))"
+)
+
+
+def ares_sample_per_group(
+    df: DataFrame, group: str, id_col: str, weight: str, k: int
+) -> DataFrame:
+    """Top-k per group by the A-Res key ln(u)/w (monotone twin of the
+    textbook u^(1/w) — same ordering, better conditioning), u derived
+    from the deterministic row hash. The Duffield priority sample above
+    favors heavy rows MORE aggressively (inclusion ~ min(1, w/tau));
+    A-Res is the exact weighted-without-replacement distribution
+    (inclusion of round 1 ~ w_i / sum w) — keeping both as twins lets a
+    training-mix builder choose the bias it wants. Weights clamp to
+    [1, WEIGHT_CAP]: zero/NULL weights still draw (weight floor 1), and
+    the key stays finite. Deterministic tie-break on the id."""
+    staged = (
+        df.withColumn("_u", uniform_hash(F.col(id_col)))
+        .withColumn(
+            "_w",
+            F.least(
+                F.greatest(
+                    F.coalesce(F.col(weight).cast("bigint"), F.lit(1)),
+                    F.lit(1),
+                ),
+                F.lit(WEIGHT_CAP),
+            ),
+        )
+        .withColumn(
+            "ares_key",
+            F.expr(
+                _ARES_KEY_EXPR.format(mod=MOD, scale=ARES_KEY_SCALE)
+            ),
+        )
+        .drop("_u", "_w")
+    )
+    w = Window.partitionBy(group).orderBy(
+        F.desc("ares_key"), F.asc(id_col)
+    )
+    return (
+        staged.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .drop("ares_key")
+    )
+
+
+def ares_key_sql(id_col: str, weight: str) -> str:
+    """DuckDB twin of the A-Res key (same hash, clamp, decimal round)."""
+    u = uniform_hash_sql(id_col)
+    w = (
+        f"LEAST(GREATEST(COALESCE(CAST({weight} AS BIGINT), 1), 1),"
+        f" {WEIGHT_CAP})"
+    )
+    return (
+        f"CAST(round(CAST(ln(CAST({u} AS DOUBLE) / {MOD}) / {w}"
+        f" AS DECIMAL(38,18)), {ARES_KEY_SCALE})"
+        f" AS DECIMAL(38,{ARES_KEY_SCALE}))"
+    )

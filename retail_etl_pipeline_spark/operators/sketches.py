@@ -109,3 +109,52 @@ def cms_cells_sql(expr_col: str, src: str, keep: tuple[str, ...] = ()) -> str:
         f"  SELECT {prefix}{j} AS j, {_cell_sql(fp, j)} AS cell FROM {src}"
         for j in range(CMS_DEPTH)
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL (Apache DataSketches) distinct-count rollups via Spark's built-in
+# hll_sketch_agg / hll_union_agg (SPARK-16484, Spark 3.5+)
+# ---------------------------------------------------------------------------
+
+#: lgConfigK for the HLL rollup queries. The DataSketches HLL sketch
+#: stays in its exact coupon (LIST/SET) mode until ~0.75 * 2^(lgK-3)
+#: distinct values — 6144 at lgK=16 — so every group in the fixture
+#: correctness scales (max ~640 customers/nation, ~3000/region at
+#: sf0.1) reads back the EXACT distinct count, which is what lets these
+#: queries keep a plain COUNT(DISTINCT) DuckDB oracle instead of a
+#: weaker rows-only check. Above the coupon regime the estimate is
+#: approximate (±~1.6% at lgK=16) — at real corpus scale swap the
+#: oracle expectation, not the plan.
+HLL_LGK = 16
+
+
+def hll_distinct(df: DataFrame, group: str, col: str) -> DataFrame:
+    """(group, approx_distinct) via one HLL sketch per group."""
+    return df.groupBy(group).agg(
+        F.expr(
+            f"hll_sketch_estimate(hll_sketch_agg({col}, {HLL_LGK}))"
+        ).alias("approx_distinct")
+    )
+
+
+def hll_sketch_per_group(df: DataFrame, group: str, col: str) -> DataFrame:
+    """(group, sk binary) — the mergeable partial. This is the layer a
+    100 TB rollup stores: per-partition/per-day sketches are bytes, and
+    any coarser grain is hll_union_agg over them with NO re-scan of the
+    raw data (same mergeable-partials algebra as the linear-counting
+    and CMS rollups above)."""
+    return df.groupBy(group).agg(
+        F.expr(f"hll_sketch_agg({col}, {HLL_LGK})").alias("sk")
+    )
+
+
+def hll_merge_estimate(
+    sketches: DataFrame, group: str
+) -> DataFrame:
+    """(group, approx_distinct) by merging previously-built sketches —
+    allowDifferentLgConfigK=false: partials are all HLL_LGK."""
+    return sketches.groupBy(group).agg(
+        F.expr(
+            "hll_sketch_estimate(hll_union_agg(sk, false))"
+        ).alias("approx_distinct")
+    )

@@ -6513,3 +6513,196 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bins"),
         F.sum("c").cast("double").alias("psi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: HLL mergeable distinct rollups, TPC-H Q12 shape,
+# A-Res weighted sampling, bounded BFS, correlated scalar subqueries
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "nation_customer_hll",
+    """
+SELECT CAST(c_nationkey AS INTEGER) AS c_nationkey,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS approx_distinct
+FROM customer
+GROUP BY c_nationkey
+""",
+)
+def nation_customer_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation distinct customers via Apache DataSketches HLL
+    (hll_sketch_agg + hll_sketch_estimate). At fixture scale every group
+    sits inside the sketch's exact coupon regime (sketches.HLL_LGK
+    docstring), so the oracle is the plain COUNT(DISTINCT) — the
+    estimate must EQUAL it. The point of the operator is the 100 TB
+    shape: distinct-count state per group is a bounded sketch, not a
+    hash set of raw ids."""
+    c = fx._read(spark, sf_dir, "customer")
+    return sk.hll_distinct(c, "c_nationkey", "c_custkey")
+
+
+@_register(
+    "region_customer_hll_merge",
+    """
+SELECT CAST(n.n_regionkey AS INTEGER) AS n_regionkey,
+       CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS approx_distinct
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_regionkey
+""",
+)
+def region_customer_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region-level distinct customers by MERGING the per-nation HLL
+    sketches (hll_union_agg) — never re-touching the raw customer rows.
+    This is the mergeable-partials algebra that makes a 100 TB
+    distinct-count rollup incremental: store per-day/per-shard sketches
+    (bytes each), union upward on demand; same family as
+    incremental_weekly_rollup and monthly_distinct_customers_lc. The
+    broadcast nation dim assigns regions to the 25 sketch rows."""
+    c = fx._read(spark, sf_dir, "customer")
+    n = fx._read(spark, sf_dir, "nation")
+    partials = sk.hll_sketch_per_group(c, "c_nationkey", "c_custkey")
+    tagged = partials.join(
+        F.broadcast(n.select("n_nationkey", "n_regionkey")),
+        partials.c_nationkey == F.col("n_nationkey"),
+    )
+    return sk.hll_merge_estimate(tagged, "n_regionkey")
+
+
+@_register(
+    "lineitem_q12_linestatus",
+    """
+SELECT l_linestatus AS shipmode_proxy,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE)
+      + INTERVAL 90 DAY
+  AND CAST(l_shipdate AS DATE) >= DATE '1994-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1995-01-01'
+GROUP BY l_linestatus
+""",
+)
+def lineitem_q12_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted to the fixture schema (no l_shipmode /
+    l_receiptdate — DEVNOTES queue: linestatus is the mode proxy, and
+    "late" is shipped >90 days after order date): per-mode counts of
+    critical- vs normal-priority lineitems shipped late in 1994. The
+    priority CASE is evaluated from the broadcast-joined orders side;
+    the date filters prune at the lineitem scan."""
+    o = fx._read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("odate")
+    )
+    l = fx._read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", F.to_date("l_shipdate").alias("sdate")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.where(
+            (F.col("sdate") >= F.lit("1994-01-01").cast("date"))
+            & (F.col("sdate") < F.lit("1995-01-01").cast("date"))
+        )
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .where(F.col("sdate") > F.date_add(F.col("odate"), 90))
+        .groupBy(F.col("l_linestatus").alias("shipmode_proxy"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "documents_weighted_sample_ares",
+    f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {sp.ares_key_sql("doc_id", "n_chars")} DESC, doc_id ASC
+         ) AS INTEGER) AS sample_rank
+  FROM documents
+)
+SELECT source, doc_id, sample_rank FROM ranked WHERE sample_rank <= 3
+""",
+)
+def documents_weighted_sample_ares(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Length-weighted 3-per-source sample in the A-Res (reservoir)
+    distribution — the exact weighted-without-replacement twin of the
+    Duffield priority sample in documents_weighted_sample (see
+    operators/sampling.ares_sample_per_group for when each bias is the
+    right one). Deterministic: same hash-uniform, key rounded in
+    decimal, id tie-break."""
+    d = fx._read(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return sp.ares_sample_per_group(
+        d, "source", "doc_id", "n_chars", k=3
+    ).select("source", "doc_id", "sample_rank")
+
+
+@_register("copurchase_bfs_hops", gph.bfs_oracle_sql(rounds=4))
+def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS over the part co-purchase graph: per-hop node
+    histogram within 4 hops of the smallest part key. The third
+    iterative-graph primitive next to PageRank (value iteration) and
+    min-label propagation (component flood) — min-plus relaxation with
+    a sentinel for unreached nodes, exactly unrolled in the oracle."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    dist = gph.bfs_hops(gph.copurchase_edges(li), rounds=4)
+    return (
+        dist.where(F.col("hops") < gph.BFS_INF)
+        .groupBy("hops")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+    )
+
+
+@_register(
+    "customer_above_nation_avg",
+    """
+SELECT CAST(c.c_nationkey AS INTEGER) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_above
+FROM customer c
+WHERE CAST(c.c_acctbal AS DECIMAL(30,6))
+      * (SELECT COUNT(*) FROM customer c2
+         WHERE c2.c_nationkey = c.c_nationkey)
+      > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(30,6))) FROM customer c2
+         WHERE c2.c_nationkey = c.c_nationkey)
+GROUP BY c.c_nationkey
+""",
+)
+def customer_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above their own nation's average balance, written as
+    CORRELATED scalar subqueries (the classic decorrelation shape:
+    Catalyst rewrites both subqueries into one aggregate + join — no
+    per-row re-execution). The comparison is cross-engine exact:
+    ``bal * n > sum`` in decimal instead of ``bal > avg`` in double
+    (double averages diverge by accumulation order at ties)."""
+    fx._read(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+SELECT CAST(c.c_nationkey AS INT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_above
+FROM customer c
+WHERE CAST(c.c_acctbal AS DECIMAL(30,6))
+      * (SELECT COUNT(*) FROM customer c2
+         WHERE c2.c_nationkey = c.c_nationkey)
+      > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(30,6))) FROM customer c2
+         WHERE c2.c_nationkey = c.c_nationkey)
+GROUP BY c.c_nationkey
+"""
+    )

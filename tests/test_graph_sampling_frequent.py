@@ -392,3 +392,78 @@ def test_min_label_propagation_keeps_dst_only_nodes(spark):
     edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
     out = {r["node"]: r["label"] for r in gph.min_label_propagation(edges, 2).collect()}
     assert out == {1: 1, 2: 1}
+
+
+def test_bfs_hops_toy_graph(spark):
+    """Hand-checkable BFS: path 1-2-3-4 plus a branch 2-5 and an
+    unreachable island {10, 11}. Seed = min node = 1; rounds=4 covers
+    the diameter; island nodes must keep the sentinel."""
+    from retail_etl_pipeline_spark.operators.graph import BFS_INF, bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (2, 5), (5, 2),
+         (10, 11), (11, 10)],
+        "src bigint, dst bigint",
+    )
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, rounds=4).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 2, 10: BFS_INF, 11: BFS_INF}
+
+
+def test_bfs_bounded_rounds_leaves_far_nodes_unreached(spark):
+    """At rounds=1 only direct neighbors of the seed resolve — the
+    bounded form is a deterministic partial state, not an error."""
+    from retail_etl_pipeline_spark.operators.graph import BFS_INF, bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src bigint, dst bigint"
+    )
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, rounds=1).collect()}
+    assert got == {1: 0, 2: 1, 3: BFS_INF}
+
+
+def test_ares_sample_weight_monotone_inclusion(spark):
+    """A-Res keys: a hugely heavier row should (overwhelmingly) rank
+    ahead of uniform-weight rows; with k = n all rows survive and ranks
+    are a permutation of 1..n per group."""
+    from retail_etl_pipeline_spark.operators.sampling import (
+        ares_sample_per_group,
+    )
+
+    rows = [(i, "g", 1 if i != 7 else 10_000_000) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, w bigint")
+    top3 = ares_sample_per_group(df, "source", "doc_id", "w", k=3).collect()
+    assert 7 in {r["doc_id"] for r in top3}
+    allr = ares_sample_per_group(df, "source", "doc_id", "w", k=20).collect()
+    assert sorted(r["sample_rank"] for r in allr) == list(range(1, 21))
+
+
+def test_hll_merge_equals_direct_estimate(spark):
+    """Mergeability invariant: union of per-nation sketches must give
+    the same estimate as sketching each region's customers directly —
+    the property that makes the rollup incremental at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from retail_etl_pipeline_spark.operators import fixtures_adapter as fx
+    from retail_etl_pipeline_spark.operators.sketches import (
+        hll_distinct,
+        hll_merge_estimate,
+        hll_sketch_per_group,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    c = fx._read(spark, sf, "customer")
+    n = fx._read(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    merged = hll_merge_estimate(
+        hll_sketch_per_group(c, "c_nationkey", "c_custkey").join(
+            F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+        ),
+        "n_regionkey",
+    )
+    direct = hll_distinct(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey),
+        "n_regionkey",
+        "c_custkey",
+    )
+    m = {r[0]: r[1] for r in merged.collect()}
+    d = {r[0]: r[1] for r in direct.collect()}
+    assert m == d and len(m) == 5
