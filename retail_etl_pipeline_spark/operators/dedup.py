@@ -533,6 +533,17 @@ def _star_contraction(
         n_edges = new_cnt
         if stable:
             break
+    else:
+        # max_iters exhausted WITHOUT the exact stability check firing:
+        # a non-converged edge set is not star-shaped, so the
+        # groupBy(u).min(v) below would label nodes with an intermediate
+        # (non-root) id and silently SPLIT components. Fail loudly —
+        # a wrong partition of the corpus is worse than a crash.
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iters} rounds "
+            f"({n_edges} edges remain unstable); raise max_iters — "
+            "O(log^2 n) rounds suffice for any connected structure"
+        )
     # converged: edges form stars (non-min node -> its component min);
     # nodes with no surviving edge (isolated after self-pair filtering)
     # are their own component

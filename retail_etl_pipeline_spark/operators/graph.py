@@ -297,59 +297,69 @@ BFS_INF = 10**15
 
 def bfs_hops(edges: DataFrame, rounds: int = 4) -> DataFrame:
     """Min-hop distance from the smallest node id, bounded at ``rounds``
-    hops: d_0(seed) = 0; d_{t+1}(v) = min(d_t(v), 1 + min over
-    in-neighbors d_t(u)). Pure min-plus algebra — deterministic at ANY
-    fixed round count (unreached nodes keep the BFS_INF sentinel), which
-    is what makes the bounded form oracle-checkable without convergence
-    detection; run with rounds >= diameter for exact single-source hop
-    distances. Returns (node, hops).
+    hops, as *frontier-delta* level-synchronous BFS: in an unweighted
+    graph a node's FIRST reach is its final distance, so round t only
+    relaxes edges out of the nodes first reached at round t-1 (the
+    frontier) — frontier x degree work per round, not rounds x |E| as
+    the old full-table min-plus relaxation did. Result is identical
+    (d(v) = smallest t with v reachable in t hops; unreached nodes keep
+    the BFS_INF sentinel), so the unrolled min-plus oracle below is
+    unchanged. Returns (node, hops).
 
-    Same loop discipline as min_label_propagation above: graph-sized
-    partitioning and a localCheckpoint per round (the distance relation
-    is read twice per round — neighbor-relax and keep-own)."""
+    Scale shape per round: one join of the (small) frontier against the
+    src-partitioned persisted edge relation — AQE broadcasts the
+    frontier while it is tiny, and a planet-sized frontier falls back
+    to a shuffle of frontier-many rows against edges' existing
+    partitioning — then a frontier-sized distinct and an anti-join
+    against the (bounded, union-of-checkpointed-frontiers) reached set.
+    ONE localCheckpoint per round, on the frontier delta only; the
+    loop short-circuits when the frontier empties, so rounds beyond the
+    graph's eccentricity cost nothing."""
     n_parts = _loop_partitions(edges)
     edges = edges.repartition(n_parts, "src").persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-    )
-    # the seed is derived relationally (one bounded row, broadcast) —
-    # no driver round-trip, so the whole plan stays lazy/composable
-    seed = nodes.agg(F.min("node").alias("_seed"))
-    dist = (
-        nodes.crossJoin(F.broadcast(seed))
-        .select(
-            "node",
-            F.when(F.col("node") == F.col("_seed"), F.lit(0))
-            .otherwise(F.lit(BFS_INF))
-            .cast("bigint")
-            .alias("hops"),
-        )
         .repartition(n_parts, "node")
         .localCheckpoint(eager=True)
     )
-    for _ in range(rounds):
-        relax = (
-            edges.join(dist, edges.src == dist.node, "inner")
-            .select(F.col("dst").alias("n2"), (F.col("hops") + 1).alias("h"))
-            .repartition(n_parts, "n2")
-            .groupBy("n2")
-            .agg(F.min("h").alias("relaxed"))
-        )
-        dist = (
-            dist.join(relax, dist.node == F.col("n2"), "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("hops"),
-                    F.coalesce(F.col("relaxed"), F.col("hops")),
-                ).alias("hops"),
+    # the seed is derived relationally (one bounded agg row) — no
+    # driver round-trip; the 1-row aggregate IS the initial frontier
+    frontier = (
+        nodes.agg(F.min("node").alias("node"))
+        .select("node", F.lit(0).cast("bigint").alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    reached = [frontier]
+    for t in range(1, rounds + 1):
+        seen = reached[0]
+        for part in reached[1:]:
+            seen = seen.unionByName(part)
+        frontier = (
+            edges.join(
+                frontier.select(F.col("node").alias("src")), "src"
             )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(seen.select("node"), "node", "left_anti")
+            .select("node", F.lit(t).cast("bigint").alias("hops"))
+            .repartition(n_parts, "node")
             .localCheckpoint(eager=True)
         )
+        # checkpoint already materialized the delta; take(1) on the
+        # cached blocks is the cheap emptiness probe for short-circuit
+        if not frontier.take(1):
+            break
+        reached.append(frontier)
     edges.unpersist()
-    return dist
+    dist = reached[0]
+    for part in reached[1:]:
+        dist = dist.unionByName(part)
+    unreached = nodes.join(
+        dist.select("node"), "node", "left_anti"
+    ).select("node", F.lit(BFS_INF).cast("bigint").alias("hops"))
+    return dist.unionByName(unreached)
 
 
 def bfs_oracle_sql(rounds: int = 4) -> str:
@@ -361,7 +371,11 @@ def bfs_oracle_sql(rounds: int = 4) -> str:
   FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
   WHERE a.l_partkey <> b.l_partkey
 )""",
-        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        # src UNION dst, matching bfs_hops — they only coincide on a
+        # src-only node set when the edge list is symmetric, and this
+        # oracle must not depend on that precondition
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
         f"""d0 AS (
   SELECT node,
          CASE WHEN node = (SELECT MIN(node) FROM nodes)

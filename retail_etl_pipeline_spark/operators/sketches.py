@@ -120,11 +120,15 @@ def cms_cells_sql(expr_col: str, src: str, keep: tuple[str, ...] = ()) -> str:
 #: stays in its exact coupon (LIST/SET) mode until ~0.75 * 2^(lgK-3)
 #: distinct values — 6144 at lgK=16 — so every group in the fixture
 #: correctness scales (max ~640 customers/nation, ~3000/region at
-#: sf0.1) reads back the EXACT distinct count, which is what lets these
-#: queries keep a plain COUNT(DISTINCT) DuckDB oracle instead of a
-#: weaker rows-only check. Above the coupon regime the estimate is
-#: approximate (±~1.6% at lgK=16) — at real corpus scale swap the
-#: oracle expectation, not the plan.
+#: sf0.1) reads back the distinct count EXACTLY FOR THIS FIXTURE'S KEY
+#: SET, which is what lets these queries keep a plain COUNT(DISTINCT)
+#: DuckDB oracle instead of a weaker rows-only check. Caveat: coupons
+#: are finite-width hash fragments, so two distinct keys CAN collide
+#: (probability ~n^2/2^26 — a few percent at ~3k distinct); the
+#: fixture's keys happen not to, verified by the green oracle rows.
+#: A new fixture or scale may produce an off-by-one red row — widen the
+#: oracle to a ±tolerance compare then, not the plan. Above the coupon
+#: regime the estimate is approximate (±~1.6% at lgK=16).
 HLL_LGK = 16
 
 

@@ -6582,8 +6582,8 @@ FROM orders
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE)
       + INTERVAL 90 DAY
-  AND CAST(l_shipdate AS DATE) >= DATE '1994-01-01'
-  AND CAST(l_shipdate AS DATE) < DATE '1995-01-01'
+  AND CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
 GROUP BY l_linestatus
 """,
 )
@@ -6591,7 +6591,8 @@ def lineitem_q12_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 adapted to the fixture schema (no l_shipmode /
     l_receiptdate — DEVNOTES queue: linestatus is the mode proxy, and
     "late" is shipped >90 days after order date): per-mode counts of
-    critical- vs normal-priority lineitems shipped late in 1994. The
+    critical- vs normal-priority lineitems shipped late in 1995
+    (the fixture's shipdates start 1995-01-02). The
     priority CASE is evaluated from the broadcast-joined orders side;
     the date filters prune at the lineitem scan."""
     o = fx._read(spark, sf_dir, "orders").select(
@@ -6603,8 +6604,8 @@ def lineitem_q12_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         l.where(
-            (F.col("sdate") >= F.lit("1994-01-01").cast("date"))
-            & (F.col("sdate") < F.lit("1995-01-01").cast("date"))
+            (F.col("sdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("sdate") < F.lit("1996-01-01").cast("date"))
         )
         .join(o, l.l_orderkey == o.o_orderkey)
         .where(F.col("sdate") > F.date_add(F.col("odate"), 90))

@@ -3,6 +3,7 @@ end-to-end run over retail-shaped CSVs, alert callback, idempotent re-run."""
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 
@@ -454,4 +455,8 @@ def test_run_pipeline_expectations_rollback(spark, retail_csvs):
     )
     assert res3.ran is False
     assert spark.read.parquet(out).count() == n_good
-    assert not os.path.isdir(out + ".__staging__")
+    # the staging root is per-run-date since the pipeline.py rename —
+    # assert on the REAL name (and that no staging glob survives at
+    # all), not the legacy suffix, or the check is vacuously true
+    assert not os.path.isdir(out + f".__staging__-{RUN_DATE}")
+    assert not glob.glob(out + ".__staging__*")
