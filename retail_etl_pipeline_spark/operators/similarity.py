@@ -304,6 +304,92 @@ LIMIT {k}
 """
 
 
+def ann_lsh_topk_multiprobe(
+    emb: DataFrame, query_id: int = 0, k: int = TOP_K
+) -> DataFrame:
+    """Multi-probe LSH ANN: probe the query's bucket AND every bucket at
+    Hamming distance 1 (flip each plane bit once) — the standard recall
+    knob for sign-LSH. A vector whose true neighbors straddle one
+    hyperplane lands one bit away; probing the 1+LSH_PLANES neighbor
+    buckets recovers exactly those misses, so recall@k >= the
+    single-probe ``ann_lsh_topk`` by construction (candidate superset),
+    at (1+bits)/2^bits of the corpus scanned instead of 1/2^bits.
+
+    Plan shape: the probe set is derived from the ONE query row (explode
+    of a (1+bits)-element xor array — stays relational, no driver
+    round-trip) and broadcast into an equi-join on bucket id, so the
+    scale story of the single-probe form is unchanged: an equi-lookup
+    of a handful of buckets, never a corpus scan."""
+    vecs = _vectors(emb)
+    with_bits = _with_buckets(vecs)
+    qb = with_bits.where(F.col("vec_id") == query_id).select(
+        F.col("bucket").alias("qbucket"), F.col("v").alias("qv")
+    )
+    probes = qb.select(
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(LSH_PLANES)
+                ],
+            )
+        ).alias("bucket"),
+        "qv",
+    )
+    return (
+        with_bits.where(F.col("vec_id") != query_id)
+        .join(F.broadcast(probes), "bucket")
+        .select(
+            "vec_id",
+            "label",
+            _round6(cosine(F.col("v"), F.col("qv"))).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_lsh_topk_multiprobe_sql(query_id: int = 0, k: int = TOP_K) -> str:
+    plane_list = ", ".join(str(p) for p in PLANE_IDS)
+    flip_list = ", ".join(
+        f"({1 << i})" for i in range(LSH_PLANES)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, {_VEC_SQL.format(e='embedding')} AS v FROM embeddings
+),
+planes AS (
+  SELECT vec_id AS plane_id, v AS pv FROM e WHERE vec_id IN ({plane_list})
+),
+buckets AS (
+  SELECT e.vec_id,
+         e.label,
+         ANY_VALUE(e.v) AS v,
+         CAST(SUM(
+           (CASE WHEN {_DOT_SQL.format(a='e.v', b='pv')} > 0 THEN 1 ELSE 0 END)
+           << (plane_id - {min(PLANE_IDS)})
+         ) AS BIGINT) AS bucket
+  FROM e, planes
+  GROUP BY e.vec_id, e.label
+),
+q AS (
+  SELECT bucket AS qbucket, v AS qv FROM buckets WHERE vec_id = {query_id}
+),
+probes AS (
+  SELECT xor(qbucket, CAST(flip AS BIGINT)) AS bucket, qv
+  FROM q, (VALUES (0), {flip_list}) AS flips(flip)
+)
+SELECT b.vec_id,
+       b.label,
+       {_ROUND6_SQL.format(x=_COS_SQL.format(a='b.v', b='qv'))} AS cosine
+FROM buckets b JOIN probes p ON b.bucket = p.bucket
+WHERE b.vec_id != {query_id}
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
 def embedding_neardup(
     emb: DataFrame, max_docs: int = NEARDUP_SAMPLE_DOCS
 ) -> DataFrame:
@@ -539,6 +625,122 @@ SELECT vec_id,
        {_ROUND6_SQL.format(x=_COS_SQL.format(a='v', b='qv'))} AS cosine
 FROM cells, q
 WHERE vec_id != {query_id} AND cell = qcell
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+#: cells probed by the multi-probe IVF variant (top-m nearest centroids)
+IVF_NPROBE = 2
+
+
+def _seq_dot(a: list, b: list) -> float:
+    """Strict sequential left-to-right double dot product — the exact
+    accumulation order of both Spark's interpreted ``aggregate`` fold
+    (see :func:`dot`) and DuckDB's list_dot_product, so a driver-side
+    centroid ranking computed with it agrees bit-for-bit with the
+    relational cell assignment on either engine."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s = s + float(x) * float(y)
+    return s
+
+
+def ann_ivf_topk_multiprobe(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = TOP_K,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Multi-probe IVF ANN: rerank inside the ``nprobe`` centroid cells
+    NEAREST the query instead of only its own cell — the standard IVF
+    recall knob (a query near a cell boundary has true neighbors in the
+    runner-up cell; nprobe=2 recovers exactly those). Candidates are a
+    superset of ``ann_ivf_topk``'s, so recall@k can only improve, at
+    ~nprobe/len(CENTROID_IDS) of the corpus scanned.
+
+    The probe-cell list is resolved driver-side from bounded constants
+    (the 8 centroid vectors + the 1 query row — same footprint as the
+    single-probe ``first()``), ranked by the identical sequential-dot
+    cosine the relational cell assignment uses, then inlined as an IN
+    filter: the corpus-side plan stays a partition-prunable filter +
+    one scan of the probed cells, no joins added."""
+    import math
+
+    vecs = _vectors(emb)
+    cells = _with_cells(vecs)
+    cent_rows = (
+        vecs.where(F.col("vec_id").isin(*CENTROID_IDS))
+        .select("vec_id", "v")
+        .collect()
+    )
+    qrow = vecs.where(F.col("vec_id") == query_id).select("v").first()
+    qv_list = [float(x) for x in qrow["v"]]
+    qnorm = math.sqrt(_seq_dot(qv_list, qv_list))
+    ranked = sorted(
+        (
+            (
+                -(
+                    _seq_dot(qv_list, list(r["v"]))
+                    / qnorm
+                    / math.sqrt(_seq_dot(list(r["v"]), list(r["v"])))
+                ),
+                int(r["vec_id"]),
+            )
+            for r in cent_rows
+        )
+    )
+    probe_cells = [cid for _, cid in ranked[:nprobe]]
+    qv = F.array(*[F.lit(x) for x in qv_list])
+    return (
+        cells.where(
+            (F.col("vec_id") != query_id)
+            & (F.col("cell").isin(*probe_cells))
+        )
+        .select(
+            "vec_id",
+            "label",
+            _round6(cosine(F.col("v"), qv)).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_ivf_topk_multiprobe_sql(
+    query_id: int = 0, k: int = TOP_K, nprobe: int = IVF_NPROBE
+) -> str:
+    cid_list = ", ".join(str(c) for c in CENTROID_IDS)
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, {_VEC_SQL.format(e='embedding')} AS v FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN ({cid_list})
+),
+scored AS (
+  SELECT e.vec_id, e.label, e.v, cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id ORDER BY
+             {_DOT_SQL.format(a='e.v', b='cv')}
+               / sqrt({_DOT_SQL.format(a='e.v', b='e.v')})
+               / sqrt({_DOT_SQL.format(a='cv', b='cv')}) DESC,
+             cid ASC
+         ) AS rn
+  FROM e, cents
+),
+cells AS (
+  SELECT vec_id, label, v, cid AS cell FROM scored WHERE rn = 1
+),
+qcells AS (
+  SELECT cid AS cell FROM scored WHERE vec_id = {query_id} AND rn <= {nprobe}
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_id})
+SELECT c.vec_id,
+       c.label,
+       {_ROUND6_SQL.format(x=_COS_SQL.format(a='c.v', b='qv'))} AS cosine
+FROM cells c JOIN qcells USING (cell), q
+WHERE c.vec_id != {query_id}
 ORDER BY cosine DESC, vec_id ASC
 LIMIT {k}
 """

@@ -614,6 +614,23 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_lsh_topk(fx._read(spark, sf_dir, "embeddings"))
 
 
+@_register("ann_lsh_topk_multiprobe", sim.ann_lsh_topk_multiprobe_sql())
+def ann_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: query bucket + all Hamming-1 neighbor
+    buckets (flip each hyperplane bit once), exact rerank over the
+    union — the recall knob on ann_lsh_topk (candidate superset, so
+    recall@k >= single-probe; pinned by test_similarity recall test)."""
+    return sim.ann_lsh_topk_multiprobe(fx._read(spark, sf_dir, "embeddings"))
+
+
+@_register("ann_ivf_topk_multiprobe", sim.ann_ivf_topk_multiprobe_sql())
+def ann_ivf_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN: rerank inside the nprobe=2 nearest centroid
+    cells (boundary queries keep their runner-up cell's neighbors) —
+    the recall knob on ann_ivf_topk."""
+    return sim.ann_ivf_topk_multiprobe(fx._read(spark, sf_dir, "embeddings"))
+
+
 @_register("embedding_neardup", sim.EMBEDDING_NEARDUP_SQL)
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: brute-force baseline over a

@@ -1,0 +1,64 @@
+"""Recall guarantees of the multi-probe ANN variants (VERDICT r4 item 3).
+
+Multi-probe candidates are a strict superset of single-probe candidates
+(same bucket/cell plus neighbors), so recall@k against the exact
+brute-force top-k can only improve. These tests pin both the superset
+property and the recall ordering on the fixture corpus.
+"""
+
+from __future__ import annotations
+
+from retail_etl_pipeline_spark.operators import similarity as sim
+from retail_etl_pipeline_spark.operators import fixtures_adapter as fx
+
+
+def _ids(df) -> list[int]:
+    return [r["vec_id"] for r in df.collect()]
+
+
+def _recall(approx: list[int], exact: list[int]) -> float:
+    return len(set(approx) & set(exact)) / len(exact)
+
+
+def test_lsh_multiprobe_recall_geq_single_probe(spark, sf_dir):
+    emb = fx._read(spark, sf_dir, "embeddings")
+    exact = _ids(sim.cosine_topk(emb))
+    single = _recall(_ids(sim.ann_lsh_topk(emb)), exact)
+    multi = _recall(_ids(sim.ann_lsh_topk_multiprobe(emb)), exact)
+    assert multi >= single
+    # the probe union must cover the query's own bucket: every
+    # single-probe RESULT that survives the larger candidate pool's
+    # top-k cut at a better-or-equal cosine is reachable — at minimum
+    # the multiprobe candidate set contains the single-probe one
+    assert multi > 0 or single == 0
+
+
+def test_ivf_multiprobe_recall_geq_single_probe(spark, sf_dir):
+    emb = fx._read(spark, sf_dir, "embeddings")
+    exact = _ids(sim.cosine_topk(emb))
+    single = _recall(_ids(sim.ann_ivf_topk(emb)), exact)
+    multi = _recall(_ids(sim.ann_ivf_topk_multiprobe(emb)), exact)
+    assert multi >= single
+
+
+def test_lsh_multiprobe_candidates_superset(spark, sf_dir):
+    """Structural form of the recall claim: with k = corpus size the
+    top-k cut is a no-op, so the result sets ARE the candidate sets and
+    the superset relation is testable directly."""
+    emb = fx._read(spark, sf_dir, "embeddings")
+    n = emb.count()
+    single = set(_ids(sim.ann_lsh_topk(emb, k=n)))
+    multi = set(_ids(sim.ann_lsh_topk_multiprobe(emb, k=n)))
+    assert single <= multi
+    # Hamming-1 flips add at least the 4 adjacent buckets' vectors on
+    # this fixture (non-degenerate corpus)
+    assert len(multi) > len(single)
+
+
+def test_ivf_multiprobe_candidates_superset(spark, sf_dir):
+    emb = fx._read(spark, sf_dir, "embeddings")
+    n = emb.count()
+    single = set(_ids(sim.ann_ivf_topk(emb, k=n)))
+    multi = set(_ids(sim.ann_ivf_topk_multiprobe(emb, k=n)))
+    assert single <= multi
+    assert len(multi) > len(single)
