@@ -6532,6 +6532,103 @@ def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# KL / JS divergence twins of corpus_drift_psi (VERDICT r4 item 5) — same
+# bins, same add-1 smoothing, same decimal-rounded per-bin-contribution
+# trick; the shared expression fragments below are evaluated verbatim by
+# BOTH engines so the double arithmetic shape is identical. The ln() ulp
+# caveat is documented ONCE on corpus_drift_psi and applies here equally.
+_DRIFT_PA = "(CAST(na AS DOUBLE) / ta)"
+_DRIFT_PB = "(CAST(nb AS DOUBLE) / tb)"
+_DRIFT_PM = f"(({_DRIFT_PA} + {_DRIFT_PB}) / 2)"
+_DRIFT_KL_AB = f"{_DRIFT_PA} * ln({_DRIFT_PA} / {_DRIFT_PB})"
+_DRIFT_KL_BA = f"{_DRIFT_PB} * ln({_DRIFT_PB} / {_DRIFT_PA})"
+# integer /2 (not a 0.5 literal — decimal literal typing differs between
+# engines) keeps the halving in pure double arithmetic on both sides
+_DRIFT_JS = (
+    f"({_DRIFT_PA} * ln({_DRIFT_PA} / {_DRIFT_PM})"
+    f" + {_DRIFT_PB} * ln({_DRIFT_PB} / {_DRIFT_PM})) / 2"
+)
+
+
+def _drift6(x: str) -> str:
+    """Decimal-rounded per-bin contribution (see corpus_drift_psi)."""
+    return f"CAST(round(CAST({x} AS DECIMAL(38,12)), 6) AS DECIMAL(38,6))"
+
+
+@_register(
+    "corpus_drift_kl_js",
+    f"""
+WITH b AS (
+  SELECT doc_id % 2 = 0 AS cohort_a,
+         {_PSI_BUCKET_SQL} AS bucket
+  FROM documents
+),
+counts AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN cohort_a THEN 1 ELSE 0 END) + 1 AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN cohort_a THEN 0 ELSE 1 END) + 1 AS BIGINT) AS nb
+  FROM b GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb
+  FROM counts
+),
+contrib AS (
+  SELECT bucket,
+         {_drift6(_DRIFT_KL_AB)} AS c_ab,
+         {_drift6(_DRIFT_KL_BA)} AS c_ba,
+         {_drift6(_DRIFT_JS)} AS c_js
+  FROM counts, tot
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(c_ab) AS DOUBLE) AS kl_ab,
+       CAST(SUM(c_ba) AS DOUBLE) AS kl_ba,
+       CAST(SUM(c_js) AS DOUBLE) AS js
+FROM contrib
+""",
+)
+def corpus_drift_kl_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kullback-Leibler (both directions) and Jensen-Shannon divergence
+    between the two corpus cohorts over the same token-length bins as
+    corpus_drift_psi — the asymmetric and the bounded-symmetric members
+    of the drift-alarm family (PSI alarms on magnitude, KL on direction,
+    JS stays in [0, ln 2] for dashboards). Same engineering: exact
+    smoothed counts, per-bin contributions in engine-identical double
+    expressions rounded IN DECIMAL at 6 places, exact decimal total;
+    the ln() ulp caveat documented on corpus_drift_psi applies."""
+    d = fx._read(spark, sf_dir, "documents")
+    bucket = F.least(
+        (tx.token_count(F.col("text")) / 8).cast("bigint"),
+        F.lit(_PSI_BINS - 1),
+    )
+    b = d.select(
+        (F.col("doc_id") % 2 == 0).alias("cohort_a"), bucket.alias("bucket")
+    )
+    counts = b.groupBy("bucket").agg(
+        (F.sum(F.when(F.col("cohort_a"), 1).otherwise(0)) + 1)
+        .cast("bigint")
+        .alias("na"),
+        (F.sum(F.when(F.col("cohort_a"), 0).otherwise(1)) + 1)
+        .cast("bigint")
+        .alias("nb"),
+    )
+    tot = counts.agg(
+        F.sum("na").cast("bigint").alias("ta"),
+        F.sum("nb").cast("bigint").alias("tb"),
+    )
+    contrib = counts.crossJoin(F.broadcast(tot)).select(
+        F.expr(_drift6(_DRIFT_KL_AB)).alias("c_ab"),
+        F.expr(_drift6(_DRIFT_KL_BA)).alias("c_ba"),
+        F.expr(_drift6(_DRIFT_JS)).alias("c_js"),
+    )
+    return contrib.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("c_ab").cast("double").alias("kl_ab"),
+        F.sum("c_ba").cast("double").alias("kl_ba"),
+        F.sum("c_js").cast("double").alias("js"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-4 additions: HLL mergeable distinct rollups, TPC-H Q12 shape,
 # A-Res weighted sampling, bounded BFS, correlated scalar subqueries
@@ -6585,6 +6682,35 @@ def region_customer_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         partials.c_nationkey == F.col("n_nationkey"),
     )
     return sk.hll_merge_estimate(tagged, "n_regionkey")
+
+
+@_register(
+    "incremental_nation_hll_rollup",
+    """
+SELECT CAST(c_nationkey AS INTEGER) AS c_nationkey,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS approx_distinct
+FROM customer
+GROUP BY c_nationkey
+""",
+)
+def incremental_nation_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-union INCREMENTALITY proof — the actual reason to store
+    sketches: the customer fact is split into two disjoint 'runs'
+    (custkey parity = history vs today), each run builds its per-nation
+    HLL partials independently, and the runs are folded with
+    hll_union_agg — never re-touching run A's raw rows. Shares
+    nation_customer_hll's COUNT(DISTINCT) oracle, so the driver proves
+    merge(sketch(A), sketch(B)) == direct(A ∪ B) exactly (fixture
+    groups sit in the coupon regime; see sketches.HLL_LGK). The HLL
+    member of the incremental_weekly_rollup family; its streaming
+    foreachBatch twin is pinned in tests/test_streaming.py."""
+    c = fx._read(spark, sf_dir, "customer")
+    history = c.filter(F.col("c_custkey") % 2 == 0)
+    today = c.filter(F.col("c_custkey") % 2 == 1)
+    partials = sk.hll_sketch_per_group(
+        history, "c_nationkey", "c_custkey"
+    ).unionByName(sk.hll_sketch_per_group(today, "c_nationkey", "c_custkey"))
+    return sk.hll_merge_estimate(partials, "c_nationkey")
 
 
 @_register(
