@@ -6629,6 +6629,132 @@ def corpus_drift_kl_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Recursive CTE (WITH RECURSIVE, Spark 4.1 SPARK-24497): the SQL-surface
+# iteration primitive, run by BOTH engines from the SAME statement. The
+# demo recursion is an acyclic hierarchy walk (implicit binary tree over
+# part keys: parent(n) = n div 2, root 1 — the org-chart/BOM traversal
+# shape), which UNION ALL recursion handles exactly: every node has one
+# path from the root, so no row is ever produced twice and total work is
+# O(N) over ~log2(N) recursion levels. Cyclic-graph BFS/components stay
+# on the DataFrame-loop operators (operators/graph.py, dedup.py):
+# cycle-safe recursion needs UNION-distinct termination, which Spark 4.1
+# rejects (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) — with UNION ALL a
+# bounded walk over the dense co-purchase graph enumerates all paths
+# (degree^hops explosion), which no engine should run at scale.
+_PART_TREE_RECURSIVE_SQL = f"""
+WITH RECURSIVE tree(node, depth, price) AS (
+  SELECT p_partkey, 0, p_retailprice FROM part WHERE p_partkey = 1
+  UNION ALL
+  SELECT p.p_partkey, t.depth + 1, p.p_retailprice
+  FROM part p JOIN tree t ON CAST(FLOOR(p.p_partkey / 2) AS BIGINT) = t.node
+  WHERE p.p_partkey > 1
+)
+SELECT CAST(depth AS INTEGER) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(MIN(node) AS BIGINT) AS min_part,
+       CAST(MAX(node) AS BIGINT) AS max_part,
+       {MONEY_SUM_SQL.format(x="price")} AS total_price
+FROM tree
+GROUP BY depth
+"""
+
+
+@_register(
+    "nation_balance_dominance_cogrouped",
+    """
+WITH nk AS (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION
+  SELECT s_nationkey FROM supplier
+),
+pairs AS (
+  SELECT c.c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM customer c JOIN supplier s
+    ON c.c_nationkey = s.s_nationkey AND c.c_acctbal <= s.s_acctbal
+  GROUP BY c.c_nationkey
+),
+nc AS (
+  SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY c_nationkey
+),
+ns AS (
+  SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT CAST(nk.nationkey AS INTEGER) AS nationkey,
+       CAST(COALESCE(pairs.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_cust,
+       CAST(COALESCE(ns.n, 0) AS BIGINT) AS n_supp
+FROM nk
+LEFT JOIN pairs USING (nationkey)
+LEFT JOIN nc USING (nationkey)
+LEFT JOIN ns USING (nationkey)
+""",
+)
+def nation_balance_dominance_cogrouped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Co-grouped applyInPandas — the one Arrow exchange shape the
+    grouped-map/map-partitions operators don't cover: customers and
+    suppliers are grouped by nation INDEPENDENTLY and each nation's two
+    Arrow batches arrive together in one Python call (full-outer over
+    keys: a side absent from a nation arrives as an empty frame). The
+    kernel is the classic cogroup workload — per-key rank matching: how
+    many (customer, supplier) pairs have customer balance <= supplier
+    balance, via one sort + vectorized searchsorted per nation instead
+    of the |C|x|S| pair join the oracle spells out. Comparisons only
+    (no float arithmetic), so parity is exact.
+
+    Scale: parallelism unit = grouping key; each nation's two frames
+    must fit a worker's Arrow batch memory (same contract as every
+    grouped applyInPandas), and the sort+searchsorted kernel is
+    O((|C|+|S|) log |C|) per key vs the join's O(|C|x|S|) pairs."""
+    import numpy as np
+    import pandas as pd
+
+    c = fx._read(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_acctbal"
+    )
+    s = fx._read(spark, sf_dir, "supplier").select(
+        "s_nationkey", "s_acctbal"
+    )
+
+    def dominance(key, cdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
+        cb = np.sort(cdf["c_acctbal"].to_numpy(dtype="float64"))
+        sb = sdf["s_acctbal"].to_numpy(dtype="float64")
+        n_pairs = int(np.searchsorted(cb, sb, side="right").sum())
+        return pd.DataFrame(
+            {
+                "nationkey": np.array([key[0]], dtype="int32"),
+                "n_pairs": np.array([n_pairs], dtype="int64"),
+                "n_cust": np.array([len(cb)], dtype="int64"),
+                "n_supp": np.array([len(sb)], dtype="int64"),
+            }
+        )
+
+    return (
+        c.groupBy("c_nationkey")
+        .cogroup(s.groupBy("s_nationkey"))
+        .applyInPandas(
+            dominance,
+            "nationkey int, n_pairs bigint, n_cust bigint, n_supp bigint",
+        )
+    )
+
+
+@_register("part_tree_depth_recursive", _PART_TREE_RECURSIVE_SQL)
+def part_tree_depth_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy rollup via a recursive CTE, executed by spark.sql from
+    the IDENTICAL statement the DuckDB oracle runs: walk the implicit
+    part-key binary tree from the root and aggregate per depth (count,
+    key range, decimal-rounded price mass). Every node keyed >= 2 has
+    exactly one parent (node div 2) and node 0 is excluded as its own
+    parent (a self-loop would never terminate under UNION ALL) — see
+    the module comment for why cyclic BFS remains a DataFrame loop."""
+    fx._read(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_PART_TREE_RECURSIVE_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Round-4 additions: HLL mergeable distinct rollups, TPC-H Q12 shape,
 # A-Res weighted sampling, bounded BFS, correlated scalar subqueries
