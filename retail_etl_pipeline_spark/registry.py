@@ -2763,6 +2763,190 @@ def asia_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "local_supplier_volume",
+    f"""
+SELECT n.n_name AS nation,
+       {_ms("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+GROUP BY n.n_name
+""",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier revenue per ASIA nation for one order-year (TPC-H
+    Q5 shape): the two facts join on orderkey/suppkey and the
+    same-nation requirement (customer served by a supplier of their own
+    nation) rides the supplier join as an extra equi-predicate — no
+    post-join filter pass. Nation/region dims broadcast; the region
+    filter prunes before the fact join via the broadcast."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    o = fx._read(spark, sf_dir, "orders").where(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    c = fx._read(spark, sf_dir, "customer")
+    s = fx._read(spark, sf_dir, "supplier")
+    n = fx._read(spark, sf_dir, "nation")
+    r = fx._read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(money_sum(rev).alias("revenue"))
+    )
+
+
+@_register(
+    "volume_shipping_nation_pair",
+    f"""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(year(CAST(l.l_shipdate AS DATE)) AS INTEGER) AS l_year,
+       {_ms("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+  AND CAST(l.l_shipdate AS DATE) >= DATE '1995-01-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def volume_shipping_nation_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume between two nations per ship-year (TPC-H
+    Q7 shape): the disjunctive nation-pair predicate evaluates after
+    both broadcast nation-dim joins (it references both sides), while
+    the shipdate range prunes at the lineitem scan. Both directions of
+    the pair survive as separate groups."""
+    li = fx._read(spark, sf_dir, "lineitem").where(
+        (F.to_date("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    o = fx._read(spark, sf_dir, "orders")
+    c = fx._read(spark, sf_dir, "customer")
+    s = fx._read(spark, sf_dir, "supplier")
+    n = fx._read(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_nationkey"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_nationkey"))
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_nationkey"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.to_date("l_shipdate")).cast("int").alias("l_year"),
+        )
+        .agg(money_sum(rev).alias("revenue"))
+    )
+
+
+@_register(
+    "suppliers_sole_blame_late",
+    """
+SELECT s.s_name AS s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND CAST(l1.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE)
+      + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND CAST(l3.l_shipdate AS DATE)
+                        > CAST(o.o_orderdate AS DATE) + INTERVAL 90 DAY)
+GROUP BY s.s_name
+""",
+)
+def suppliers_sole_blame_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers solely to blame for late multi-supplier orders (TPC-H
+    Q21 shape, 'late' adapted to shipped >90 days after order date —
+    the fixture has no receipt/commit dates). The oracle runs the
+    TEXTBOOK correlated EXISTS / NOT EXISTS pair; this plan runs the
+    de-correlated aggregate rewrite a distributed engine wants:
+
+      EXISTS(other supplier)          ==  per-order distinct-supplier
+                                          count >= 2
+      NOT EXISTS(other late supplier) ==  per-order distinct-LATE-
+                                          supplier count == 1
+                                          (l1 itself is late)
+
+    so the driver's green row proves the de-correlation equivalence.
+    Three aggregations/joins co-partitioned on l_orderkey, supplier
+    dim broadcast at the end — no correlated per-row re-scan."""
+    li = fx._read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.to_date("l_shipdate").alias("sdate")
+    )
+    o = (
+        fx._read(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", F.to_date("o_orderdate").alias("odate"))
+    )
+    s = fx._read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("sdate") > F.date_add(F.col("odate"), 90))
+        .select("l_orderkey", "l_suppkey")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps")
+    )
+    late_supps = late.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_late")
+    )
+    return (
+        late.join(per_order, "l_orderkey")
+        .where(F.col("n_supps") >= 2)
+        .join(late_supps, "l_orderkey")
+        .where(F.col("n_late") == 1)
+        .join(F.broadcast(s), late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # behavior analytics (operators/behavior.py): funnel, cohort retention,
 # transition matrix — batch forms of the event-stream surface
