@@ -450,6 +450,66 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# epoch shuffle: deterministic per-epoch global ordering
+# ---------------------------------------------------------------------------
+
+#: prime stride mixed into the shuffle hash per epoch — each epoch is a
+#: DIFFERENT deterministic permutation of the same corpus
+EPOCH_STRIDE = 15485863
+
+
+def epoch_shuffle_key(epoch: int, doc_id: str = "doc_id"):
+    """Per-epoch shuffle key as a pure projection: the multiplicative
+    doc-id hash with an epoch-prime offset mixed in. Training loaders
+    need a DIFFERENT global order each epoch that is still reproducible
+    across runs, engines, partitionings, and resumptions — rand(seed)
+    is partitioning-dependent, this is not. Same DECIMAL(38,0) overflow
+    hardening as :func:`split_assignment` (corpus-scale ids)."""
+    return (
+        (F.col(doc_id).cast("decimal(38,0)") + epoch * EPOCH_STRIDE)
+        * SPLIT_MIX
+        % SPLIT_MOD
+    ).cast("bigint")
+
+
+def epoch_shuffle_prefix(docs: DataFrame, epochs: tuple[int, ...], k: int) -> DataFrame:
+    """First ``k`` documents of each epoch's shuffled order. Ordering by
+    the hash key IS the shuffle; the bounded prefix runs as TakeOrdered
+    (top-k merge, no global sort), and a full-epoch materialization is
+    the same expression under ``zorder_write``-style range-partitioned
+    write instead of limit. doc_id breaks hash-collision ties."""
+    parts = []
+    for e in epochs:
+        parts.append(
+            docs.select(
+                F.lit(int(e)).cast("int").alias("epoch"),
+                "doc_id",
+                epoch_shuffle_key(e).alias("shuffle_key"),
+            )
+            .orderBy("shuffle_key", "doc_id")
+            .limit(k)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def epoch_shuffle_prefix_sql(epochs: tuple[int, ...], k: int) -> str:
+    sel = []
+    for e in epochs:
+        sel.append(
+            f"""(SELECT CAST({e} AS INTEGER) AS epoch, doc_id,
+       CAST(((CAST(doc_id AS HUGEINT) + {e * EPOCH_STRIDE})
+             * {SPLIT_MIX}) % {SPLIT_MOD} AS BIGINT) AS shuffle_key
+FROM documents
+ORDER BY shuffle_key, doc_id
+LIMIT {k})"""
+        )
+    return "\nUNION ALL\n".join(sel)
+
+
+# ---------------------------------------------------------------------------
 # shingle novelty
 # ---------------------------------------------------------------------------
 

@@ -587,3 +587,57 @@ def canonicalize_url_sql(expr: str) -> str:
     tail = f"regexp_extract({u}, '{_URL_HEAD}', 2)"
     u = f"CASE WHEN {head} = '' THEN {u} ELSE {head} || {tail} END"
     return f"regexp_replace({u}, '/+$', '')"
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow: zero-copy RecordBatch processing
+# ---------------------------------------------------------------------------
+
+def arrow_byte_profile(docs: DataFrame) -> DataFrame:
+    """Per-source byte/char accounting computed through ``mapInArrow`` —
+    the rawest Arrow exchange shape: the Python function receives
+    ``pyarrow.RecordBatch`` objects directly (no pandas materialization,
+    no per-row objects) and answers with RecordBatches. The kernel is
+    pyarrow.compute's vectorized ``binary_length`` (UTF-8 bytes) and
+    ``utf8_length`` (codepoints) — the storage-vs-token accounting a
+    corpus intake tracks (bytes bill storage, chars approximate tokens).
+
+    Use mapInArrow over mapInPandas when the kernel is already
+    Arrow-native: pandas conversion would copy every string into Python
+    objects just to hand them back. NULL text yields NULL lengths (sum
+    skips them on both engines). Scale: map-only over Arrow batches;
+    the groupBy is a bounded per-source aggregate."""
+    import pyarrow as pa
+
+    def lengths(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            t = batch.column(batch.schema.get_field_index("text"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("source")),
+                    pc.cast(pc.binary_length(t), pa.int64()),
+                    pc.cast(pc.utf8_length(t), pa.int64()),
+                ],
+                names=["source", "n_bytes", "n_codepoints"],
+            )
+
+    per_doc = docs.select("source", "text").mapInArrow(
+        lengths, "source string, n_bytes bigint, n_codepoints bigint"
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.sum("n_codepoints").cast("bigint").alias("total_codepoints"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+
+
+ARROW_BYTE_PROFILE_SQL = """
+SELECT source,
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(SUM(length(text)) AS BIGINT) AS total_codepoints,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY source
+"""

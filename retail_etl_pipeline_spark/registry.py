@@ -3569,6 +3569,29 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.corpus_split(fx._read(spark, sf_dir, "documents"))
 
 
+@_register("documents_epoch_shuffle", cp.epoch_shuffle_prefix_sql((1, 2), 64))
+def documents_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle (training-loader order):
+    each epoch is a different multiplicative-hash permutation of the
+    same documents, reproducible across runs/engines/partitionings —
+    the property rand(seed) does NOT have (its output depends on
+    partitioning). The query emits the first 64 docs of epochs 1 and 2;
+    both prefixes run as TakeOrdered top-k merges, and the oracle
+    replays the identical hash arithmetic."""
+    return cp.epoch_shuffle_prefix(
+        fx._read(spark, sf_dir, "documents"), epochs=(1, 2), k=64
+    )
+
+
+@_register("documents_arrow_byte_profile", tx.ARROW_BYTE_PROFILE_SQL)
+def documents_arrow_byte_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source byte/codepoint accounting via mapInArrow — the
+    zero-copy RecordBatch exchange shape (no pandas materialization);
+    pyarrow.compute binary_length/utf8_length kernels, bounded
+    per-source aggregate on top."""
+    return tx.arrow_byte_profile(fx._read(spark, sf_dir, "documents"))
+
+
 @_register("shingle_novelty", cp.SHINGLE_NOVELTY_SQL)
 def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty: share of shingles whose first occurrence
