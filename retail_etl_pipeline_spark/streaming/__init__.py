@@ -13,6 +13,7 @@ from .rollup import (
     run_available_now,
     stream_dedup,
     stream_events,
+    stream_static_enriched_counts,
     stream_tumbling_counts,
     stream_weekly_rollup_to_parquet,
     stateful_user_totals,
@@ -22,6 +23,7 @@ from .rollup import (
 __all__ = [
     "stream_dedup",
     "stream_events",
+    "stream_static_enriched_counts",
     "stream_tumbling_counts",
     "stream_weekly_rollup_to_parquet",
     "run_available_now",

@@ -362,3 +362,32 @@ def stream_stream_purchase_join_outer(events: DataFrame) -> DataFrame:
         & (F.col("l_id") != F.col("r_id")),
         "leftOuter",
     ).select("l_id", "l_ts", "l_user", "l_type", "r_id", "purchase_value")
+
+
+def stream_static_enriched_counts(
+    events: DataFrame, user_dim: DataFrame, width: str = "1 hour"
+) -> DataFrame:
+    """Stream-static enrichment join + watermarked tumbling rollup: the
+    event stream joined against a STATIC dimension (user -> segment)
+    before windowed aggregation — the standard streaming-ETL enrichment
+    shape. A stream-static equi-join is stateless (each micro-batch
+    probes the static side; with a small dim Spark broadcasts it into
+    every batch), so it needs no watermark of its own — only the
+    aggregation holds state. The static side is re-read per batch,
+    which is exactly what makes slowly-refreshed dim snapshots pick up
+    between batches on a real deployment.
+
+    Inner-join semantics: events whose user is absent from the dim are
+    DROPPED before counting (the test pins this against the batch twin;
+    use a left join + coalesce bucket to keep them instead)."""
+    enriched = events.join(user_dim, "user_id")
+    return (
+        enriched.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", width).alias("w"), "segment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "segment",
+            "n_events",
+        )
+    )

@@ -776,3 +776,47 @@ def test_streaming_hll_sketch_state_equals_batch(spark, sf_dir):
     }
     assert streamed == direct
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    """Stream-static enrichment: the event stream inner-joined to a
+    static user->segment dim before the windowed rollup must converge
+    to the identical batch join+rollup — including the inner-join DROP
+    of users absent from the dim (a deliberately partial dim here:
+    only even user_ids are present)."""
+    events = st.stream_events(spark, sf_dir)
+    dim = (
+        fx.events_stream(spark, sf_dir)
+        .select("user_id")
+        .distinct()
+        .where(F.col("user_id") % 2 == 0)
+        .select(
+            "user_id", (F.col("user_id") % 5).cast("int").alias("segment")
+        )
+    )
+    q = st.run_available_now(
+        st.stream_static_enriched_counts(events, dim), "stream_enriched"
+    )
+    try:
+        streamed = spark.table("stream_enriched")
+        batch = (
+            fx.events_stream(spark, sf_dir)
+            .join(dim, "user_id")
+            .groupBy(
+                F.window("ts", "1 hour").alias("w"),
+                "segment",
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("w.start").alias("window_start"), "segment", "n_events"
+            )
+        )
+        assert streamed.exceptAll(batch).count() == 0
+        assert batch.exceptAll(streamed).count() == 0
+        # the partial dim actually dropped something (the test is not
+        # vacuous): total enriched events < total events
+        total = fx.events_stream(spark, sf_dir).count()
+        kept = streamed.agg(F.sum("n_events")).collect()[0][0]
+        assert kept < total
+    finally:
+        q.stop()
