@@ -2764,56 +2764,6 @@ def asia_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "local_supplier_volume",
-    f"""
-SELECT n.n_name AS nation,
-       {_ms("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
-FROM customer c
-JOIN orders o ON c.c_custkey = o.o_custkey
-JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-JOIN supplier s ON l.l_suppkey = s.s_suppkey
-              AND c.c_nationkey = s.s_nationkey
-JOIN nation n ON s.s_nationkey = n.n_nationkey
-JOIN region r ON n.n_regionkey = r.r_regionkey
-WHERE r.r_name = 'ASIA'
-  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
-  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
-GROUP BY n.n_name
-""",
-)
-def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Local-supplier revenue per ASIA nation for one order-year (TPC-H
-    Q5 shape): the two facts join on orderkey/suppkey and the
-    same-nation requirement (customer served by a supplier of their own
-    nation) rides the supplier join as an extra equi-predicate — no
-    post-join filter pass. Nation/region dims broadcast; the region
-    filter prunes before the fact join via the broadcast."""
-    li = fx._read(spark, sf_dir, "lineitem")
-    o = fx._read(spark, sf_dir, "orders").where(
-        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
-        & (F.to_date("o_orderdate") < F.lit("1997-01-01").cast("date"))
-    )
-    c = fx._read(spark, sf_dir, "customer")
-    s = fx._read(spark, sf_dir, "supplier")
-    n = fx._read(spark, sf_dir, "nation")
-    r = fx._read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(
-            s,
-            (li.l_suppkey == s.s_suppkey)
-            & (c.c_nationkey == s.s_nationkey),
-        )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(money_sum(rev).alias("revenue"))
-    )
-
-
-@_register(
     "volume_shipping_nation_pair",
     f"""
 SELECT sn.n_name AS supp_nation,
