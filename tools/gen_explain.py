@@ -81,6 +81,34 @@ SHOW = {
         "sums — the window scans ~365 compact rows/store/year, never "
         "raw lines."
     ),
+    "copurchase_bfs_hops": (
+        "Frontier-delta BFS (r5 rewrite): each round joins only the "
+        "previous round's newly-reached frontier against the cached "
+        "edge relation (InMemoryTableScan), distincts the neighbor set, "
+        "and anti-joins the union of checkpointed frontiers — per-round "
+        "work is frontier x degree, never rounds x |E|. One "
+        "localCheckpoint per round, on the delta only."
+    ),
+    "ann_lsh_topk_multiprobe": (
+        "Multi-probe LSH: the (1+bits)-bucket probe set is derived "
+        "relationally from the one query row (Generate/explode of the "
+        "xor array) and BroadcastHashJoin-ed into the bucketed corpus — "
+        "the scan stays an equi-lookup of a handful of buckets; the "
+        "final top-k is TakeOrderedAndProject."
+    ),
+    "suppliers_sole_blame_late": (
+        "TPC-H Q21 de-correlated: the textbook EXISTS / NOT EXISTS pair "
+        "becomes two per-order distinct-count aggregations joined back "
+        "on l_orderkey — co-partitioned exchanges instead of a "
+        "correlated re-scan per outer row; the supplier dim joins last "
+        "as a BroadcastHashJoin."
+    ),
+    "part_tree_depth_recursive": (
+        "WITH RECURSIVE (Spark 4.1): the UnionLoop iterates the "
+        "hierarchy levels inside ONE plan — each level joins the "
+        "previous level's rows against the part scan; O(N) total rows "
+        "for a tree, no path re-enumeration."
+    ),
 }
 
 
