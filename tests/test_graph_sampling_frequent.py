@@ -421,6 +421,61 @@ def test_bfs_bounded_rounds_leaves_far_nodes_unreached(spark):
     assert got == {1: 0, 2: 1, 3: BFS_INF}
 
 
+def test_bfs_empty_frontier_short_circuit(spark):
+    """Frontier-delta BFS must stop iterating once the frontier empties:
+    rounds=50 on a 4-node path returns in bounded time with the same
+    answer as rounds=3 (exact distances; the 46 surplus rounds cost
+    nothing). Also pins the frontier rewrite against the asymmetric
+    direction: a one-way edge chain resolves downstream only."""
+    from retail_etl_pipeline_spark.operators.graph import BFS_INF, bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src bigint, dst bigint"
+    )
+    big = {r["node"]: r["hops"] for r in bfs_hops(edges, rounds=50).collect()}
+    small = {r["node"]: r["hops"] for r in bfs_hops(edges, rounds=3).collect()}
+    assert big == small == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_epoch_shuffle_key_extreme_ids(spark):
+    """The epoch-shuffle hash must survive corpus-scale doc_ids under
+    ANSI mode (the split-hash BIGINT overflow class, DEVNOTES r4): one
+    job evaluates the Spark expression at extreme ids and epochs and
+    compares against exact Python integer arithmetic; distinct epochs
+    must produce different permutations."""
+    from pyspark.sql import functions as F
+
+    from retail_etl_pipeline_spark.operators.corpus import (
+        EPOCH_STRIDE,
+        SPLIT_MIX,
+        SPLIT_MOD,
+        epoch_shuffle_key,
+    )
+
+    from decimal import Decimal
+
+    ids = [0, 1, 7, 2**31 - 1, 2**40, 10**18, 2**62]
+    df = spark.createDataFrame(
+        [(Decimal(i),) for i in ids], "doc_id decimal(38,0)"
+    )
+    for epoch in (0, 1, 5):
+        got = {
+            int(r["doc_id"]): r["k"]
+            for r in df.select(
+                "doc_id", epoch_shuffle_key(epoch).alias("k")
+            ).collect()
+        }
+        want = {
+            i: (i + epoch * EPOCH_STRIDE) * SPLIT_MIX % SPLIT_MOD
+            for i in ids
+        }
+        assert got == want, f"epoch={epoch}"
+    # different epochs -> different order of the same ids
+    k1 = df.select(epoch_shuffle_key(1).alias("k")).collect()
+    k2 = df.select(epoch_shuffle_key(2).alias("k")).collect()
+    assert [r["k"] for r in k1] != [r["k"] for r in k2]
+
+
 def test_ares_sample_weight_monotone_inclusion(spark):
     """A-Res keys: a hugely heavier row should (overwhelmingly) rank
     ahead of uniform-weight rows; with k = n all rows survive and ranks

@@ -62,3 +62,19 @@ def test_ivf_multiprobe_candidates_superset(spark, sf_dir):
     multi = set(_ids(sim.ann_ivf_topk_multiprobe(emb, k=n)))
     assert single <= multi
     assert len(multi) > len(single)
+
+
+def test_lsh_multiprobe_plan_broadcasts_probes(spark, sf_dir):
+    """Plan lock: the multi-probe candidate restriction must stay a
+    BroadcastHashJoin of the tiny probe set (never a shuffle of the
+    corpus on bucket id), and the top-k a TakeOrderedAndProject (never
+    a global sort)."""
+    spark.catalog.clearCache()
+    emb = fx._read(spark, sf_dir, "embeddings")
+    plan = (
+        sim.ann_lsh_topk_multiprobe(emb)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
