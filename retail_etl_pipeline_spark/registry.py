@@ -2897,6 +2897,102 @@ def suppliers_sole_blame_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "shipping_priority_topk",
+    f"""
+SELECT l.l_orderkey AS l_orderkey,
+       {_ms("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       o.o_orderpriority AS o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1995-06-15'
+  AND CAST(l.l_shipdate AS DATE) > DATE '1995-06-15'
+GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top unshipped-revenue orders for one segment at a cutoff date
+    (TPC-H Q3 shape; o_orderpriority stands in for the absent
+    o_shippriority): segment filter prunes through the customer join,
+    both date filters push to their scans, the per-order aggregate is
+    one hash agg, and the top-10 runs as TakeOrderedAndProject on the
+    decimal-rounded revenue with an orderkey tie-break (a raw-double
+    ordering could select different ties per engine)."""
+    c = fx._read(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = fx._read(spark, sf_dir, "orders").where(
+        F.to_date("o_orderdate") < F.lit("1995-06-15").cast("date")
+    )
+    li = fx._read(spark, sf_dir, "lineitem").where(
+        F.to_date("l_shipdate") > F.lit("1995-06-15").cast("date")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(money_sum(rev).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "nation_year_margin",
+    f"""
+SELECT sn.n_name AS nation,
+       CAST(year(CAST(o.o_orderdate AS DATE)) AS INTEGER) AS o_year,
+       {_ms("l.l_extendedprice * (1 - l.l_discount) * l.l_tax")} AS margin
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+GROUP BY sn.n_name, o_year
+""",
+)
+def nation_year_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gross margin by supplier nation and order year (TPC-H Q9 shape;
+    the fixture has no partsupp/supplycost, so cost is the engine's own
+    sales-cost definition extprice*(1-disc)*(1-tax) — see
+    plans/weekly_summary — and margin = revenue - cost collapses
+    algebraically to extprice*(1-disc)*tax, computed directly as ONE
+    product inside the decimal sum instead of two sums subtracted).
+    Facts join on their keys; nation keeps its broadcast hint (25 rows,
+    genuinely bounded) while supplier carries none — it scales with SF,
+    so AQE decides (the local_supplier_volume broadcast policy); one
+    bounded (nation x year) aggregate."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    o = fx._read(spark, sf_dir, "orders")
+    s = fx._read(spark, sf_dir, "supplier")
+    n = fx._read(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    margin = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.col("l_tax")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy(
+            "nation",
+            F.year(F.to_date("o_orderdate")).cast("int").alias("o_year"),
+        )
+        .agg(money_sum(margin).alias("margin"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # behavior analytics (operators/behavior.py): funnel, cohort retention,
 # transition matrix — batch forms of the event-stream surface
