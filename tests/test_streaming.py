@@ -820,3 +820,26 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
         assert kept < total
     finally:
         q.stop()
+
+
+def test_streaming_session_window_equals_batch(spark, sf_dir):
+    """Native streaming sessionization: the SAME win.sessionized code
+    (F.session_window) run over the watermarked stream must converge to
+    the batch result — completing the sessionization triangle next to
+    the batch query (session_windows) and the applyInPandasWithState
+    custom sessionizer. Streaming session_window requires a watermark
+    (merging state must be evictable); AvailableNow + append mode emits
+    every closed session."""
+    events = st.stream_events(spark, sf_dir)
+    q = st.run_available_now(
+        win.sessionized(events.withWatermark("ts", "2 hours")),
+        "stream_sessions",
+    )
+    try:
+        streamed = spark.table("stream_sessions")
+        batch = win.sessionized(fx.events_stream(spark, sf_dir))
+        assert streamed.exceptAll(batch).count() == 0
+        assert batch.exceptAll(streamed).count() == 0
+        assert streamed.count() > 0
+    finally:
+        q.stop()
