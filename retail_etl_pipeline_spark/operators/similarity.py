@@ -521,6 +521,84 @@ WHERE {_ROUND6_SQL.format(x=_COS_SQL.format(a='a.v', b='b.v'))}
 """
 
 
+def embedding_neardup_lsh_multiprobe(emb: DataFrame) -> DataFrame:
+    """Near-dup pairs with multi-probe recall: one side of the bucket
+    join is expanded into its own bucket PLUS every Hamming-1 flip, so
+    any pair whose signatures differ in at most ONE hyperplane bit is
+    scored — the pair-level analog of ann_lsh_topk_multiprobe (a true
+    near-duplicate loses recall exactly when it straddles one plane).
+
+    Each qualifying pair matches EXACTLY once (equal buckets match only
+    via the identity flip; Hamming-1 buckets only via the single
+    differing bit), so no dedup pass is needed beyond the a < b
+    canonicalization. Candidate volume is (1+bits)x the single-probe
+    join — still linear + collisions, never all-pairs."""
+    vecs = _vectors(emb)
+    with_norm = _with_norm(_with_buckets(vecs))
+    probe = with_norm.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(LSH_PLANES)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    b = with_norm.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("norm").alias("nb"), "bucket",
+    )
+    pairs = probe.join(
+        b, ["bucket"]
+    ).where(F.col("vec_a") < F.col("vec_b"))
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        _round6(
+            _dot_udf(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        ).alias("cosine"),
+    ).where(F.col("cosine") >= COSINE_NEARDUP_THRESHOLD)
+
+
+EMBEDDING_NEARDUP_LSH_MULTIPROBE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, {_VEC_SQL.format(e='embedding')} AS v FROM embeddings
+),
+planes AS (
+  SELECT vec_id AS plane_id, v AS pv FROM e
+  WHERE vec_id IN ({", ".join(str(p) for p in PLANE_IDS)})
+),
+buckets AS (
+  SELECT e.vec_id,
+         ANY_VALUE(e.v) AS v,
+         CAST(SUM(
+           (CASE WHEN {_DOT_SQL.format(a='e.v', b='pv')} > 0 THEN 1 ELSE 0 END)
+           << (plane_id - {min(PLANE_IDS)})
+         ) AS BIGINT) AS bucket
+  FROM e, planes
+  GROUP BY e.vec_id
+),
+probes AS (
+  SELECT vec_id, v, xor(bucket, CAST(flip AS BIGINT)) AS bucket
+  FROM buckets,
+       (VALUES (0), {", ".join(f"({1 << i})" for i in range(LSH_PLANES))})
+       AS flips(flip)
+)
+SELECT a.vec_id AS vec_a,
+       b.vec_id AS vec_b,
+       {_ROUND6_SQL.format(x=_COS_SQL.format(a='a.v', b='b.v'))} AS cosine
+FROM probes a
+JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_ROUND6_SQL.format(x=_COS_SQL.format(a='a.v', b='b.v'))}
+      >= {COSINE_NEARDUP_THRESHOLD}
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF-style ANN: coarse quantization into centroid cells, exact rerank
 # within the probed cell (nprobe=1). Deterministic "centroids" are fixed

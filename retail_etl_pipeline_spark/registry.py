@@ -647,6 +647,22 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_neardup_lsh(fx._read(spark, sf_dir, "embeddings"))
 
 
+@_register(
+    "embedding_neardup_lsh_multiprobe",
+    sim.EMBEDDING_NEARDUP_LSH_MULTIPROBE_SQL,
+)
+def embedding_neardup_lsh_multiprobe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pair-level multi-probe near-dup: one join side expanded into its
+    bucket + Hamming-1 flips, so pairs straddling ONE hyperplane are
+    recovered (each qualifying pair matches exactly once — identity
+    flip for equal buckets, the single differing bit otherwise)."""
+    return sim.embedding_neardup_lsh_multiprobe(
+        fx._read(spark, sf_dir, "embeddings")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.10 extensions — event-time windows (operators/windows.py)
 # ---------------------------------------------------------------------------

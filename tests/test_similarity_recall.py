@@ -78,3 +78,20 @@ def test_lsh_multiprobe_plan_broadcasts_probes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_neardup_multiprobe_pairs_superset(spark, sf_dir):
+    """Pair-level multiprobe must recover a strict superset of the
+    single-probe near-dup pairs on this fixture (the Hamming-1
+    expansion adds boundary-straddling pairs), with no duplicates
+    (each qualifying pair matches via exactly one flip)."""
+    emb = fx._read(spark, sf_dir, "embeddings")
+    single = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim.embedding_neardup_lsh(emb).collect()
+    }
+    rows = sim.embedding_neardup_lsh_multiprobe(emb).collect()
+    multi = {(r["vec_a"], r["vec_b"]) for r in rows}
+    assert len(rows) == len(multi)  # no pair emitted twice
+    assert single <= multi
+    assert len(multi) > len(single)
