@@ -33,6 +33,15 @@ Scale notes (100 TB):
   persisted once and reused by all iterations.
 - For deep iteration counts, truncate lineage every ~5 rounds with
   ``localCheckpoint`` (documented, not needed at the fixed 5 used here).
+- ``localCheckpoint`` trades fault tolerance for speed: the truncated
+  lineage lives in executor block storage, so an executor loss KILLS the
+  job instead of recomputing (acceptable in local mode and for short
+  bounded loops — a retry re-runs the whole query). On a long-running
+  1000-executor job, swap in reliable ``checkpoint()`` +
+  ``setCheckpointDir`` on durable storage at the same call sites; the
+  loop structure is unchanged. This note covers every iterative loop in
+  the package (PageRank/label-prop/BFS here, star contraction in
+  operators/dedup.py).
 - Overflow lattice: ranks stay near SCALE (total mass is conserved at
   N*SCALE by the column-stochastic update), but a hub's inbound sum is
   bounded only by in_degree * max_rank, so the `85 * sum` step runs in
