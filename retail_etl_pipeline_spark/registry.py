@@ -7011,6 +7011,39 @@ def nation_balance_dominance_cogrouped(
     )
 
 
+# correlated LATERAL derived table (Spark 4 LateralJoin; the SQL-surface
+# twin of the window top-k-per-group): both engines run the IDENTICAL
+# statement. Spark de-correlates this to a DomainJoin + per-domain limit
+# internally — the declared form stays the textbook per-row subquery.
+_LATERAL_TOP2_SQL = """
+SELECT c.c_custkey AS c_custkey,
+       t.o_orderkey AS o_orderkey,
+       t.o_totalprice AS o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 2
+) t
+WHERE c.c_nationkey = 3
+"""
+
+
+@_register("customer_top2_orders_lateral", _LATERAL_TOP2_SQL)
+def customer_top2_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer (one nation) via a correlated LATERAL
+    derived table — the SQL-surface form of top-k-per-group, next to
+    the window/WindowGroupLimit DataFrame form (top3_parts_per_brand)
+    and the UDTF lateral (udtf_part_words). Both engines execute the
+    identical statement; ordering is on the STORED o_totalprice (no
+    arithmetic, so no float-parity engineering) with an orderkey
+    tie-break for deterministic LIMIT selection."""
+    fx._read(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    fx._read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_TOP2_SQL)
+
+
 @_register("part_tree_depth_recursive", _PART_TREE_RECURSIVE_SQL)
 def part_tree_depth_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchy rollup via a recursive CTE, executed by spark.sql from
