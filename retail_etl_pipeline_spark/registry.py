@@ -7278,3 +7278,204 @@ WHERE CAST(c.c_acctbal AS DECIMAL(30,6))
 GROUP BY c.c_nationkey
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 continuation: SQL-surface batch — listagg WITHIN GROUP,
+# GROUP BY ALL / ORDER BY ALL, windowed median, Benford digit audit
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "region_nation_roster",
+    """
+SELECT r.r_name AS r_name,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+       CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def region_nation_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: Spark 4's ``listagg(...) WITHIN GROUP
+    (ORDER BY ...)`` (SQL:2023) against DuckDB's ``string_agg(x, sep
+    ORDER BY x)`` spelling — same semantics, per-dialect syntax. The
+    explicit WITHIN GROUP ordering is what makes the concatenation
+    deterministic; an unordered listagg reflects arrival order and can
+    never be oracle-compared. Scale: listagg is a regular two-phase
+    aggregate (partial buffers concatenate), but the result row grows
+    with group size — roster-style outputs must be bounded-cardinality
+    groups (here: nations per region)."""
+    n = fx._read(spark, sf_dir, "nation")
+    r = fx._read(spark, sf_dir, "region")
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("nations"),
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+        )
+    )
+
+
+_GROUP_BY_ALL_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_yr,
+       o_orderstatus AS o_orderstatus,
+       o_orderpriority AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@_register("order_mix_group_by_all", _GROUP_BY_ALL_SQL)
+def order_mix_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (the analyst-SQL dialect extension
+    both engines adopted): grouping keys inferred as every non-aggregate
+    select item, ordering over all output columns left-to-right. The
+    IDENTICAL statement runs on both engines — this query's point is the
+    shared resolution rule, not the aggregation (ORDER BY ALL over the
+    full output is also the cheapest deterministic total order: no
+    tie-break column needed because the whole row IS the sort key)."""
+    fx._read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+@_register(
+    "store_revenue_7d_median",
+    f"""
+WITH {fx.SALES_CTE.strip()},
+daily AS (
+  SELECT store_key,
+         trans_dt,
+         CAST(trans_dt - DATE '1970-01-01' AS BIGINT) AS day_idx,
+         CAST(round(SUM(CAST(sales_amt AS DECIMAL(30,6))), 2) * 100
+              AS BIGINT) AS rev_cents
+  FROM sales
+  GROUP BY 1, 2, 3
+)
+SELECT store_key,
+       trans_dt,
+       CAST(median(rev_cents) OVER w AS DOUBLE) / 100 AS med_7d,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_days_7d
+FROM daily
+WINDOW w AS (
+  PARTITION BY store_key
+  ORDER BY day_idx
+  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+)
+""",
+)
+def store_revenue_7d_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day windowed MEDIAN of daily revenue per store — the
+    robust-statistics twin of store_revenue_7d_ma (a median shrugs off
+    the one-day spikes that drag a moving average). Cross-engine
+    exactness is engineered by running the median over integer CENTS:
+    both engines interpolate the even-count case as the midpoint of two
+    integers, which is exactly representable in double (x.5), and the
+    final /100 is the same IEEE operation on both sides — median over
+    raw doubles would inherit each engine's summation quirks. Scale:
+    same RANGE-frame window as the MA (one shuffle on store_key); the
+    frame re-sorts per partition but frames are 7 rows wide."""
+    s = fx.sales(spark, sf_dir)
+    daily = s.groupBy(
+        "store_key",
+        "trans_dt",
+        F.datediff("trans_dt", F.lit("1970-01-01").cast("date")).alias(
+            "day_idx"
+        ),
+    ).agg(
+        # exact decimal sum -> round to cents -> *100: every step exact
+        # and identically defined on both engines (per-row double*100
+        # rounding and decimal->bigint casts are NOT: Spark truncates,
+        # DuckDB rounds)
+        (F.round(F.sum(F.col("sales_amt").cast("decimal(30,6)")), 2) * 100)
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w = (
+        Window.partitionBy("store_key")
+        .orderBy("day_idx")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "store_key",
+        "trans_dt",
+        # F.median disallows window frames (INVALID_WINDOW_SPEC_FOR_
+        # AGGREGATION_FUNC); exact percentile(0.5) is the same
+        # interpolated statistic and accepts one
+        (
+            F.percentile("rev_cents", F.lit(0.5)).over(w).cast("double") / 100
+        ).alias("med_7d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_days_7d"),
+    )
+
+
+#: Benford expected first-digit frequencies, parts-per-million
+#: (log10(1 + 1/d) rounded to the nearest ppm — plan constants, no ln()
+#: evaluated inside either engine)
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_CASE = " ".join(
+    f"WHEN '{d}' THEN {p}" for d, p in _BENFORD_PPM.items()
+)
+
+
+@_register(
+    "order_price_benford",
+    f"""
+WITH digits AS (
+  SELECT substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+           AS d1
+  FROM orders
+  WHERE o_totalprice >= 1
+),
+counts AS (
+  SELECT d1, COUNT(*) AS n FROM digits GROUP BY 1
+)
+SELECT d1,
+       CAST(n AS BIGINT) AS n,
+       CAST((n * 1000000) // (SELECT SUM(n) FROM counts) AS BIGINT)
+         AS obs_ppm,
+       CAST(CASE d1 {_BENFORD_CASE} END AS BIGINT) AS benford_ppm
+FROM counts
+""",
+)
+def order_price_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fabricated-data screen (synthetic uniform prices fail it loudly,
+    which is itself the informative answer on this fixture). Engine
+    stability by construction: the digit comes from the STRING of
+    floor(price) as BIGINT (never the double itself — Spark renders
+    doubles >= 1e7 in scientific notation), observed shares are integer
+    ppm via exact integer division, and the Benford expectations are
+    precomputed ppm literals (no ln()/log10() evaluated at runtime —
+    correctly-rounded transcendentals are not guaranteed cross-engine).
+    Scale: one scan, one 9-group aggregate; the total is a broadcast
+    1-row join."""
+    o = fx._read(spark, sf_dir, "orders")
+    counts = (
+        o.where(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            ).alias("d1")
+        )
+        .groupBy("d1")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("tot"))
+    benford = F.create_map(
+        *[x for d, p in _BENFORD_PPM.items() for x in (F.lit(str(d)), F.lit(p))]
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        "d1",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("(n * 1000000) div tot").cast("bigint").alias("obs_ppm"),
+        benford[F.col("d1")].cast("bigint").alias("benford_ppm"),
+    )
