@@ -418,3 +418,166 @@ WHERE hops < {BFS_INF}
 GROUP BY hops
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (degree-ordered orientation) — the third classic
+# distributed graph kernel next to PageRank and label propagation
+# ---------------------------------------------------------------------------
+
+#: minimum co-purchase support (distinct orders containing the pair)
+#: for the triangle census graph — the RAW copurchase graph is a union
+#: of per-order cliques over a small part vocabulary and is near-dense
+#: (2.4M directed edges over 20k parts at sf0.1: the wedge join
+#: materializes hundreds of millions of rows, measured 22 s); pairs
+#: seen in >= 2 independent orders cut it to ~7k edges while keeping
+#: the signal pairs (the same reasoning as part_pair_lift's support
+#: floor)
+TRIANGLE_MIN_SUPPORT = 2
+
+
+def copurchase_edges_supported(
+    lineitem: DataFrame, min_support: int = TRIANGLE_MIN_SUPPORT
+) -> DataFrame:
+    """Symmetric (src, dst) edge list keeping only part pairs
+    co-purchased in at least ``min_support`` DISTINCT orders. Same
+    self-join as copurchase_edges but aggregated on the pair with a
+    distinct-order count instead of DISTINCT — the support floor is
+    what makes dense clique-union graphs triangle-countable.
+
+    The (order, part) incidence is deduplicated BEFORE the self-join:
+    repeat lines of the same part in one order would otherwise inflate
+    both the join fan-out and the pair counts, and the pre-dedup turns
+    the distinct-count aggregate into a plain count (no two-phase
+    distinct rewrite in the pair aggregation)."""
+    inc = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = inc.select("ok", F.col("pk").alias("src"))
+    b = inc.select("ok", F.col("pk").alias("dst"))
+    return (
+        a.join(b, "ok")
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= min_support)
+        .select("src", "dst")
+    )
+
+
+def _edges_supported_cte(min_support: int) -> str:
+    return f"""inc AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+edges AS (
+  SELECT a.pk AS src, b.pk AS dst
+  FROM inc a JOIN inc b ON a.ok = b.ok
+  WHERE a.pk <> b.pk
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {min_support}
+)"""
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle census over a SYMMETRIC edge list: one row with
+    node/edge counts, the exact triangle count, the wedge (open-triad)
+    count, and the global clustering coefficient in exact integer ppm.
+
+    The count uses the standard degree-ordered orientation: each
+    undirected edge is kept once, directed from the smaller to the
+    larger endpoint under the (degree, id) total order. Every triangle
+    then materializes exactly once (its unique (deg,id)-minimal corner
+    emits both out-edges), and — the reason this formulation scales —
+    out-adjacency under this orientation is bounded by O(sqrt(m)) per
+    node regardless of how skewed the raw degree distribution is, so
+    the wedge join's fan-out is O(m^1.5) worst-case instead of
+    sum-of-squared-degrees (a single celebrity hub never explodes).
+
+    Plan: edge relation repartitioned to graph-sized width and
+    persisted (three consumers: degrees + both orientation joins); the
+    wedge join shuffles on the middle vertex; the closing edge check is
+    an equi-join on the (u,w) pair. All integer arithmetic; the
+    clustering ratio is DECIMAL(38,0)-widened exact division (the
+    3*T*1e6 product overflows BIGINT long before T does)."""
+    n_parts = _loop_partitions(edges)
+    edges = edges.repartition(n_parts, "src").persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("src").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("src").alias("v"), F.col("deg").alias("deg_v"))
+    oriented = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(du, "u")
+        .join(dv, "v")
+        .where(
+            (F.col("deg_u") < F.col("deg_v"))
+            | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+        .persist()
+    )
+    a = oriented.alias("a")
+    b = oriented.alias("b")
+    c = oriented.alias("c")
+    tri = (
+        a.join(b, F.col("a.v") == F.col("b.u"))
+        .join(
+            c,
+            (F.col("c.u") == F.col("a.u")) & (F.col("c.v") == F.col("b.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.expr("cast(sum(deg) as bigint) div 2").alias("n_edges"),
+        F.expr(
+            "cast(sum(cast(deg as bigint) * (deg - 1)) as bigint) div 2"
+        ).alias("n_wedges"),
+    )
+    return (
+        tri.crossJoin(F.broadcast(stats))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+            "n_wedges",
+            F.expr(
+                "(cast(n_triangles as decimal(38,0)) * 3000000)"
+                " div n_wedges"
+            ).cast("bigint").alias("clustering_ppm"),
+        )
+    )
+
+
+def triangle_oracle_sql(min_support: int = TRIANGLE_MIN_SUPPORT) -> str:
+    """DuckDB twin: identical support-filtered edge build + orientation
+    + wedge-close joins; HUGEINT replaces DECIMAL(38,0) for the widened
+    ratio arithmetic."""
+    return f"""
+WITH {_edges_supported_cte(min_support)},
+deg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+),
+oriented AS (
+  SELECT e.src AS u, e.dst AS v
+  FROM edges e
+  JOIN deg du ON e.src = du.node
+  JOIN deg dv ON e.dst = dv.node
+  WHERE du.deg < dv.deg OR (du.deg = dv.deg AND e.src < e.dst)
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM oriented a
+  JOIN oriented b ON a.v = b.u
+  JOIN oriented c ON c.u = a.u AND c.v = b.v
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
+         CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT n_nodes, n_edges, n_triangles, n_wedges,
+       CAST((CAST(n_triangles AS HUGEINT) * 3000000) // n_wedges AS BIGINT)
+         AS clustering_ppm
+FROM tri, stats
+"""

@@ -7479,3 +7479,21 @@ def order_price_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n * 1000000) div tot").cast("bigint").alias("obs_ppm"),
         benford[F.col("d1")].cast("bigint").alias("benford_ppm"),
     )
+
+
+@_register("copurchase_triangles", gph.triangle_oracle_sql())
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (count, wedges,
+    global clustering coefficient in exact ppm) via degree-ordered
+    orientation — the classic distributed triangle kernel: orientation
+    caps per-node out-adjacency at O(sqrt(m)), so the wedge join is
+    O(m^1.5) worst-case instead of sum-of-squared-degrees, and a hub
+    part co-purchased with everything cannot explode the plan. The
+    graph is the SUPPORT-FILTERED copurchase graph (pairs in >= 2
+    distinct orders, graph.TRIANGLE_MIN_SUPPORT): the raw clique-union
+    graph is near-dense and its triangle census is both meaningless
+    (every order contributes a clique) and a measured 22 s wedge-join
+    bomb. All arithmetic integer-exact (operators/graph.triangle_count
+    for the orientation-completeness argument)."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    return gph.triangle_count(gph.copurchase_edges_supported(li))

@@ -522,3 +522,42 @@ def test_hll_merge_equals_direct_estimate(spark):
     m = {r[0]: r[1] for r in merged.collect()}
     d = {r[0]: r[1] for r in direct.collect()}
     assert m == d and len(m) == 5
+
+
+def _sym(pairs):
+    """Symmetric directed edge list from undirected pairs."""
+    return [(u, v) for a, b in pairs for u, v in ((a, b), (b, a))]
+
+
+def test_triangle_count_k4(spark):
+    """K4: 4 triangles, 6 edges, 12 wedges; clustering = 1 (1e6 ppm)."""
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = spark.createDataFrame(_sym(k4), "src long, dst long")
+    row = gph.triangle_count(edges).collect()[0]
+    assert (
+        row.n_nodes,
+        row.n_edges,
+        row.n_triangles,
+        row.n_wedges,
+        row.clustering_ppm,
+    ) == (4, 6, 4, 12, 1_000_000)
+
+
+def test_triangle_count_path_has_none(spark):
+    edges = spark.createDataFrame(
+        _sym([(i, i + 1) for i in range(5)]), "src long, dst long"
+    )
+    row = gph.triangle_count(edges).collect()[0]
+    assert row.n_triangles == 0
+    assert row.clustering_ppm == 0
+
+
+def test_triangle_count_star_plus_rim(spark):
+    """Hub star (worst skew for an unoriented count) + one rim edge:
+    exactly the one triangle through the rim pair, and the hub's
+    out-adjacency after (deg,id) orientation is empty — the skew never
+    reaches the wedge join."""
+    star = [(100, i) for i in range(10)]
+    edges = spark.createDataFrame(_sym(star + [(0, 1)]), "src long, dst long")
+    row = gph.triangle_count(edges).collect()[0]
+    assert row.n_triangles == 1
