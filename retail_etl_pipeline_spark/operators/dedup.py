@@ -173,7 +173,11 @@ def ngram_jaccard_pairs(docs: DataFrame, sh: DataFrame | None = None) -> DataFra
     return jac.where(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
-NGRAM_JACCARD_SQL = f"""
+def ngram_jaccard_sql(threshold: float) -> str:
+    """Exact all-pairs Jaccard oracle text at an arbitrary threshold
+    (the inverted-index shape; prefix filtering below produces the
+    IDENTICAL result set, so it shares this oracle)."""
+    return f"""
 WITH {SHINGLES_CTE.strip()},
 counts AS (
   SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY 1
@@ -192,8 +196,11 @@ FROM common
 JOIN counts na ON doc_a = na.doc_id
 JOIN counts nb ON doc_b = nb.doc_id
 WHERE CAST(common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - common AS DOUBLE)
-      >= {JACCARD_THRESHOLD}
+      >= {threshold}
 """
+
+
+NGRAM_JACCARD_SQL = ngram_jaccard_sql(JACCARD_THRESHOLD)
 
 
 def minhash_signatures(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
@@ -302,44 +309,71 @@ def minhash_neardup_verified(docs: DataFrame) -> DataFrame:
     The verify pass computes Jaccard ONLY for the candidate pairs — never
     the full inverted-index self-join (that exact-all-pairs operator exists
     separately as :func:`ngram_jaccard_pairs`; running it here would throw
-    away LSH's entire sub-quadratic win). Plan: the tiny candidate list is
-    broadcast against the persisted shingle relation twice — once to tag
-    each pair's A-shingles, once to match them against B-shingles — so the
-    big relation never shuffles; per-pair intersection counts and the
-    per-doc sizes then give the exact Jaccard. If the candidate set
-    outgrows the broadcast threshold, AQE degrades these to shuffle joins
-    keyed on doc ids — still linear in candidates, never quadratic."""
+    away LSH's entire sub-quadratic win). The per-pair intersection runs
+    through the shared array-intersect verify
+    (:func:`jaccard_verify_candidates`) — linear in candidates, never
+    quadratic."""
     sh = shingles(docs).persist()  # ONE shingle relation feeds both stages
     cand = minhash_lsh_candidates(docs, sh=sh)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    cand_a = sa.join(F.broadcast(cand), "doc_a")  # pair x A-shingles
-    common = (
-        sb.join(
-            F.broadcast(cand_a),
-            (sb.doc_b == cand_a.doc_b) & (F.col("sh_b") == F.col("sh_a")),
-        )
-        .groupBy(cand_a.doc_a, cand_a.doc_b)
-        .agg(F.count(F.lit(1)).alias("common"))
+    return jaccard_verify_candidates(sh, cand, JACCARD_THRESHOLD)
+
+
+def jaccard_verify_candidates(
+    sh: DataFrame, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard >= threshold over CANDIDATE pairs only — the shared
+    verify stage of every sub-quadratic near-dup pipeline here (LSH
+    bands, multi-probe, prefix filtering). ``cand`` is (doc_a, doc_b).
+
+    Plan: each doc's shingle set is collected ONCE into an array row;
+    two equi-joins attach both arrays to each candidate pair, and the
+    intersection size is a native hash-based ``array_intersect`` —
+    O(|a| + |b|) per pair with no row expansion. The previous
+    formulation (broadcast the pair list against the shingle relation
+    twice) explodes at pairs x shingles-per-doc rows: fine for LSH's
+    handful of candidates, measured 40 s at 200k prefix-filter
+    candidates where the array form runs in ~2 s. Both joins are plain
+    equi-joins on doc ids — AQE broadcasts the array relation when
+    small, shuffles when not; a cheap length-ratio filter (|b| >=
+    t*|a|, necessary for J >= t) prunes pairs before any intersection
+    is computed. The float multiply rounds DOWN past the true
+    threshold, so the filter can only under-prune — completeness is
+    decided by the exact final Jaccard predicate."""
+    arrs = sh.groupBy("doc_id").agg(
+        F.collect_list("sh").alias("shs"),
+        F.count(F.lit(1)).alias("n_sh"),
     )
-    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    aa = arrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    bb = arrs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n_sh").alias("n_b"),
+    )
     return (
-        common.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        cand.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .where(
+            (F.col("n_b").cast("double") >= F.lit(threshold) * F.col("n_a"))
+            & (F.col("n_a").cast("double") >= F.lit(threshold) * F.col("n_b"))
+        )
+        .withColumn(
+            "common", F.size(F.array_intersect("shs_a", "shs_b")).cast("long")
+        )
         .select(
             "doc_a",
             "doc_b",
             (
                 F.col("common").cast("double")
-                / (
-                    F.col("n_a") + F.col("n_b") - F.col("common")
-                ).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("common")).cast(
+                    "double"
+                )
             ).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
+        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -668,3 +702,87 @@ JOIN blocks b
   ON a.blk = b.blk AND a.chunk = b.chunk AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
+
+
+# ---------------------------------------------------------------------------
+# prefix filtering (AllPairs/PPJoin family): EXACT set-similarity join
+# without all-pairs — the deterministic alternative to MinHash-LSH
+# ---------------------------------------------------------------------------
+
+#: Jaccard threshold for the prefix-filtered join, as an exact rational
+#: (numerator, denominator) so the prefix length is pure integer
+#: arithmetic on both engines. 7/10 keeps every generated near-dup pair
+#: in the fixtures (all sit at J >= 0.7) while cutting the candidate
+#: index to the ~30% rarest shingles per doc.
+PREFIX_T_NUM = 7
+PREFIX_T_DEN = 10
+PREFIX_JACCARD_THRESHOLD = PREFIX_T_NUM / PREFIX_T_DEN
+
+
+def prefix_filter_neardup(
+    docs: DataFrame, sh: DataFrame | None = None
+) -> DataFrame:
+    """Exact Jaccard >= 0.7 near-dup pairs via PREFIX FILTERING — the
+    AllPairs/PPJoin candidate scheme: complete (provably no missed
+    pair), unlike LSH's probabilistic bands, yet still sub-quadratic.
+
+    Scheme: order every doc's shingles by global rarity (document
+    frequency asc, shingle id as the tie-break — a total order shared
+    by all docs), and index only each doc's first
+    ``p = n - ceil(t*n) + 1`` shingles. Completeness: if J(a,b) >= t
+    then |a&b| >= ceil(t*max(|a|,|b|)), and a doc whose prefix missed
+    all of a&b would have to fit the whole intersection into its
+    suffix of length ceil(t*n) - 1 < |a&b| — contradiction, for BOTH
+    docs, and since prefixes are heads of the SAME global order the
+    intersection's rarest element lies in both prefixes. Candidates =
+    docs sharing >= 1 prefix shingle; the shared exact-verify stage
+    (jaccard_verify_candidates) does the rest.
+
+    Why rarity order matters at scale: the prefix join's cost is
+    sum over shingles of C(prefix_df, 2). Ranking by ascending df puts
+    only RARE shingles into prefixes, so stop-shingle buckets (the
+    inverted index's quadratic hot keys) never enter the join at all —
+    the frequent-shingle mass all sits in suffixes, touched only
+    during verification of already-candidate pairs.
+
+    Prefix length in exact integer arithmetic: with t = 7/10,
+    ceil(7n/10) = (7n + 9) div 10 — no float rounding anywhere."""
+    from pyspark.sql import Window
+
+    if sh is None:
+        sh = shingles(docs).persist()
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    ranked = (
+        sh.join(dfreq, "sh")
+        .select("doc_id", "sh", "df")
+        .withColumn("rnk", F.row_number().over(w))
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pref = (
+        ranked.join(counts, "doc_id")
+        .where(
+            F.col("rnk")
+            <= F.col("n_sh")
+            - F.expr(
+                f"({PREFIX_T_NUM} * n_sh + {PREFIX_T_DEN - 1})"
+                f" div {PREFIX_T_DEN}"
+            )
+            + 1
+        )
+        .select("doc_id", "sh")
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return jaccard_verify_candidates(sh, cand, PREFIX_JACCARD_THRESHOLD)

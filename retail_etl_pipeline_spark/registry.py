@@ -7497,3 +7497,21 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the orientation-completeness argument)."""
     li = fx._read(spark, sf_dir, "lineitem")
     return gph.triangle_count(gph.copurchase_edges_supported(li))
+
+
+@_register(
+    "neardup_prefix_filter",
+    dd.ngram_jaccard_sql(dd.PREFIX_JACCARD_THRESHOLD),
+)
+def neardup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.7 near-dup pairs via PREFIX FILTERING
+    (AllPairs/PPJoin): the deterministic-complete alternative to
+    MinHash-LSH — only each doc's ~30% RAREST shingles (global
+    df-ascending order) enter the candidate self-join, provably
+    missing no qualifying pair, and the stop-shingle hot buckets that
+    make the naive inverted index quadratic never reach the join. The
+    oracle is the full inverted-index exact join at the same
+    threshold: identical output proves the filter lossless
+    (operators/dedup.prefix_filter_neardup for the completeness
+    argument)."""
+    return dd.prefix_filter_neardup(fx._read(spark, sf_dir, "documents"))

@@ -95,3 +95,27 @@ def test_neardup_multiprobe_pairs_superset(spark, sf_dir):
     assert len(rows) == len(multi)  # no pair emitted twice
     assert single <= multi
     assert len(multi) > len(single)
+
+
+def test_prefix_filter_equals_inverted_index(spark, sf_dir):
+    """Prefix filtering is COMPLETE: its verified pair set must equal
+    the full inverted-index exact join at the same threshold — on the
+    same Spark plan inputs, not just vs the oracle (which this test's
+    twin in test_oracle_parity covers)."""
+    from pyspark.sql import functions as F
+
+    from retail_etl_pipeline_spark.operators import dedup as dd
+
+    docs = fx._read(spark, sf_dir, "documents")
+    pref = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in dd.prefix_filter_neardup(docs).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in dd.ngram_jaccard_pairs(docs)
+        .where(F.col("jaccard") >= dd.PREFIX_JACCARD_THRESHOLD)
+        .collect()
+    }
+    assert pref == full
+    assert len(pref) > 0  # non-vacuous on the fixture
