@@ -7515,3 +7515,147 @@ def neardup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.prefix_filter_neardup for the completeness
     argument)."""
     return dd.prefix_filter_neardup(fx._read(spark, sf_dir, "documents"))
+
+
+@_register(
+    "doc_surprisal_score",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tx.TOKENS_SQL.format(c='text')}) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS t FROM vocab
+),
+contrib AS (
+  SELECT tok,
+         CAST(round(CAST(ln(CAST(t AS DOUBLE) / n) AS DECIMAL(38,12)), 6)
+              AS DECIMAL(38,6)) AS c
+  FROM vocab, tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_toks,
+       CAST(CAST(SUM(c) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_surprisal
+FROM toks JOIN contrib USING (tok)
+GROUP BY doc_id
+""",
+)
+def doc_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram surprisal -ln p(tok) — the cheapest
+    perplexity proxy for corpus quality filtering (gibberish and
+    boilerplate separate from natural text without any model): a doc of
+    corpus-rare tokens scores high, a doc of stop-words scores low.
+    Two-pass plan: corpus vocabulary with counts (bounded by |V|, AQE
+    broadcasts it when small), per-TYPE contribution ln(total/n)
+    computed once per vocab word and rounded IN DECIMAL at 6 places
+    (the corpus_drift_psi trick — per-token doubles summed in exact
+    decimal make the per-doc average partition- and engine-stable; the
+    ln() last-ulp caveat documented there applies), then joined back to
+    the token stream and averaged per doc. The join-back fans out per
+    occurrence — linear in corpus tokens, no pair explosion, and hot
+    stop-word keys are pure map-side fan-out, not aggregation skew."""
+    d = fx._read(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = vocab.agg(F.sum("n").cast("bigint").alias("t"))
+    contrib = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.expr(
+            "CAST(round(CAST(ln(CAST(t AS DOUBLE) / n) AS DECIMAL(38,12)),"
+            " 6) AS DECIMAL(38,6))"
+        ).alias("c"),
+    )
+    return (
+        toks.join(contrib, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            (F.sum("c").cast("double") / F.count(F.lit(1)))
+            .cast("double")
+            .alias("avg_surprisal"),
+        )
+    )
+
+
+# Winsorization cutpoints as DYADIC quantiles (1/16, 15/16): the
+# interpolation index (n-1)*p then has a power-of-two denominator, so
+# lo + (hi-lo)*frac over integer cents is EXACT in double no matter how
+# each engine algebraically arranges the interpolation formula —
+# non-dyadic p (0.05) leaves a last-ulp to the formula shape.
+_WINSOR_LO = "0.0625"
+_WINSOR_HI = "0.9375"
+
+
+@_register(
+    "winsorized_balance_stats",
+    f"""
+WITH cents AS (
+  SELECT c_nationkey,
+         CAST(round(CAST(c_acctbal AS DECIMAL(30,6)), 2) * 100 AS BIGINT)
+           AS bal_c
+  FROM customer
+),
+cuts AS (
+  SELECT c_nationkey,
+         quantile_cont(bal_c, {_WINSOR_LO}) AS lo,
+         quantile_cont(bal_c, {_WINSOR_HI}) AS hi
+  FROM cents GROUP BY 1
+)
+SELECT CAST(c.c_nationkey AS INTEGER) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       {_m("MIN(lo) / 100")} AS cut_lo,
+       {_m("MIN(hi) / 100")} AS cut_hi,
+       {_m(_ds("CAST(bal_c AS DOUBLE) / 100") + " / COUNT(*)")} AS mean_raw,
+       {_m(_ds("LEAST(GREATEST(CAST(bal_c AS DOUBLE), lo), hi) / 100")
+           + " / COUNT(*)")} AS mean_winsor
+FROM cents c JOIN cuts USING (c_nationkey)
+GROUP BY c.c_nationkey
+""",
+)
+def winsorized_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-nation balance means: clamp each balance at the
+    group's 1/16 and 15/16 quantiles, then compare the robust mean to
+    the raw mean — the standard outlier-resistant aggregate for
+    monitoring skewed money columns. Exactness engineering: quantiles
+    run over INTEGER cents at DYADIC probabilities (see _WINSOR_LO
+    comment — dyadic interpolation indices make the cutpoint bit-exact
+    across engines regardless of formula arrangement), the clamped
+    values have <= 4 fractional decimal digits so the decimal sum is
+    exact, and means go through the house money() rounding. Two-phase
+    plan: per-group cutpoints (sort-based percentile agg), join back
+    (AQE broadcasts the 25-row cut relation), one clamped aggregate."""
+    c = fx._read(spark, sf_dir, "customer")
+    cents = c.select(
+        "c_nationkey",
+        (F.round(F.col("c_acctbal").cast("decimal(30,6)"), 2) * 100)
+        .cast("bigint")
+        .alias("bal_c"),
+    )
+    cuts = cents.groupBy("c_nationkey").agg(
+        F.expr(f"percentile(bal_c, {_WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(bal_c, {_WINSOR_HI})").alias("hi"),
+    )
+    clamped = F.expr("LEAST(GREATEST(CAST(bal_c AS DOUBLE), lo), hi) / 100")
+    return (
+        cents.join(cuts, "c_nationkey")
+        .groupBy(F.col("c_nationkey").cast("int").alias("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+            money(F.min("lo") / 100).alias("cut_lo"),
+            money(F.min("hi") / 100).alias("cut_hi"),
+            money(
+                decimal_sum(F.expr("CAST(bal_c AS DOUBLE) / 100"))
+                / F.count(F.lit(1))
+            ).alias("mean_raw"),
+            money(decimal_sum(clamped) / F.count(F.lit(1))).alias(
+                "mean_winsor"
+            ),
+        )
+    )
