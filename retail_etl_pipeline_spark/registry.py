@@ -7659,3 +7659,259 @@ def winsorized_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ad-hoc retrieval scoring — shared SQL fragments evaluated verbatim
+# by both engines (the corpus_drift_psi/_DRIFT_* discipline): identical
+# double arithmetic shape, idf ln() rounded in DECIMAL, and the per-doc
+# term sum written as a FIXED-ORDER chain (a SUM() over terms would
+# reintroduce engine-dependent double accumulation order).
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+#: columns in scope: tf, dl, df, nd (bigint), avgdl (double)
+_BM25_IDF = (
+    "CAST(CAST(round(CAST(ln((CAST(nd AS DOUBLE) - df + 0.5) / (df + 0.5)"
+    " + 1) AS DECIMAL(38,12)), 6) AS DECIMAL(38,6)) AS DOUBLE)"
+)
+_BM25_SCORE = (
+    f"({_BM25_IDF} * (CAST(tf AS DOUBLE) * (1 + {_BM25_K1}))"
+    f" / (CAST(tf AS DOUBLE) + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B}"
+    f" * (CAST(dl AS DOUBLE) / avgdl))))"
+)
+_BM25_DOC_SUM = " + ".join(
+    f"COALESCE(MAX(CASE WHEN tok = '{t}' THEN s END), CAST(0 AS DOUBLE))"
+    for t in _BM25_TERMS
+)
+_BM25_TERM_LIST = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@_register(
+    "bm25_search",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tx.TOKENS_SQL.format(c='text')}) AS tok
+  FROM documents
+),
+dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+         (CAST(SUM(dl) AS DOUBLE) / COUNT(*)) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE tok IN ({_BM25_TERM_LIST})
+  GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+scored AS (
+  SELECT t.doc_id, t.tok, {_BM25_SCORE} AS s
+  FROM tf t
+  JOIN dfreq USING (tok)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+)
+SELECT doc_id,
+       {_BM25_DOC_SUM} AS bm25,
+       CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 (k1=1.2, b=0.75) for a fixed 3-term
+    query — the classic lexical retrieval scorer a training-data
+    pipeline uses for eval-set mining and contamination triage.
+    Cross-engine exactness: idf's ln() is rounded IN DECIMAL at 6
+    places per TERM (3 constants, the corpus_drift_psi trick), every
+    other factor is identically-shaped IEEE double arithmetic on
+    integers, and the per-doc sum over terms is a FIXED-ORDER
+    COALESCE(MAX(CASE))+... chain — a plain SUM would hand the
+    accumulation order to each engine. Deterministic top-k via the
+    doc_id tie-break (TakeOrdered, no global sort materialization).
+    Scale: tf touches only posting rows of the query terms (predicate
+    pushed to the token stream); dl/stats are one bounded aggregate;
+    the joins are equi-joins with a broadcast 1-row stats relation."""
+    d = fx._read(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    scored = (
+        tf.join(dfreq, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "tok", F.expr(_BM25_SCORE).alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.expr(_BM25_DOC_SUM).alias("bm25"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@_register(
+    "quantile_normalized_doclen",
+    f"""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY n_chars, doc_id
+         ) AS rnk
+  FROM documents
+),
+ref AS (
+  SELECT rnk,
+         {_m(_ds("CAST(n_chars AS DOUBLE)") + " / COUNT(*)")} AS qnorm
+  FROM ranked GROUP BY rnk
+)
+SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, qnorm
+FROM ranked JOIN ref USING (rnk)
+""",
+)
+def quantile_normalized_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of document lengths across sources (the
+    bioinformatics-standard distribution equalizer, applied to the
+    corpus-mixing problem): rank docs within each source, average the
+    length at each rank ACROSS sources, and assign every doc the
+    cross-source average at its rank — after which each source's
+    length distribution is identical while preserving within-source
+    order. Rank ties broken by doc_id (total order, engine-stable);
+    the per-rank average is an exact decimal sum through the money
+    macros. Scale: one window per source partition + a groupBy on rank
+    + an equi-join back — all shuffles on bounded keys; no source may
+    be empty-partitioned since ranks derive from actual rows."""
+    d = fx._read(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source", "doc_id", "n_chars", F.row_number().over(w).alias("rnk")
+    )
+    ref = ranked.groupBy("rnk").agg(
+        money(
+            decimal_sum(F.col("n_chars").cast("double"))
+            / F.count(F.lit(1))
+        ).alias("qnorm")
+    )
+    return ranked.join(ref, "rnk").select(
+        "source", "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"),
+        "qnorm",
+    )
+
+
+@_register(
+    "view_to_purchase_latency",
+    f"""
+WITH {fx.EVENTS_STREAM_CTE.strip()},
+pu AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS DATE) END)
+           AS first_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+           AS first_purchase
+  FROM events_norm GROUP BY 1
+),
+viewers AS (
+  SELECT * FROM pu WHERE first_view IS NOT NULL
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t FROM viewers
+),
+hist AS (
+  SELECT CAST(first_purchase - first_view AS BIGINT) AS day_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM viewers
+  WHERE first_purchase >= first_view
+  GROUP BY 1
+)
+SELECT day_offset,
+       n_users,
+       CAST(SUM(n_users) OVER (
+              ORDER BY day_offset
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) * 1000000 // t AS BIGINT) AS cum_conv_ppm
+FROM hist, tot
+""",
+)
+def view_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion curve: for every user with a view event, days
+    from first view to first purchase (same-day = 0), as a histogram
+    with the CUMULATIVE share of all viewers converted by each offset
+    (exact integer ppm) — the product-analytics complement of the
+    funnel/retention operators in operators/behavior.py. The
+    cumulative sum runs through functions.ordered.with_running_sum
+    (range-partitioned two-level prefix sum), not an
+    empty-partitionBy window — the histogram is small but the repo
+    bans the one-task window shape everywhere. Conversion before the
+    first view is excluded (purchase-first users are attribution
+    noise, not conversions)."""
+    from .functions.ordered import with_running_sum
+
+    ev = fx._read(spark, sf_dir, "events")
+    per_user = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.to_date(fx.event_ts_micros(ev)).alias("d"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("d"))).alias(
+                "first_view"
+            ),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("d"))
+            ).alias("first_purchase"),
+        )
+        .where(F.col("first_view").isNotNull())
+        .persist()
+    )
+    tot = per_user.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    hist = (
+        per_user.where(F.col("first_purchase") >= F.col("first_view"))
+        .select(
+            F.datediff("first_purchase", "first_view")
+            .cast("bigint")
+            .alias("day_offset")
+        )
+        .groupBy("day_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .withColumn("n_dec", F.col("n_users").cast("decimal(38,0)"))
+    )
+    cum, _total = with_running_sum(
+        hist, [F.col("day_offset")], "n_dec", running_col="cum_n"
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "day_offset",
+        "n_users",
+        F.expr("(cast(cum_n as decimal(38,0)) * 1000000) div t")
+        .cast("bigint")
+        .alias("cum_conv_ppm"),
+    )
