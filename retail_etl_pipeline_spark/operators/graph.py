@@ -581,3 +581,96 @@ SELECT n_nodes, n_edges, n_triangles, n_wedges,
          AS clustering_ppm
 FROM tri, stats
 """
+
+
+def jaccard_link_prediction(edges: DataFrame, k: int = 20) -> DataFrame:
+    """Top-``k`` NON-adjacent node pairs ranked by neighborhood Jaccard
+    similarity — the classic common-neighbors link-prediction kernel
+    (predicting which parts WOULD be co-purchased). Exact integer
+    arithmetic end-to-end: ``jaccard_ppm = common * 1e6 div
+    (deg_u + deg_w - common)`` in DECIMAL(38,0), deterministic top-k
+    via the (u, w) tie-break.
+
+    Plan: wedges are enumerated by joining the symmetric edge list with
+    itself on the MIDDLE vertex (u–v, v–w, u < w), shuffling on ``v``;
+    candidate pairs then drop existing edges with a left-anti equi-join
+    (symmetry means checking one direction suffices) and pick up both
+    endpoint degrees via two joins on the small per-node degree
+    relation. Fan-out is sum-of-squared-degrees over the SUPPORT-
+    FILTERED graph — the same bound as the triangle census's wedge
+    stage; on a rawer graph, cap per-middle adjacency or raise the
+    support floor before calling (a celebrity hub contributes
+    deg^2 candidate pairs and should be pre-capped, not joined)."""
+    n_parts = _loop_partitions(edges)
+    edges = edges.repartition(n_parts, "src").persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e1 = edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    e2 = edges.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    pairs = (
+        e1.join(e2, "v")
+        .where(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    non_adjacent = pairs.join(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        ["u", "w"],
+        "left_anti",
+    )
+    du = deg.select(F.col("src").alias("u"), F.col("deg").alias("deg_u"))
+    dw = deg.select(F.col("src").alias("w"), F.col("deg").alias("deg_w"))
+    return (
+        non_adjacent.join(du, "u")
+        .join(dw, "w")
+        .select(
+            F.col("u").cast("bigint").alias("u"),
+            F.col("w").cast("bigint").alias("w"),
+            F.col("common").cast("bigint").alias("common"),
+            F.col("deg_u").cast("bigint").alias("deg_u"),
+            F.col("deg_w").cast("bigint").alias("deg_w"),
+            F.expr(
+                "cast((cast(common as decimal(38,0)) * 1000000)"
+                " div (deg_u + deg_w - common) as bigint)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy(F.desc("jaccard_ppm"), F.asc("u"), F.asc("w"))
+        .limit(k)
+    )
+
+
+def link_prediction_oracle_sql(
+    min_support: int = TRIANGLE_MIN_SUPPORT, k: int = 20
+) -> str:
+    """DuckDB twin of :func:`jaccard_link_prediction` over the
+    support-filtered copurchase graph: identical wedge join, anti-join
+    via NOT EXISTS, HUGEINT for the widened ppm ratio."""
+    return f"""
+WITH {_edges_supported_cte(min_support)},
+deg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+),
+pairs AS (
+  SELECT e1.dst AS u, e2.dst AS w, CAST(COUNT(*) AS BIGINT) AS common
+  FROM edges e1 JOIN edges e2 ON e1.src = e2.src
+  WHERE e1.dst < e2.dst
+  GROUP BY 1, 2
+),
+non_adjacent AS (
+  SELECT p.* FROM pairs p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM edges e WHERE e.src = p.u AND e.dst = p.w
+  )
+)
+SELECT CAST(p.u AS BIGINT) AS u,
+       CAST(p.w AS BIGINT) AS w,
+       p.common,
+       du.deg AS deg_u,
+       dw.deg AS deg_w,
+       CAST((CAST(p.common AS HUGEINT) * 1000000)
+            // (du.deg + dw.deg - p.common) AS BIGINT) AS jaccard_ppm
+FROM non_adjacent p
+JOIN deg du ON p.u = du.node
+JOIN deg dw ON p.w = dw.node
+ORDER BY jaccard_ppm DESC, u ASC, w ASC
+LIMIT {k}
+"""

@@ -111,8 +111,9 @@ def sessionized(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
     )
 
 
-SESSION_SQL = f"""
-WITH seq AS (
+#: gaps-and-islands session assignment (user_id, ts, value, sid) —
+#: shared by SESSION_SQL and the concurrency sweep oracle
+SESSION_CTES = f"""seq AS (
   SELECT user_id, ts, value,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events_norm
@@ -130,7 +131,10 @@ sess AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS sid
   FROM flagged
-)
+)"""
+
+SESSION_SQL = f"""
+WITH {SESSION_CTES}
 SELECT user_id,
        MIN(ts) AS session_start,
        MAX(ts) + {SESSION_GAP_SQL} AS session_end,

@@ -7915,3 +7915,192 @@ def view_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cum_conv_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph link prediction, interval-sweep concurrency, robust MAD outliers
+# ---------------------------------------------------------------------------
+
+
+@_register("copurchase_link_prediction", gph.link_prediction_oracle_sql())
+def copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part pairs most likely to be co-purchased NEXT: neighborhood
+    Jaccard over the support-filtered copurchase graph, existing edges
+    anti-joined out — the classic common-neighbors link-prediction
+    kernel (operators/graph.jaccard_link_prediction for the wedge-join
+    plan and hub-capping notes). All-integer jaccard_ppm with (u, w)
+    tie-breaks keeps the top-k engine-stable."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    return gph.jaccard_link_prediction(gph.copurchase_edges_supported(li))
+
+
+@_register(
+    "peak_session_concurrency",
+    f"""
+WITH {fx.EVENTS_STREAM_CTE.strip()},
+{win.SESSION_CTES},
+sessions AS (
+  SELECT user_id,
+         MIN(ts) AS s,
+         MAX(ts) + {win.SESSION_GAP_SQL} AS e
+  FROM sess GROUP BY user_id, sid
+),
+bounds AS (
+  SELECT s AS t, 1 AS d FROM sessions
+  UNION ALL
+  SELECT e AS t, -1 AS d FROM sessions
+),
+net AS (
+  SELECT t, CAST(SUM(d) AS BIGINT) AS net FROM bounds GROUP BY t
+),
+run AS (
+  SELECT t,
+         SUM(net) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS c
+  FROM net
+),
+peak AS (SELECT MAX(c) AS p FROM run)
+SELECT CAST(p AS BIGINT) AS peak_concurrency,
+       (SELECT MIN(t) FROM run WHERE c = p) AS first_peak_ts,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sessions) AS n_sessions
+FROM peak
+""",
+)
+def peak_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak number of simultaneously open user sessions and the first
+    instant it is reached — the classic interval sweep (+1 at session
+    start, -1 at end) over the same 4-hour-gap sessions the
+    session_windows query emits. Engine stability by construction:
+    boundaries are aggregated to one NET integer delta per distinct
+    timestamp BEFORE the prefix sum, so the running relation has
+    unique sort keys (no within-tie intermediate values for engines to
+    order differently), and end-before-start at equal instants is
+    exactly the half-open [start, end) overlap convention. The prefix
+    sum runs through functions.ordered.with_running_sum (two-level
+    range-partitioned, no one-task global window); peak and argmin are
+    bounded scalar aggregates over it."""
+    from .functions.ordered import with_running_sum
+
+    sess = win.sessionized(fx.events_stream(spark, sf_dir))
+    bounds = sess.select(
+        F.col("session_start").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        sess.select(F.col("session_end").alias("t"), F.lit(-1).alias("d"))
+    )
+    net = bounds.groupBy("t").agg(
+        F.sum("d").cast("decimal(38,0)").alias("net")
+    )
+    run, _tot = with_running_sum(net, [F.col("t")], "net", running_col="c")
+    peak = run.agg(F.max("c").alias("p"))
+    n_s = sess.agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    return (
+        run.crossJoin(F.broadcast(peak))
+        .where(F.col("c") == F.col("p"))
+        .agg(
+            F.max("c").cast("bigint").alias("peak_concurrency"),
+            F.min("t").alias("first_peak_ts"),
+        )
+        .crossJoin(F.broadcast(n_s))
+        .select("peak_concurrency", "first_peak_ts", "n_sessions")
+    )
+
+
+@_register(
+    "store_revenue_mad_outliers",
+    f"""
+WITH {fx.SALES_CTE.strip()},
+daily AS (
+  SELECT store_key,
+         trans_dt,
+         CAST(round(SUM(CAST(sales_amt AS DECIMAL(30,6))), 2) * 100
+              AS BIGINT) AS rev_cents
+  FROM sales
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY store_key ORDER BY rev_cents, trans_dt
+         ) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY store_key) AS BIGINT) AS n
+  FROM daily
+),
+m AS (
+  SELECT *,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN rev_cents END)
+           OVER (PARTITION BY store_key) AS med_cents
+  FROM r
+),
+a AS (
+  SELECT *, abs(rev_cents - med_cents) AS abs_dev FROM m
+),
+r2 AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY store_key ORDER BY abs_dev, trans_dt
+         ) AS rn2
+  FROM a
+),
+m2 AS (
+  SELECT *,
+         MAX(CASE WHEN rn2 = (n + 1) // 2 THEN abs_dev END)
+           OVER (PARTITION BY store_key) AS mad_cents
+  FROM r2
+)
+SELECT store_key,
+       trans_dt,
+       rev_cents,
+       CAST(med_cents AS BIGINT) AS med_cents,
+       CAST(mad_cents AS BIGINT) AS mad_cents
+FROM m2
+WHERE abs_dev > 3 * mad_cents
+""",
+)
+def store_revenue_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-store outlier days: |daily revenue - median| > 3 * MAD
+    (median absolute deviation) — the standard-deviation screen's
+    robust sibling (store_revenue_anomaly_days is the sigma version);
+    MAD tolerates up to 50% contaminated days where trailing sigma is
+    dragged by the outliers it is hunting. Exact by construction:
+    revenue in integer cents (the store_revenue_7d_median fragment),
+    both medians rank-PINNED at ceil(n/2) under a total order
+    (rev/dev, trans_dt) — the repo's lower-median convention
+    (token_length_percentiles_exact) rather than engine median()
+    interpolation — and the 3*MAD comparison is pure integers. Plan:
+    one hash aggregate, then all five window passes share the single
+    store_key partitioning (one shuffle, no empty-partitionBy
+    windows); whole-partition frames are computed once per group."""
+    s = fx.sales(spark, sf_dir)
+    daily = s.groupBy("store_key", "trans_dt").agg(
+        (F.round(F.sum(F.col("sales_amt").cast("decimal(30,6)")), 2) * 100)
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w_all = Window.partitionBy("store_key")
+    w_rank = Window.partitionBy("store_key").orderBy("rev_cents", "trans_dt")
+    r = daily.select(
+        "*",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+    )
+    m = r.withColumn(
+        "med_cents",
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("rev_cents"))
+        ).over(w_all),
+    ).withColumn("abs_dev", F.abs(F.col("rev_cents") - F.col("med_cents")))
+    w_rank2 = Window.partitionBy("store_key").orderBy("abs_dev", "trans_dt")
+    m2 = m.withColumn("rn2", F.row_number().over(w_rank2)).withColumn(
+        "mad_cents",
+        F.max(
+            F.when(F.col("rn2") == F.expr("(n + 1) div 2"), F.col("abs_dev"))
+        ).over(w_all),
+    )
+    return m2.where(F.col("abs_dev") > 3 * F.col("mad_cents")).select(
+        "store_key",
+        "trans_dt",
+        "rev_cents",
+        F.col("med_cents").cast("bigint").alias("med_cents"),
+        F.col("mad_cents").cast("bigint").alias("mad_cents"),
+    )
