@@ -57,3 +57,38 @@ def k_anonymity_summary(
         ).alias("rows_at_risk"),
         F.min("class_size").alias("achieved_k"),
     )
+
+
+def l_diversity_summary(
+    df: DataFrame, quasi_cols: Sequence[str], sensitive_col: str, l: int
+) -> DataFrame:
+    """One-row l-diversity audit: k-anonymity's necessary complement —
+    a class of 50 rows that all share ONE sensitive value is perfectly
+    k-anonymous yet discloses the attribute outright (homogeneity
+    attack). A table is (distinct) l-diverse when every QI equivalence
+    class contains at least ``l`` distinct sensitive values; reported
+    here as total classes, violating classes, rows at risk, and the
+    achieved l (the minimum distinct-sensitive count over classes).
+
+    Same plan shape as :func:`k_anonymity_summary` plus a distinct
+    count inside the class aggregation — Spark rewrites
+    count_distinct within groupBy as a two-phase expand/aggregate,
+    still one logical pass, no window or self-join."""
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.count_distinct(sensitive_col).alias("n_sensitive"),
+    )
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum(F.when(F.col("n_sensitive") < l, 1).otherwise(0))
+        .cast("bigint")
+        .alias("violating_classes"),
+        F.sum(
+            F.when(F.col("n_sensitive") < l, F.col("class_size")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.min("n_sensitive").cast("bigint").alias("achieved_l"),
+    )

@@ -8104,3 +8104,336 @@ def store_revenue_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("med_cents").cast("bigint").alias("med_cents"),
         F.col("mad_cents").cast("bigint").alias("mad_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality analytics (lag-7 autocorrelation, weekday-adjusted outliers),
+# l-diversity privacy audit, per-document token entropy
+# ---------------------------------------------------------------------------
+
+#: 6-decimal presentation rounding via the money() decimal hop at scale 6 —
+#: for correlation/entropy outputs where 2 decimals is too coarse.
+_ROUND6_SQL = "CAST(round(CAST({x} AS DECIMAL(30,12)), 6) AS DOUBLE)"
+
+
+def _round6(c: Column) -> Column:
+    return F.round(c.cast("decimal(30,12)"), 6).cast("double")
+
+
+_DAILY_REV_CTE = f"""
+daily AS (
+  SELECT store_key, trans_dt,
+         CAST(round(SUM(CAST(sales_amt AS DECIMAL(30,6))), 2) * 100
+              AS BIGINT) AS rev_cents
+  FROM sales
+  GROUP BY 1, 2
+)"""
+
+
+def _daily_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        fx.sales(spark, sf_dir)
+        .groupBy("store_key", "trans_dt")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("sales_amt").cast("decimal(30,6)")), 2
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+
+
+@_register(
+    "store_revenue_autocorr7",
+    f"""
+WITH {fx.SALES_CTE.strip()},
+{_DAILY_REV_CTE.strip()},
+pairs AS (
+  SELECT a.store_key,
+         CAST(a.rev_cents AS DECIMAL(38,0)) AS x,
+         CAST(b.rev_cents AS DECIMAL(38,0)) AS y
+  FROM daily a
+  JOIN daily b
+    ON a.store_key = b.store_key
+   AND b.trans_dt = a.trans_dt + INTERVAL '7' DAY
+),
+m AS (
+  SELECT store_key,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM pairs GROUP BY 1
+)
+SELECT CAST(store_key AS BIGINT) AS store_key,
+       CAST(n AS BIGINT) AS n_pairs,
+       {_ROUND6_SQL.format(x='''
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                       * CAST(n * syy - sy * sy AS DOUBLE)), 0.0)''')}
+         AS autocorr7
+FROM m
+WHERE n >= 30
+""",
+)
+def store_revenue_autocorr7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality strength per store: Pearson autocorrelation of
+    daily revenue at lag 7 DAYS (calendar shift, not 7 rows — gap days
+    pair with nothing instead of silently shifting the series). High
+    autocorr7 = stable weekly rhythm (forecastable, weekday-aware
+    staffing); near zero = demand is event-driven.
+
+    Exactness: revenue in integer cents, the lag pairing expressed as an
+    EQUI-join (the 7-day shift is applied to one side's key before the
+    join, so no non-equi range condition), and all five moment sums in
+    DECIMAL(38,0) — exact integer arithmetic, order-independent, safely
+    inside 38 digits (cents^2 * days * n < 1e24). Only the final
+    correlation ratio runs in double — on bit-identical inputs through a
+    shared expression string — and is presentation-rounded through the
+    scale-6 decimal hop. Plan: one hash agg, one shuffle-on-store_key
+    self-equi-join, one hash agg; n>=30 suppresses stores with too few
+    pairs for a meaningful estimate."""
+    daily = _daily_rev(spark, sf_dir)
+    shifted = daily.select(
+        "store_key",
+        F.date_sub("trans_dt", 7).alias("trans_dt"),
+        F.col("rev_cents").alias("y"),
+    )
+    pairs = daily.join(shifted, ["store_key", "trans_dt"]).select(
+        "store_key",
+        F.col("rev_cents").cast("decimal(38,0)").alias("x"),
+        F.col("y").cast("decimal(38,0)").alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    m = pairs.groupBy("store_key").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return (
+        m.where(n >= 30)
+        .select(
+            F.col("store_key").cast("bigint").alias("store_key"),
+            n.cast("bigint").alias("n_pairs"),
+            _round6(
+                (n * sxy - sx * sy).cast("double")
+                / F.nullif(
+                    F.sqrt(
+                        (n * sxx - sx * sx).cast("double")
+                        * (n * syy - sy * sy).cast("double")
+                    ),
+                    F.lit(0.0),
+                )
+            ).alias("autocorr7"),
+        )
+    )
+
+
+@_register(
+    "store_revenue_dow_outliers",
+    f"""
+WITH {fx.SALES_CTE.strip()},
+daily AS (
+  SELECT store_key, trans_dt, isodow(trans_dt) - 1 AS dow,
+         CAST(round(SUM(CAST(sales_amt AS DECIMAL(30,6))), 2) * 100
+              AS BIGINT) AS rev_cents
+  FROM sales GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY store_key, dow ORDER BY rev_cents, trans_dt) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY store_key, dow) AS BIGINT) AS n
+  FROM daily
+),
+m AS (
+  SELECT *,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN rev_cents END)
+           OVER (PARTITION BY store_key, dow) AS med
+  FROM r
+)
+SELECT store_key, trans_dt, CAST(dow AS INTEGER) AS iso_dow,
+       rev_cents, CAST(med AS BIGINT) AS dow_median_cents
+FROM m WHERE rev_cents > 2 * med
+""",
+)
+def store_revenue_dow_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-ADJUSTED outlier days: daily revenue more than 2x the
+    store's median FOR THAT WEEKDAY. A raw threshold flags every
+    Saturday in a weekend-heavy store; comparing each day against its
+    own weekday's median removes the weekly cycle first, so what
+    remains is genuinely anomalous (store_revenue_mad_outliers is the
+    robust-dispersion screen; this is the seasonal screen — a real
+    monitoring stack runs both). Integer-exact end-to-end: cents
+    revenue, rank-pinned lower median per (store, weekday) under a
+    total order, integer 2x compare. Weekday convention: Spark
+    ``weekday`` (0=Monday) == DuckDB ``isodow - 1`` (the
+    weekday-bitmap query's mapping). Both window passes share the one
+    (store_key, dow) partitioning — a single shuffle."""
+    daily = (
+        fx.sales(spark, sf_dir)
+        .groupBy(
+            "store_key",
+            "trans_dt",
+            F.expr("weekday(trans_dt)").alias("dow"),
+        )
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("sales_amt").cast("decimal(30,6)")), 2
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w_all = Window.partitionBy("store_key", "dow")
+    w_rank = Window.partitionBy("store_key", "dow").orderBy(
+        "rev_cents", "trans_dt"
+    )
+    m = (
+        daily.select(
+            "*",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+        )
+        .withColumn(
+            "med",
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n + 1) div 2"), F.col("rev_cents")
+                )
+            ).over(w_all),
+        )
+    )
+    return m.where(F.col("rev_cents") > 2 * F.col("med")).select(
+        "store_key",
+        "trans_dt",
+        F.col("dow").cast("int").alias("iso_dow"),
+        "rev_cents",
+        F.col("med").cast("bigint").alias("dow_median_cents"),
+    )
+
+
+_LDIV_L = 3
+
+
+@_register(
+    "l_diversity_customers",
+    f"""
+WITH cls AS (
+  SELECT c_mktsegment, c_nationkey,
+         COUNT(*) AS class_size,
+         COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS INTEGER))
+           AS n_sensitive
+  FROM customer
+  GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN n_sensitive < {_LDIV_L} THEN 1 ELSE 0 END)
+            AS BIGINT) AS violating_classes,
+       CAST(SUM(CASE WHEN n_sensitive < {_LDIV_L} THEN class_size ELSE 0 END)
+            AS BIGINT) AS rows_at_risk,
+       CAST(MIN(n_sensitive) AS BIGINT) AS achieved_l
+FROM cls
+""",
+)
+def l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row l-diversity audit — k-anonymity's necessary complement
+    (operators/privacy.l_diversity_summary): the k-anonymity queries
+    treat the acctbal band as a quasi-identifier; here it is the
+    SENSITIVE attribute, and the question becomes whether any
+    (segment, nation) class is value-homogeneous — a class of 50
+    customers all in the same balance band is perfectly 3-anonymous
+    yet discloses every member's band outright. One grouped
+    distinct-count pass, no window, no self-join."""
+    c = fx._read(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("integer")
+    )
+    return pv.l_diversity_summary(
+        c, ["c_mktsegment", "c_nationkey"], "bal_band", l=_LDIV_L
+    )
+
+
+@_register(
+    "doc_token_entropy",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tx.TOKENS_SQL.format(c='text')}) AS tok
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_toks,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         SUM(CAST(round(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,12)), 6)
+                  AS DECIMAL(38,6))) AS sclnc
+  FROM cnt GROUP BY 1
+)
+SELECT doc_id, n_toks, n_distinct,
+       {_ROUND6_SQL.format(x='''
+         CAST(CAST(round(CAST(ln(CAST(n_toks AS DOUBLE)) AS DECIMAL(38,12)),
+                         6) AS DECIMAL(38,6)) AS DOUBLE)
+         - CAST(sclnc AS DOUBLE) / n_toks''')} AS entropy
+FROM agg
+""",
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats) —
+    the complementary quality signal to doc_surprisal_score: surprisal
+    measures rarity AGAINST THE CORPUS, entropy measures internal
+    repetitiveness WITHIN the doc (keyword-stuffed or template text
+    scores far below natural prose of the same length; entropy
+    approaches ln(n_toks) when every token is distinct). Computed as
+    H = ln(n) - (1/n) * sum(c * ln c) so only per-(doc, token) COUNTS
+    feed the logs: each contribution is rounded IN DECIMAL at 6 places
+    (doc_surprisal_score's trick; the ln() last-ulp caveat documented
+    at corpus_drift_psi applies) and summed exactly, then the final
+    ratio runs in double on identical inputs. Plan: explode ->
+    grouped count -> grouped sum, all linear in corpus tokens with
+    map-side partials; the decimal rounding keeps the result
+    partition-count-independent — the cluster answer equals the
+    local[32] answer bit-for-bit."""
+    d = fx._read(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_toks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(
+            F.round(
+                (F.col("c") * F.log(F.col("c").cast("double"))).cast(
+                    "decimal(38,12)"
+                ),
+                6,
+            ).cast("decimal(38,6)")
+        ).alias("sclnc"),
+    )
+    ln_n = F.round(
+        F.log(F.col("n_toks").cast("double")).cast("decimal(38,12)"), 6
+    ).cast("decimal(38,6)")
+    return agg.select(
+        "doc_id",
+        "n_toks",
+        "n_distinct",
+        _round6(
+            ln_n.cast("double")
+            - F.col("sclnc").cast("double") / F.col("n_toks")
+        ).alias("entropy"),
+    )
