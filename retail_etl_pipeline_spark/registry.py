@@ -8437,3 +8437,187 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("sclnc").cast("double") / F.col("n_toks")
         ).alias("entropy"),
     )
+
+
+@_register(
+    "customer_spend_gini",
+    """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 2) * 100
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT CAST(cents AS DECIMAL(38,0)) AS x,
+         CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS DECIMAL(38,0))
+           AS i
+  FROM spend
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         SUM(x) AS sx,
+         SUM(i * x) AS six
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(sx AS BIGINT) AS total_cents,
+       CAST(CAST((2 * six - (n + 1) * sx) * 1000000 AS HUGEINT)
+            // CAST(n * sx AS HUGEINT) AS BIGINT) AS gini_ppm
+FROM agg
+""",
+)
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime spend, in ppm — the single
+    inequality number behind the pareto_customers curve (G = 0 everyone
+    spends alike, G -> 1 a few whales carry the book). Exact by the
+    rank formula G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over
+    ASCENDING-sorted integer cents: every term is a DECIMAL(38,0)
+    integer (i*x < 1e20, the sum < 1e26 — inside 38 digits at any
+    plausible scale), and the final ratio is exact integer division —
+    Spark decimal ``div`` == DuckDB HUGEINT ``//`` (DECIMAL ``//`` in
+    DuckDB routes through double and flips floor on near-integer
+    quotients; observed on the KS twin at sf0.001). The global sort
+    rank runs through functions.ordered.with_global_rank — range
+    shuffle + partition-local row_number with literal offsets, no
+    one-task window stage."""
+    from .functions.ordered import with_global_rank
+
+    o = fx._read(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        (F.round(F.sum(F.col("o_totalprice").cast("decimal(30,6)")), 2) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked, _n = with_global_rank(
+        spend, [F.col("cents"), F.col("o_custkey")], rank_col="i"
+    )
+    agg = ranked.select(
+        F.col("cents").cast("decimal(38,0)").alias("x"),
+        F.col("i").cast("decimal(38,0)").alias("i"),
+    ).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("sx").cast("bigint").alias("total_cents"),
+        F.expr(
+            "CAST(((2 * six - (n + 1) * sx) * 1000000) div (n * sx)"
+            " AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+@_register(
+    "lineitem_revenue_ks",
+    """
+WITH vals AS (
+  SELECT CAST(round(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)),
+                    2) * 100 AS BIGINT) AS v,
+         year(l_shipdate) <= 1997 AS a
+  FROM lineitem
+),
+cnt AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS DECIMAL(38,0)) AS ca,
+         CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS DECIMAL(38,0)) AS cb
+  FROM vals GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(ca) AS DECIMAL(38,0)) AS na,
+         CAST(SUM(cb) AS DECIMAL(38,0)) AS nb
+  FROM cnt
+),
+delta AS (
+  SELECT v, ca * nb - cb * na AS d FROM cnt, tot
+),
+run AS (
+  SELECT v,
+         SUM(d) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rd
+  FROM delta
+),
+mx AS (SELECT MAX(abs(rd)) AS m FROM run)
+SELECT CAST(na AS BIGINT) AS n_early,
+       CAST(nb AS BIGINT) AS n_late,
+       CAST(CAST(m * 1000000 AS HUGEINT) // CAST(na * nb AS HUGEINT)
+            AS BIGINT) AS ks_ppm,
+       (SELECT CAST(MIN(v) AS BIGINT) FROM run, mx WHERE abs(rd) = m)
+         AS at_cents
+FROM tot, mx
+""",
+)
+def lineitem_revenue_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between early (ship year
+    <= 1997) and late per-line revenue distributions — the
+    distribution-drift detector that completes the PSI / KL / JS family
+    (corpus_drift_psi): PSI needs binning choices, KS is
+    binning-free (sup over the ecdf gap) and EXACTLY computable in
+    integers. Key identity: with per-value counts (ca, cb) and totals
+    (na, nb), the scaled ecdf gap at v is Ca(v)*nb - Cb(v)*na — a
+    RUNNING SUM of the per-value delta ca*nb - cb*na — so one exact
+    decimal prefix sum (functions.ordered.with_running_sum, two-level
+    range-partitioned, no one-task window) yields the whole curve;
+    ks_ppm = max|gap| * 1e6 div (na*nb) in exact integer division
+    (DuckDB side in HUGEINT — its DECIMAL // routes through double and
+    flips floor on near-integer quotients, observed off-by-one at
+    sf0.001). at_cents pins the argmax with a MIN(v) tie-break. Plan:
+    one hash agg on value, tiny broadcast totals, range-shuffle prefix
+    sum, bounded scalar aggregates."""
+    from .functions.ordered import with_running_sum
+
+    li = fx._read(spark, sf_dir, "lineitem")
+    vals = li.select(
+        (
+            F.round(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(30,6)"),
+                2,
+            )
+            * 100
+        )
+        .cast("bigint")
+        .alias("v"),
+        (F.year("l_shipdate") <= 1997).alias("a"),
+    )
+    cnt = vals.groupBy("v").agg(
+        F.sum(F.when(F.col("a"), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("ca"),
+        F.sum(F.when(F.col("a"), 0).otherwise(1))
+        .cast("decimal(38,0)")
+        .alias("cb"),
+    )
+    tot = cnt.agg(
+        F.sum("ca").cast("decimal(38,0)").alias("na"),
+        F.sum("cb").cast("decimal(38,0)").alias("nb"),
+    )
+    delta = cnt.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "na",
+        "nb",
+        (F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+        .cast("decimal(38,0)")
+        .alias("d"),
+    )
+    run, _tot = with_running_sum(delta, [F.col("v")], "d", running_col="rd")
+    mx = run.agg(F.max(F.abs(F.col("rd"))).alias("m"))
+    at = (
+        run.crossJoin(F.broadcast(mx))
+        .where(F.abs(F.col("rd")) == F.col("m"))
+        .agg(F.min("v").cast("bigint").alias("at_cents"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(mx))
+        .select(
+            F.col("na").cast("bigint").alias("n_early"),
+            F.col("nb").cast("bigint").alias("n_late"),
+            F.expr("CAST((m * 1000000) div (na * nb) AS BIGINT)").alias(
+                "ks_ppm"
+            ),
+        )
+        .crossJoin(F.broadcast(at))
+    )
