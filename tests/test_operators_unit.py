@@ -589,3 +589,54 @@ def test_canonicalize_url_rules(spark):
         ).collect()
     }
     assert got == cases
+
+
+def test_l_diversity_summary_homogeneous_class(spark):
+    """A class can be large (k-anonymous) yet value-homogeneous — the
+    exact disclosure l-diversity exists to catch."""
+    import pytest
+    from retail_etl_pipeline_spark.operators.privacy import (
+        l_diversity_summary,
+    )
+
+    df = spark.createDataFrame(
+        # class A: 4 rows, all sensitive=10 (homogeneous -> violating)
+        # class B: 2 rows, sensitive {10, 20} (l=2 -> violating at l=3)
+        # class C: 3 rows, sensitive {1, 2, 3} (l=3 -> ok)
+        [("A", 10)] * 4 + [("B", 10), ("B", 20)]
+        + [("C", 1), ("C", 2), ("C", 3)],
+        "qi string, s int",
+    )
+    row = l_diversity_summary(df, ["qi"], "s", l=3).collect()[0]
+    assert row.n_classes == 3
+    assert row.violating_classes == 2
+    assert row.rows_at_risk == 6
+    assert row.achieved_l == 1
+
+    with pytest.raises(ValueError):
+        l_diversity_summary(df, ["qi"], "s", l=0)
+
+
+def test_jaccard_link_prediction_path_graph(spark):
+    """Path a-b-c: the only wedge is a-b-c, so (a, c) is the one
+    predicted link, with Jaccard |{b}| / |{b}| = 1 -> 1e6 ppm; adjacent
+    pairs must be anti-joined out even when they share a neighbor."""
+    from retail_etl_pipeline_spark.operators.graph import (
+        jaccard_link_prediction,
+    )
+
+    # symmetric edge list of the path 1-2-3 plus triangle edge 1-3 absent
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    rows = jaccard_link_prediction(edges, k=10).collect()
+    assert [(r.u, r.w, r.common, r.jaccard_ppm) for r in rows] == [
+        (1, 3, 1, 1_000_000)
+    ]
+
+    # close the triangle: 1-3 now adjacent -> no non-adjacent wedge pair
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)],
+        "src long, dst long",
+    )
+    assert jaccard_link_prediction(tri, k=10).count() == 0
