@@ -8621,3 +8621,224 @@ def lineitem_revenue_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(at))
     )
+
+
+@_register(
+    "store_revenue_trend",
+    f"""
+WITH {fx.SALES_CTE.strip()},
+{_DAILY_REV_CTE.strip()},
+idx AS (
+  SELECT store_key,
+         CAST(datediff('day', MIN(trans_dt) OVER (PARTITION BY store_key),
+                       trans_dt) AS DECIMAL(38,0)) AS x,
+         CAST(rev_cents AS DECIMAL(38,0)) AS y
+  FROM daily
+),
+m AS (
+  SELECT store_key,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM idx GROUP BY 1
+)
+SELECT CAST(store_key AS BIGINT) AS store_key,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(CAST((n * sxy - sx * sy) * 1000000 AS HUGEINT)
+            // CAST(n * sxx - sx * sx AS HUGEINT) AS BIGINT)
+         AS slope_microcents_per_day
+FROM m WHERE n >= 30
+""",
+)
+def store_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-store revenue TREND: the OLS slope of daily revenue against
+    the day index, in micro-cents/day — growing vs declining stores as
+    one robust number per store rather than an eyeballed chart.
+    Integer-exact: x is the day offset from the store's own first day
+    (a per-partition window MIN — no global scalar to broadcast), y is
+    integer cents, the four moment sums accumulate in DECIMAL(38,0)
+    (order-independent, cluster-size-independent), and the closed-form
+    slope (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) is exact integer division
+    scaled to 1e6 (DuckDB side in HUGEINT — its DECIMAL // routes
+    through double; see customer_spend_gini). Plan: one hash agg, one
+    store-partitioned window pass, one hash agg — two shuffles, no
+    self-join, trivially parallel by store."""
+    daily = _daily_rev(spark, sf_dir)
+    w = Window.partitionBy("store_key")
+    idx = daily.select(
+        "store_key",
+        F.datediff(F.col("trans_dt"), F.min("trans_dt").over(w))
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.col("rev_cents").cast("decimal(38,0)").alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    m = idx.groupBy("store_key").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    return m.where(F.col("n") >= 30).select(
+        F.col("store_key").cast("bigint").alias("store_key"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.expr(
+            "CAST(((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)"
+            " AS BIGINT)"
+        ).alias("slope_microcents_per_day"),
+    )
+
+
+@_register(
+    "brand_price_elasticity",
+    """
+WITH pts AS (
+  SELECT p_brand,
+         CAST(round(CAST(ln(l_extendedprice / l_quantity) AS DECIMAL(38,12)),
+                    6) * 1000000 AS DECIMAL(38,0)) AS x,
+         CAST(round(CAST(ln(CAST(l_quantity AS DOUBLE)) AS DECIMAL(38,12)),
+                    6) * 1000000 AS DECIMAL(38,0)) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_quantity > 0 AND l_extendedprice > 0
+),
+m AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM pts GROUP BY 1
+)
+SELECT p_brand,
+       CAST(n AS BIGINT) AS n_lines,
+       CAST(CAST((n * sxy - sx * sy) * 1000000 AS HUGEINT)
+            // CAST(n * sxx - sx * sx AS HUGEINT) AS BIGINT)
+         AS elasticity_ppm
+FROM m WHERE n >= 30
+""",
+)
+def brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity proxy per brand: the OLS slope of ln(quantity)
+    on ln(unit price) across order lines — the log-log regression whose
+    slope reads directly as %-demand change per %-price change
+    (negative = normal demand curve). The two logs run in double
+    through IDENTICAL expression strings on both engines (IEEE ops on
+    identical inputs), are immediately pinned to integer micros via the
+    decimal-round hop (doc_surprisal_score's trick — after this point
+    NOTHING depends on summation order), and the slope is exact integer
+    arithmetic as in store_revenue_trend. Plan: broadcast part dim join
+    (fact never shuffles for the join), one hash agg per brand — the
+    whole regression is one map + one combine-friendly reduce; at 100TB
+    the moment sums are per-brand partials, no row survives the map
+    stage."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    p = fx._read(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pts = (
+        li.where((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            "p_brand",
+            (
+                F.round(
+                    F.log(
+                        F.col("l_extendedprice") / F.col("l_quantity")
+                    ).cast("decimal(38,12)"),
+                    6,
+                )
+                * 1000000
+            )
+            .cast("decimal(38,0)")
+            .alias("x"),
+            (
+                F.round(
+                    F.log(F.col("l_quantity").cast("double")).cast(
+                        "decimal(38,12)"
+                    ),
+                    6,
+                )
+                * 1000000
+            )
+            .cast("decimal(38,0)")
+            .alias("y"),
+        )
+    )
+    x, y = F.col("x"), F.col("y")
+    m = pts.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    return m.where(F.col("n") >= 30).select(
+        "p_brand",
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.expr(
+            "CAST(((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)"
+            " AS BIGINT)"
+        ).alias("elasticity_ppm"),
+    )
+
+
+@_register(
+    "cohort_ltv_matrix",
+    """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_totalprice
+  FROM orders
+),
+firsts AS (
+  SELECT o_custkey,
+         MIN(year(d) * 12 + month(d) - 1) AS cm
+  FROM o GROUP BY 1
+),
+j AS (
+  SELECT f.cm,
+         (year(o.d) * 12 + month(o.d) - 1) - f.cm AS age_months,
+         o.o_totalprice AS p,
+         o.o_custkey
+  FROM o JOIN firsts f ON o.o_custkey = f.o_custkey
+)
+SELECT CAST(cm // 12 * 100 + cm % 12 + 1 AS INTEGER) AS cohort_month,
+       CAST(age_months AS INTEGER) AS age_months,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(round(SUM(CAST(p AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
+FROM j GROUP BY 1, 2
+""",
+)
+def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by FIRST-order
+    month, revenue summed by months-since-acquisition — the money twin
+    of weekly_cohort_retention (that one counts event activity; LTV is
+    what acquisition spend is actually justified against). Month
+    arithmetic stays in integers (linear month number y*12+m-1, so the
+    age difference and the yyyymm render are exact on both engines —
+    no interval/timestamp subtraction semantics to reconcile), revenue
+    through the decimal-exact money sum. Plan: grouped MIN for
+    first-order month, fact-fact equi-join back on o_custkey (both
+    sides shuffle-partitioned on the same key; AQE broadcasts the
+    firsts side when small), one grouped distinct-count+sum. Skew-safe:
+    cohort keys are months, bounded cardinality, and the heavy join key
+    is the customer — naturally high-cardinality."""
+    o = fx._read(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_totalprice",
+    )
+    mnum = F.year("d") * 12 + F.month("d") - 1
+    firsts = o.groupBy("o_custkey").agg(F.min(mnum).alias("cm"))
+    j = o.join(firsts, "o_custkey").select(
+        "o_custkey",
+        "cm",
+        (mnum - F.col("cm")).alias("age_months"),
+        F.col("o_totalprice").alias("p"),
+    )
+    return j.groupBy(
+        (
+            (F.col("cm") / 12).cast("int") * 100 + F.col("cm") % 12 + 1
+        )
+        .cast("int")
+        .alias("cohort_month"),
+        F.col("age_months").cast("int").alias("age_months"),
+    ).agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("n_customers"),
+        money_sum(F.col("p")).alias("revenue"),
+    )
