@@ -109,6 +109,26 @@ SHOW = {
         "previous level's rows against the part scan; O(N) total rows "
         "for a tree, no path re-enumeration."
     ),
+    "lineitem_revenue_ks": (
+        "Exact two-sample KS via ONE prefix sum: the scaled ecdf gap "
+        "Ca*nb - Cb*na is a running sum of per-value deltas, so the "
+        "plan is a value-grouped HashAggregate, a broadcast of the "
+        "1-row totals, the two-level range-partitioned running sum "
+        "(no one-task window), and bounded scalar aggregates."
+    ),
+    "store_revenue_dow_outliers": (
+        "Seasonal outlier screen: the grouped daily aggregate plus "
+        "THREE window functions (rank, count, rank-pinned median) all "
+        "riding one (store_key, weekday) exchange — Spark folds the "
+        "shared partitioning into a single Window stage chain."
+    ),
+    "copurchase_link_prediction": (
+        "Common-neighbors link prediction: wedge self-join shuffled on "
+        "the middle vertex over the support-filtered graph, left-anti "
+        "join removing existing edges, two joins against the small "
+        "degree relation, TakeOrdered top-k — integer Jaccard ppm, no "
+        "cross join, hub fan-out bounded by the support floor."
+    ),
 }
 
 
