@@ -1,0 +1,168 @@
+"""Exact distributed statistics kernels (moment sums, Gini, KS).
+
+The shared discipline (DEVNOTES "moment-sum regression recipe"): pin
+every input to an INTEGER (cents, day offsets, decimal-rounded ln
+micros) *before* any aggregation, accumulate in DECIMAL(38,0) — exact,
+order-independent, combine-friendly — and leave only the final ratio to
+double (on bit-identical inputs) or to exact integer division. The
+cluster answer then equals the local answer bit-for-bit at any
+partitioning, which is what makes these kernels oracle-checkable and
+safe to re-plan at 100 TB.
+
+Property-tested against exact-fraction Python oracles in
+``tests/test_stats_kernels.py``; exercised end-to-end by the
+``store_revenue_autocorr7`` / ``store_revenue_trend`` /
+``brand_price_elasticity`` / ``customer_spend_gini`` /
+``lineitem_revenue_ks`` registry queries and their DuckDB twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def moment_sums(
+    df: DataFrame, group_cols: list[str], x: Column, y: Column
+) -> DataFrame:
+    """Per-group bivariate moment sums: n, Σx, Σy, Σx², Σy², Σxy, all
+    in DECIMAL(38,0).
+
+    ``x`` and ``y`` MUST already be integer-valued (the caller pins
+    units — cents, micros, day offsets); they are cast to
+    DECIMAL(38,0) here so every partial is exact. From these six
+    numbers every closed-form OLS/correlation statistic follows
+    without a second pass:
+
+    - slope      = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    - intercept  = (Σy − slope·Σx) / n
+    - pearson r  = (n·Σxy − Σx·Σy) / √((n·Σx²−(Σx)²)(n·Σy²−(Σy)²))
+
+    Plan: ONE hash aggregation with map-side partials; nothing about
+    the result depends on row order or partition count.
+    """
+    xd = x.cast("decimal(38,0)").alias("x")
+    yd = y.cast("decimal(38,0)").alias("y")
+    staged = df.select(*group_cols, xd, yd)
+    xc, yc = F.col("x"), F.col("y")
+    return staged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(xc).alias("sx"),
+        F.sum(yc).alias("sy"),
+        F.sum(xc * xc).alias("sxx"),
+        F.sum(yc * yc).alias("syy"),
+        F.sum(xc * yc).alias("sxy"),
+    )
+
+
+#: closed forms over the moment_sums schema, shared between the Spark
+#: expression and (modulo HUGEINT casts) the DuckDB oracles. Exact
+#: integer division — Spark decimal ``div``; the DuckDB twin must use
+#: HUGEINT ``//`` (DECIMAL ``//`` routes through double there and flips
+#: floor on near-integer quotients — observed off-by-one at sf0.001).
+SLOPE_PPM_EXPR = (
+    "CAST(((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx) AS BIGINT)"
+)
+CORR_NUM_EXPR = "CAST(n * sxy - sx * sy AS DOUBLE)"
+CORR_DEN_EXPR = (
+    "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy"
+    " AS DOUBLE))"
+)
+
+
+def gini_ppm(df: DataFrame, value_col: str, tiebreak_col: str) -> DataFrame:
+    """One-row Gini coefficient of an integer-valued column, in ppm:
+    ``(n, total, gini_ppm)``.
+
+    Uses the ascending-rank closed form
+    ``G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)`` — algebraically equal to
+    the textbook mean-absolute-difference form
+    ``Σ_i Σ_j |x_i − x_j| / (2 n² μ)`` but computable with ONE global
+    sort instead of an all-pairs join (the property test pins the
+    equivalence). The global rank runs through
+    :func:`..functions.ordered.with_global_rank` — range shuffle +
+    partition-local row_number with literal offsets, no one-task
+    window. Ties in ``value_col`` contribute the same Σ i·x whatever
+    their relative order, so the ``tiebreak_col`` only pins plan
+    determinism, not the value.
+    """
+    from .ordered import with_global_rank
+
+    ranked, _n = with_global_rank(
+        df, [F.col(value_col), F.col(tiebreak_col)], rank_col="_gini_i"
+    )
+    agg = ranked.select(
+        F.col(value_col).cast("decimal(38,0)").alias("x"),
+        F.col("_gini_i").cast("decimal(38,0)").alias("i"),
+    ).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sx").cast("bigint").alias("total"),
+        F.expr(
+            "CAST(((2 * six - (n + 1) * sx) * 1000000) div (n * sx)"
+            " AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+def ks_statistic(
+    df: DataFrame, value_col: str, flag_col: str
+) -> DataFrame:
+    """One-row exact two-sample Kolmogorov–Smirnov statistic between
+    the ``flag_col``=true and =false populations of an integer-valued
+    column: ``(n_a, n_b, ks_ppm, at_value)``.
+
+    Identity that makes it one pass: with per-value counts (ca, cb)
+    and totals (na, nb), the SCALED ecdf gap at v is
+    ``Ca(v)·nb − Cb(v)·na`` — a running sum of the per-value delta
+    ``ca·nb − cb·na`` — so sup|ecdfA − ecdfB| needs exactly one exact
+    decimal prefix sum (:func:`..functions.ordered.with_running_sum`,
+    two-level range-partitioned) over the value-grouped counts, then
+    bounded scalar aggregates. ``ks_ppm = max|gap|·1e6 div (na·nb)``
+    in exact integer division; ``at_value`` pins the argmax with a
+    MIN(v) tie-break.
+    """
+    from .ordered import with_running_sum
+
+    cnt = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.sum(F.when(F.col(flag_col), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("ca"),
+        F.sum(F.when(F.col(flag_col), 0).otherwise(1))
+        .cast("decimal(38,0)")
+        .alias("cb"),
+    )
+    tot = cnt.agg(
+        F.sum("ca").cast("decimal(38,0)").alias("na"),
+        F.sum("cb").cast("decimal(38,0)").alias("nb"),
+    )
+    delta = cnt.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "na",
+        "nb",
+        (F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+        .cast("decimal(38,0)")
+        .alias("d"),
+    )
+    run, _tot = with_running_sum(delta, [F.col("v")], "d", running_col="rd")
+    mx = run.agg(F.max(F.abs(F.col("rd"))).alias("m"))
+    at = (
+        run.crossJoin(F.broadcast(mx))
+        .where(F.abs(F.col("rd")) == F.col("m"))
+        .agg(F.min("v").cast("bigint").alias("at_value"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(mx))
+        .select(
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.expr("CAST((m * 1000000) div (na * nb) AS BIGINT)").alias(
+                "ks_ppm"
+            ),
+        )
+        .crossJoin(F.broadcast(at))
+    )

@@ -8196,45 +8196,23 @@ def store_revenue_autocorr7(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-6 decimal hop. Plan: one hash agg, one shuffle-on-store_key
     self-equi-join, one hash agg; n>=30 suppresses stores with too few
     pairs for a meaningful estimate."""
+    from .functions.stats import CORR_DEN_EXPR, CORR_NUM_EXPR, moment_sums
+
     daily = _daily_rev(spark, sf_dir)
     shifted = daily.select(
         "store_key",
         F.date_sub("trans_dt", 7).alias("trans_dt"),
         F.col("rev_cents").alias("y"),
     )
-    pairs = daily.join(shifted, ["store_key", "trans_dt"]).select(
-        "store_key",
-        F.col("rev_cents").cast("decimal(38,0)").alias("x"),
-        F.col("y").cast("decimal(38,0)").alias("y"),
-    )
-    x, y = F.col("x"), F.col("y")
-    m = pairs.groupBy("store_key").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y * y).alias("syy"),
-        F.sum(x * y).alias("sxy"),
-    )
-    n = F.col("n")
-    sx, sy = F.col("sx"), F.col("sy")
-    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    return (
-        m.where(n >= 30)
-        .select(
-            F.col("store_key").cast("bigint").alias("store_key"),
-            n.cast("bigint").alias("n_pairs"),
-            _round6(
-                (n * sxy - sx * sy).cast("double")
-                / F.nullif(
-                    F.sqrt(
-                        (n * sxx - sx * sx).cast("double")
-                        * (n * syy - sy * sy).cast("double")
-                    ),
-                    F.lit(0.0),
-                )
-            ).alias("autocorr7"),
-        )
+    pairs = daily.join(shifted, ["store_key", "trans_dt"])
+    m = moment_sums(pairs, ["store_key"], F.col("rev_cents"), F.col("y"))
+    return m.where(F.col("n") >= 30).select(
+        F.col("store_key").cast("bigint").alias("store_key"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        _round6(
+            F.expr(CORR_NUM_EXPR)
+            / F.nullif(F.expr(CORR_DEN_EXPR), F.lit(0.0))
+        ).alias("autocorr7"),
     )
 
 
@@ -8481,7 +8459,7 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank runs through functions.ordered.with_global_rank — range
     shuffle + partition-local row_number with literal offsets, no
     one-task window stage."""
-    from .functions.ordered import with_global_rank
+    from .functions.stats import gini_ppm
 
     o = fx._read(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
@@ -8489,24 +8467,10 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     )
-    ranked, _n = with_global_rank(
-        spend, [F.col("cents"), F.col("o_custkey")], rank_col="i"
-    )
-    agg = ranked.select(
-        F.col("cents").cast("decimal(38,0)").alias("x"),
-        F.col("i").cast("decimal(38,0)").alias("i"),
-    ).agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("i") * F.col("x")).alias("six"),
-    )
-    return agg.select(
-        F.col("n").cast("bigint").alias("n_customers"),
-        F.col("sx").cast("bigint").alias("total_cents"),
-        F.expr(
-            "CAST(((2 * six - (n + 1) * sx) * 1000000) div (n * sx)"
-            " AS BIGINT)"
-        ).alias("gini_ppm"),
+    return gini_ppm(spend, "cents", "o_custkey").select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_cents"),
+        "gini_ppm",
     )
 
 
@@ -8566,7 +8530,7 @@ def lineitem_revenue_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001). at_cents pins the argmax with a MIN(v) tie-break. Plan:
     one hash agg on value, tiny broadcast totals, range-shuffle prefix
     sum, bounded scalar aggregates."""
-    from .functions.ordered import with_running_sum
+    from .functions.stats import ks_statistic
 
     li = fx._read(spark, sf_dir, "lineitem")
     vals = li.select(
@@ -8583,43 +8547,11 @@ def lineitem_revenue_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v"),
         (F.year("l_shipdate") <= 1997).alias("a"),
     )
-    cnt = vals.groupBy("v").agg(
-        F.sum(F.when(F.col("a"), 1).otherwise(0))
-        .cast("decimal(38,0)")
-        .alias("ca"),
-        F.sum(F.when(F.col("a"), 0).otherwise(1))
-        .cast("decimal(38,0)")
-        .alias("cb"),
-    )
-    tot = cnt.agg(
-        F.sum("ca").cast("decimal(38,0)").alias("na"),
-        F.sum("cb").cast("decimal(38,0)").alias("nb"),
-    )
-    delta = cnt.crossJoin(F.broadcast(tot)).select(
-        "v",
-        "na",
-        "nb",
-        (F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
-        .cast("decimal(38,0)")
-        .alias("d"),
-    )
-    run, _tot = with_running_sum(delta, [F.col("v")], "d", running_col="rd")
-    mx = run.agg(F.max(F.abs(F.col("rd"))).alias("m"))
-    at = (
-        run.crossJoin(F.broadcast(mx))
-        .where(F.abs(F.col("rd")) == F.col("m"))
-        .agg(F.min("v").cast("bigint").alias("at_cents"))
-    )
-    return (
-        tot.crossJoin(F.broadcast(mx))
-        .select(
-            F.col("na").cast("bigint").alias("n_early"),
-            F.col("nb").cast("bigint").alias("n_late"),
-            F.expr("CAST((m * 1000000) div (na * nb) AS BIGINT)").alias(
-                "ks_ppm"
-            ),
-        )
-        .crossJoin(F.broadcast(at))
+    return ks_statistic(vals, "v", "a").select(
+        F.col("n_a").alias("n_early"),
+        F.col("n_b").alias("n_late"),
+        "ks_ppm",
+        F.col("at_value").alias("at_cents"),
     )
 
 
@@ -8662,30 +8594,20 @@ def store_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     through double; see customer_spend_gini). Plan: one hash agg, one
     store-partitioned window pass, one hash agg — two shuffles, no
     self-join, trivially parallel by store."""
+    from .functions.stats import SLOPE_PPM_EXPR, moment_sums
+
     daily = _daily_rev(spark, sf_dir)
     w = Window.partitionBy("store_key")
     idx = daily.select(
         "store_key",
-        F.datediff(F.col("trans_dt"), F.min("trans_dt").over(w))
-        .cast("decimal(38,0)")
-        .alias("x"),
-        F.col("rev_cents").cast("decimal(38,0)").alias("y"),
+        F.datediff(F.col("trans_dt"), F.min("trans_dt").over(w)).alias("x"),
+        F.col("rev_cents").alias("y"),
     )
-    x, y = F.col("x"), F.col("y")
-    m = idx.groupBy("store_key").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(x * y).alias("sxy"),
-    )
+    m = moment_sums(idx, ["store_key"], F.col("x"), F.col("y"))
     return m.where(F.col("n") >= 30).select(
         F.col("store_key").cast("bigint").alias("store_key"),
         F.col("n").cast("bigint").alias("n_days"),
-        F.expr(
-            "CAST(((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)"
-            " AS BIGINT)"
-        ).alias("slope_microcents_per_day"),
+        F.expr(SLOPE_PPM_EXPR).alias("slope_microcents_per_day"),
     )
 
 
@@ -8729,6 +8651,8 @@ def brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole regression is one map + one combine-friendly reduce; at 100TB
     the moment sums are per-brand partials, no row survives the map
     stage."""
+    from .functions.stats import SLOPE_PPM_EXPR, moment_sums
+
     li = fx._read(spark, sf_dir, "lineitem")
     p = fx._read(spark, sf_dir, "part").select("p_partkey", "p_brand")
     pts = (
@@ -8744,9 +8668,7 @@ def brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     6,
                 )
                 * 1000000
-            )
-            .cast("decimal(38,0)")
-            .alias("x"),
+            ).alias("x"),
             (
                 F.round(
                     F.log(F.col("l_quantity").cast("double")).cast(
@@ -8755,26 +8677,14 @@ def brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     6,
                 )
                 * 1000000
-            )
-            .cast("decimal(38,0)")
-            .alias("y"),
+            ).alias("y"),
         )
     )
-    x, y = F.col("x"), F.col("y")
-    m = pts.groupBy("p_brand").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(x * y).alias("sxy"),
-    )
+    m = moment_sums(pts, ["p_brand"], F.col("x"), F.col("y"))
     return m.where(F.col("n") >= 30).select(
         "p_brand",
         F.col("n").cast("bigint").alias("n_lines"),
-        F.expr(
-            "CAST(((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)"
-            " AS BIGINT)"
-        ).alias("elasticity_ppm"),
+        F.expr(SLOPE_PPM_EXPR).alias("elasticity_ppm"),
     )
 
 

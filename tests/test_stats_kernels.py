@@ -1,0 +1,124 @@
+"""Property tests for functions/stats.py against exact Python oracles.
+
+Each kernel claims an algebraic identity (Gini rank form == textbook
+mean-absolute-difference form; KS prefix-sum form == sup over ecdf
+gaps; moment-sum slope == exact rational OLS). Hypothesis searches for
+integer inputs where the distributed formulation and the
+fractions-based oracle disagree — any divergence is a real bug, not
+float noise, because both sides are exact.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from hypothesis import HealthCheck, assume, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from retail_etl_pipeline_spark.functions.stats import (
+    gini_ppm,
+    ks_statistic,
+    moment_sums,
+)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**7), min_size=2, max_size=25)
+)
+def test_gini_rank_form_equals_mean_absolute_difference(spark, xs):
+    # textbook form: sum |xi - xj| / (2 n^2 mu), exact in Fractions
+    n = len(xs)
+    total = sum(xs)
+    assume(total != 0)  # all-zero spend: Gini undefined (0/0)
+    mad = sum(abs(a - b) for a in xs for b in xs)  # includes both orders
+    expected = (Fraction(mad, 2 * n * n) / Fraction(total, n)) * 1_000_000
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "k long, cents long"
+    )
+    row = gini_ppm(df, "cents", "k").collect()[0]
+    assert row.n == n
+    assert row.total == total
+    # kernel floors (exact integer div); the oracle fraction floors too
+    assert row.gini_ppm == expected.numerator // expected.denominator
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=30),
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=30),
+)
+def test_ks_prefix_sum_form_equals_ecdf_sup(spark, a, b):
+    na, nb = len(a), len(b)
+    values = sorted(set(a) | set(b))
+    best, best_at = -1, None
+    ca = cb = 0
+    for v in values:
+        ca += sum(1 for x in a if x == v)
+        cb += sum(1 for x in b if x == v)
+        gap = abs(ca * nb - cb * na)
+        if gap > best:
+            best, best_at = gap, v
+    expected_ppm = best * 1_000_000 // (na * nb)
+    rows = [(v, True) for v in a] + [(v, False) for v in b]
+    df = spark.createDataFrame(rows, "v long, a boolean")
+    row = ks_statistic(df, "v", "a").collect()[0]
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert row.ks_ppm == expected_ppm
+    assert row.at_value == best_at
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),
+            st.integers(min_value=-(10**6), max_value=10**6),
+        ),
+        min_size=3,
+        max_size=25,
+    )
+)
+def test_moment_slope_equals_exact_rational_ols(spark, pts):
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sxx = sum(x * x for x, _ in pts)
+    assume(n * sxx - sx * sx != 0)  # all-equal x: slope undefined
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    expected = Fraction((n * sxy - sx * sy) * 1_000_000, n * sxx - sx * sx)
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in pts], "g string, x long, y long"
+    )
+    m = moment_sums(df, ["g"], F.col("x"), F.col("y"))
+    got = m.select(
+        F.expr(
+            "CAST(((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)"
+            " AS BIGINT)"
+        ).alias("slope")
+    ).collect()[0]
+    # Spark decimal `div` truncates toward zero; match exactly
+    exact = expected.numerator // expected.denominator
+    if expected < 0 and expected.numerator % expected.denominator != 0:
+        exact += 1  # floor -> trunc adjustment for negatives
+    assert got.slope == exact
+
+
+def test_moment_sums_partition_invariance(spark):
+    """The exactness contract: identical results at any partitioning."""
+    pts = [("g", i % 97, (i * 31) % 1009 - 500) for i in range(500)]
+    df = spark.createDataFrame(pts, "g string, x long, y long")
+    one = moment_sums(df.coalesce(1), ["g"], F.col("x"), F.col("y"))
+    many = moment_sums(
+        df.repartition(13), ["g"], F.col("x"), F.col("y")
+    )
+    assert sorted(map(tuple, one.collect())) == sorted(
+        map(tuple, many.collect())
+    )
