@@ -843,3 +843,83 @@ def test_streaming_session_window_equals_batch(spark, sf_dir):
         assert streamed.count() > 0
     finally:
         q.stop()
+
+
+def test_streaming_ks_drift_state_equals_batch(spark, sf_dir):
+    """Streaming drift monitoring: the KS kernel's ONLY state is the
+    per-value (ca, cb) count table — counts are mergeable partials, so
+    a foreachBatch fold of micro-batch count deltas reproduces the
+    batch KS statistic EXACTLY (not approximately: every downstream
+    step in functions/stats.ks_statistic is integer arithmetic over
+    these counts). State is bounded by |distinct values|, never raw
+    rows — the same reason the HLL fold above scales."""
+    import os as _os
+
+    from retail_etl_pipeline_spark.functions.stats import ks_statistic
+
+    li = fx._read(spark, sf_dir, "lineitem")
+    vals = li.select(
+        (F.col("l_quantity") % 50).cast("long").alias("v"),
+        (F.col("l_orderkey") % 2 == 0).alias("a"),
+    )
+    base = os.path.join(TMP, "ks_incr")
+    shutil.rmtree(base, ignore_errors=True)
+    src = _os.path.join(base, "src")
+    state_dir = _os.path.join(base, "state")
+    ckpt = _os.path.join(base, "ckpt")
+    for i in range(3):
+        vals.filter(F.col("v") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def fold(batch_df, batch_id):
+        delta = batch_df.groupBy("v").agg(
+            F.sum(F.when(F.col("a"), 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("a"), 0).otherwise(1)).alias("cb"),
+        )
+        s = batch_df.sparkSession
+        if _os.path.exists(_os.path.join(state_dir, "_SUCCESS")):
+            merged = (
+                s.read.parquet(state_dir)
+                .unionByName(delta)
+                .groupBy("v")
+                .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+            )
+        else:
+            merged = delta
+        # test-scale shortcut (see HLL fold above): state is bounded by
+        # |distinct v|; production writes alternating A/B state paths
+        out = merged.collect()
+        s.createDataFrame(out, merged.schema).write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # re-expand the folded counts into the kernel's (v, flag) shape:
+    # KS only ever sees counts, so feeding it count-weighted rows is
+    # exactly equivalent — done relationally via explode(sequence()).
+    state = spark.read.parquet(state_dir)
+    streamed_rows = state.select(
+        "v",
+        F.explode(
+            F.concat(
+                F.expr("array_repeat(true, CAST(ca AS INT))"),
+                F.expr("array_repeat(false, CAST(cb AS INT))"),
+            )
+        ).alias("a"),
+    )
+    streamed = ks_statistic(streamed_rows, "v", "a").collect()[0]
+    direct = ks_statistic(vals, "v", "a").collect()[0]
+    assert tuple(streamed) == tuple(direct)
+    shutil.rmtree(base, ignore_errors=True)
