@@ -8752,3 +8752,421 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_custkey").cast("bigint").alias("n_customers"),
         money_sum(F.col("p")).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz deciles + Theil index (inequality beyond the Gini scalar),
+# bigram PMI collocations, weekly activity streaks, order cadence
+# ---------------------------------------------------------------------------
+
+_SPEND_CTE = """
+spend AS (
+  SELECT o_custkey,
+         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 2) * 100
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+)"""
+
+
+def _spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = fx._read(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        (F.round(F.sum(F.col("o_totalprice").cast("decimal(30,6)")), 2) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+
+
+@_register(
+    "customer_spend_lorenz",
+    f"""
+WITH {_SPEND_CTE.strip()},
+ranked AS (
+  SELECT cents, NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile
+  FROM spend
+),
+d AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS dc
+  FROM ranked GROUP BY 1
+),
+t AS (SELECT SUM(dc) AS total FROM d)
+SELECT CAST(d.decile AS INTEGER) AS decile,
+       d.n_customers,
+       CAST(d.dc AS BIGINT) AS decile_cents,
+       CAST(CAST(d.dc * 1000000 AS HUGEINT) // CAST(t.total AS HUGEINT)
+            AS BIGINT) AS share_ppm,
+       CAST(CAST(c.cum * 1000000 AS HUGEINT) // CAST(t.total AS HUGEINT)
+            AS BIGINT) AS cum_share_ppm
+FROM d
+JOIN (
+  SELECT a.decile, SUM(b.dc) AS cum
+  FROM d a JOIN d b ON b.decile <= a.decile
+  GROUP BY a.decile
+) c ON d.decile = c.decile
+CROSS JOIN t
+ORDER BY decile
+""",
+)
+def customer_spend_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lorenz curve behind customer_spend_gini, at decile
+    resolution: per spend-decile customer count, revenue share, and
+    cumulative share in exact ppm — the release-ready "bottom 50% hold
+    X%, top 10% hold Y%" table. Deciles come from the exact two-level
+    NTILE (with_global_rank + ntile_from_rank — identical tie handling
+    to SQL NTILE, no one-task window); shares are exact integer
+    division of DECIMAL(38,0) sums. The cumulative sum runs as a
+    broadcast non-equi self-join of the 10-row decile relation —
+    bounded by buckets², never by data."""
+    from .functions.ordered import ntile_from_rank, with_global_rank
+
+    spend = _spend(spark, sf_dir)
+    ranked, n = with_global_rank(
+        spend, [F.col("cents"), F.col("o_custkey")], rank_col="_rk"
+    )
+    dec = ranked.select(
+        ntile_from_rank("_rk", n, 10).alias("decile"), "cents"
+    )
+    d = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("dc"),
+    )
+    t = d.agg(F.sum("dc").alias("total"))
+    a, b = d.alias("a"), d.select("decile", "dc").alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.decile") <= F.col("a.decile"))
+        .groupBy(F.col("a.decile").alias("decile"))
+        .agg(F.sum(F.col("b.dc")).alias("cum"))
+    )
+    return (
+        d.join(cum, "decile")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers",
+            F.col("dc").cast("bigint").alias("decile_cents"),
+            F.expr("CAST((dc * 1000000) div total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr("CAST((cum * 1000000) div total AS BIGINT)").alias(
+                "cum_share_ppm"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+@_register(
+    "customer_spend_theil",
+    f"""
+WITH {_SPEND_CTE.strip()},
+tot AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx
+  FROM spend WHERE cents > 0
+),
+contrib AS (
+  SELECT CAST(cents AS DECIMAL(38,0))
+         * CAST(round(CAST(ln(
+             CAST(CAST(cents AS DECIMAL(38,0)) * n AS DOUBLE)
+             / CAST(sx AS DOUBLE)
+           ) AS DECIMAL(38,12)), 6) AS DECIMAL(38,6)) AS c
+  FROM spend, tot WHERE cents > 0
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(round(CAST(CAST(SUM(c) AS DOUBLE) / CAST(sx AS DOUBLE)
+            AS DECIMAL(30,12)), 6) AS DOUBLE) AS theil_index
+FROM contrib, tot
+GROUP BY n, sx
+""",
+)
+def customer_spend_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T index of customer spend — the entropy-based inequality
+    measure beside the rank-based Gini: T = (1/n)·Σ (x/μ)·ln(x/μ),
+    zero at perfect equality, ln(n) at total concentration, and unlike
+    Gini it DECOMPOSES additively into between-group + within-group
+    terms. Computed as Σ x·ln(x·n/Σx) / Σx with x in integer cents:
+    each ln argument is a ratio of exact decimals cast to double
+    (identical on both engines), the per-customer contribution is
+    decimal-rounded at 6 places then summed exactly (the
+    doc_surprisal_score discipline), so the index is independent of
+    partitioning and accumulation order. x=0 customers are excluded on
+    both sides (0·ln0 = 0 by convention). One agg for totals
+    (broadcast back), one contribution scan, one final scalar agg."""
+    spend = _spend(spark, sf_dir).where(F.col("cents") > 0)
+    tot = spend.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+    )
+    contrib = spend.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "sx",
+        (
+            F.col("cents").cast("decimal(38,0)")
+            * F.round(
+                F.log(
+                    (F.col("cents").cast("decimal(38,0)") * F.col("n")).cast(
+                        "double"
+                    )
+                    / F.col("sx").cast("double")
+                ).cast("decimal(38,12)"),
+                6,
+            ).cast("decimal(38,6)")
+        ).alias("c"),
+    )
+    return contrib.groupBy("n", "sx").agg(
+        F.sum("c").alias("sc")
+    ).select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        _round6(
+            F.col("sc").cast("double") / F.col("sx").cast("double")
+        ).alias("theil_index"),
+    )
+
+
+@_register(
+    "bigram_pmi_collocations",
+    f"""
+WITH toks AS (
+  SELECT doc_id, u.pos, u.tok
+  FROM documents,
+       LATERAL (SELECT UNNEST({tx.TOKENS_SQL.format(c='text')}) AS tok,
+                       generate_subscripts({tx.TOKENS_SQL.format(c='text')},
+                                           1) AS pos) u
+),
+bi AS (
+  SELECT doc_id, pos, tok AS a,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM toks
+),
+bc AS (
+  SELECT a, b, CAST(COUNT(*) AS DECIMAL(38,0)) AS cab
+  FROM bi WHERE b IS NOT NULL GROUP BY 1, 2
+),
+uc AS (
+  SELECT tok, CAST(COUNT(*) AS DECIMAL(38,0)) AS c FROM toks GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT CAST(SUM(c) AS DECIMAL(38,0)) FROM uc) AS t,
+         (SELECT CAST(SUM(cab) AS DECIMAL(38,0)) FROM bc) AS bt
+)
+SELECT a AS tok_a, b AS tok_b,
+       CAST(cab AS BIGINT) AS n_bigram,
+       CAST(round(CAST(ln(
+         CAST(cab * t * t AS DOUBLE)
+         / CAST(bt * ca.c * cb.c AS DOUBLE)
+       ) AS DECIMAL(38,12)), 6) AS DOUBLE) AS pmi
+FROM bc
+JOIN uc ca ON bc.a = ca.tok
+JOIN uc cb ON bc.b = cb.tok
+CROSS JOIN tot
+WHERE cab >= 5
+ORDER BY pmi DESC, tok_a, tok_b
+LIMIT 20
+""",
+)
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations: adjacent token pairs ranked by pointwise
+    mutual information ln(p(ab)/(p(a)p(b))) — the classic corpus
+    statistic behind multi-word-expression mining and tokenizer-merge
+    candidates (what BPE merges first IS the highest-count collocation
+    family). Bigrams come from a lead() window over position-exploded
+    tokens (the DEVNOTES shingle pattern — no self-join on position);
+    counts are exact decimals; the PMI argument is a ratio of two
+    exact decimal products cast to double (bit-identical both engines
+    — no float accumulation), rounded through the decimal hop so the
+    ORDER BY key is tie-stable, with (tok_a, tok_b) breaking residual
+    ties. min-count >= 5 suppresses noise collocations. Plan: explode
+    -> window -> three hash aggs + two vocab joins (AQE broadcasts the
+    bounded vocab side) + TakeOrdered top-k; linear in corpus tokens."""
+    d = fx._read(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(tx.tokens(F.col("text"))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = toks.select(
+        F.col("tok").alias("a"), F.lead("tok").over(w).alias("b")
+    ).where(F.col("b").isNotNull())
+    bc = bi.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cab")
+    )
+    uc = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
+    )
+    tot = uc.agg(F.sum("c").alias("t")).crossJoin(
+        bc.agg(F.sum("cab").alias("bt"))
+    )
+    ca = uc.select(F.col("tok").alias("a"), F.col("c").alias("c_a"))
+    cb = uc.select(F.col("tok").alias("b"), F.col("c").alias("c_b"))
+    return (
+        bc.where(F.col("cab") >= 5)
+        .join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("a").alias("tok_a"),
+            F.col("b").alias("tok_b"),
+            F.col("cab").cast("bigint").alias("n_bigram"),
+            _round6(
+                F.log(
+                    (F.col("cab") * F.col("t") * F.col("t")).cast("double")
+                    / (F.col("bt") * F.col("c_a") * F.col("c_b")).cast(
+                        "double"
+                    )
+                )
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(20)
+    )
+
+
+@_register(
+    "user_weekly_streaks",
+    f"""
+WITH {fx.EVENTS_STREAM_CTE.strip()},
+wk AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('day', DATE '1995-01-02',
+                       CAST(date_trunc('week', ts) AS DATE)) AS BIGINT)
+           // 7 AS widx
+  FROM events_norm
+),
+g AS (
+  SELECT user_id, widx,
+         widx - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY widx) AS grp
+  FROM wk
+),
+runs AS (
+  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+  FROM g GROUP BY 1, 2
+),
+mx AS (
+  SELECT user_id, MAX(len) AS max_streak FROM runs GROUP BY 1
+)
+SELECT CAST(max_streak AS BIGINT) AS max_streak_weeks,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM mx GROUP BY 1
+""",
+)
+def user_weekly_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-streak histogram: users by their LONGEST run of
+    consecutive active weeks — the gaps-and-islands pattern (value
+    minus row_number is constant exactly along a consecutive run) on a
+    LINEAR week index. The index is days-since-a-fixed-Monday div 7
+    over date_trunc('week') rather than isoyear*100+weekofyear:
+    week-number keys are non-contiguous at year boundaries (52/53-week
+    years), which would split every streak that crosses New Year.
+    All-integer, one distinct + one per-user window + two hash aggs —
+    every stage partitions by user."""
+    ev = fx.events_stream(spark, sf_dir)
+    wk = ev.select(
+        "user_id",
+        F.expr(
+            "CAST(datediff(CAST(date_trunc('week', ts) AS DATE),"
+            " DATE '1995-01-02') AS BIGINT) div 7"
+        ).alias("widx"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("widx")
+    runs = (
+        wk.select(
+            "user_id",
+            "widx",
+            (F.col("widx") - F.row_number().over(w)).alias("grp"),
+        )
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("len"))
+    )
+    mx = runs.groupBy("user_id").agg(F.max("len").alias("max_streak"))
+    return mx.groupBy(
+        F.col("max_streak").cast("bigint").alias("max_streak_weeks")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
+@_register(
+    "customer_order_cadence",
+    """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+  FROM orders
+),
+gaps AS (
+  SELECT o_custkey,
+         datediff('day', prev_d, d) AS gap
+  FROM (
+    SELECT o_custkey, d,
+           lag(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+             AS prev_d
+    FROM o
+  ) x WHERE prev_d IS NOT NULL
+),
+r AS (
+  SELECT o_custkey, gap,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY gap) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n
+  FROM gaps
+)
+SELECT o_custkey,
+       CAST(n AS BIGINT) AS n_gaps,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS BIGINT)
+         AS median_gap_days,
+       CAST(MIN(gap) AS BIGINT) AS min_gap_days,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_days
+FROM r
+WHERE n >= 2
+GROUP BY o_custkey, n
+""",
+)
+def customer_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence per customer: lower-median, min and max
+    days between CONSECUTIVE orders (>= 3 orders, i.e. >= 2 gaps) —
+    the replenishment-cycle number behind reorder reminders and churn
+    cutoffs (a customer at 3x their median gap is lapsing). Gaps from
+    a lag() window ordered by (date, orderkey) — same-day orders give
+    deterministic zero gaps; the median is rank-pinned at ceil(n/2)
+    (the repo's lower-median convention — equal gap values make the
+    pick order-insensitive). Integer days end-to-end; both window
+    passes partition by customer, one shuffle."""
+    o = fx._read(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+    )
+    w_lag = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (
+        o.select(
+            "o_custkey",
+            F.datediff(F.col("d"), F.lag("d").over(w_lag)).alias("gap"),
+        )
+        .where(F.col("gap").isNotNull())
+    )
+    w_all = Window.partitionBy("o_custkey")
+    w_rank = Window.partitionBy("o_custkey").orderBy("gap")
+    r = gaps.select(
+        "o_custkey",
+        "gap",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+    )
+    return (
+        r.where(F.col("n") >= 2)
+        .groupBy("o_custkey", "n")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("gap"))
+            )
+            .cast("bigint")
+            .alias("median_gap_days"),
+            F.min("gap").cast("bigint").alias("min_gap_days"),
+            F.max("gap").cast("bigint").alias("max_gap_days"),
+        )
+        .select(
+            "o_custkey",
+            F.col("n").cast("bigint").alias("n_gaps"),
+            "median_gap_days",
+            "min_gap_days",
+            "max_gap_days",
+        )
+    )
