@@ -39,8 +39,19 @@ def main() -> None:
     # runs per query bounds the noise while keeping the full sweep within
     # the driver's budget
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # SPARK_GRAFT_BENCH_ONLY=q1,q2 re-measures a suspect subset in
+    # isolation (the stall-noise triage loop) without an ad-hoc script;
+    # the driver never sets it, so the recorded runs stay full-registry.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    selected = sorted(QUERIES.items())
+    if only:
+        names = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = names - QUERIES.keys()
+        if unknown:
+            raise SystemExit(f"unknown bench queries: {sorted(unknown)}")
+        selected = [(n, f) for n, f in selected if n in names]
     timings: dict[str, float] = {}
-    for name, fn in sorted(QUERIES.items()):
+    for name, fn in selected:
         best = None
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -85,6 +96,11 @@ def main() -> None:
         },
     }
     print(json.dumps(record))
+    if only:
+        # subset runs are triage only — never overwrite the committed
+        # full-registry record
+        spark.stop()
+        return
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
