@@ -166,3 +166,60 @@ def ks_statistic(
         )
         .crossJoin(F.broadcast(at))
     )
+
+
+def round6(c: Column) -> Column:
+    """6-decimal presentation rounding via the decimal hop at scale 6 —
+    the money() discipline for correlation/entropy outputs where 2
+    decimals is too coarse. ``round(double, 6)`` directly would diverge
+    between engines on exact half-way ties; routing through
+    DECIMAL(30,12) makes the tie-break rule (HALF_UP) explicit and
+    engine-identical."""
+    return F.round(c.cast("decimal(30,12)"), 6).cast("double")
+
+
+def theil_index(df: DataFrame, value_col: str) -> DataFrame:
+    """One-row Theil T index of a positive integer-valued column:
+    ``(n, theil_index)``.
+
+    T = (1/n)·Σ (x/μ)·ln(x/μ), computed as Σ x·ln(x·n/Σx) / Σx: each
+    ln argument is a ratio of exact DECIMAL(38,0) products cast to
+    double (bit-identical on both engines — no float accumulation
+    feeds the transcendental), the per-row contribution is
+    decimal-rounded at 6 places then summed exactly, so the index is
+    independent of partitioning and accumulation order. Rows with
+    x <= 0 are excluded (0·ln 0 = 0 by convention; negatives have no
+    entropy reading). Properties pinned by the unit tests: zero at
+    perfect equality, scale-invariant (T(λx) = T(x) up to the rounding
+    hop), approaching ln(n) as one holder takes everything."""
+    pos = df.where(F.col(value_col) > 0)
+    tot = pos.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col(value_col).cast("decimal(38,0)")).alias("sx"),
+    )
+    contrib = pos.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "sx",
+        (
+            F.col(value_col).cast("decimal(38,0)")
+            * F.round(
+                F.log(
+                    (
+                        F.col(value_col).cast("decimal(38,0)") * F.col("n")
+                    ).cast("double")
+                    / F.col("sx").cast("double")
+                ).cast("decimal(38,12)"),
+                6,
+            ).cast("decimal(38,6)")
+        ).alias("c"),
+    )
+    return (
+        contrib.groupBy("n", "sx")
+        .agg(F.sum("c").alias("sc"))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            round6(
+                F.col("sc").cast("double") / F.col("sx").cast("double")
+            ).alias("theil_index"),
+        )
+    )

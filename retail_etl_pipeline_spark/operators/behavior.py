@@ -149,3 +149,103 @@ WHERE from_type IS NOT NULL
 GROUP BY from_type, to_type
 ORDER BY from_type, to_type
 """
+
+
+#: A fixed Monday: the origin of the LINEAR week index. Any Monday works;
+#: this one precedes the fixture's earliest event.
+WEEK_EPOCH_MONDAY = "1995-01-02"
+
+
+def linear_week_index_sql(col: str) -> str:
+    """Spark-SQL fragment for the contiguous integer week index of a
+    date/timestamp column NAME: days-since-a-fixed-Monday of the week's
+    Monday, div 7.
+
+    The point versus ``isoyear*100 + weekofyear`` keys: week NUMBERS are
+    non-contiguous at year boundaries (a 52-week year jumps ...9952 →
+    ...0001), so arithmetic on them (gaps-and-islands, range frames)
+    silently breaks for any run crossing New Year. This index is exact
+    integer division of a difference of Mondays — always a multiple of
+    7, so div == floor == exact on either side of the epoch."""
+    return (
+        f"CAST(datediff(CAST(date_trunc('week', {col}) AS DATE),"
+        f" DATE '{WEEK_EPOCH_MONDAY}') AS BIGINT) div 7"
+    )
+
+
+def weekly_streak_histogram(activity: DataFrame) -> DataFrame:
+    """Histogram of users by their LONGEST run of consecutive active
+    weeks: ``(max_streak_weeks, n_users)`` from an ``(user_id, day)``
+    activity relation (any granularity — days are collapsed to weeks
+    here).
+
+    Gaps-and-islands on the linear week index: ``widx − row_number()``
+    is constant exactly along a consecutive run. All-integer; the only
+    window partitions by user, then two hash aggregations."""
+    wk = activity.select(
+        "user_id", F.expr(linear_week_index_sql("day")).alias("widx")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("widx")
+    runs = (
+        wk.select(
+            "user_id",
+            "widx",
+            (F.col("widx") - F.row_number().over(w)).alias("grp"),
+        )
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("len"))
+    )
+    mx = runs.groupBy("user_id").agg(F.max("len").alias("max_streak"))
+    return mx.groupBy(
+        F.col("max_streak").cast("bigint").alias("max_streak_weeks")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
+def consecutive_gap_stats(
+    df: DataFrame, key_col: str, date_col: str, tiebreak_col: str
+) -> DataFrame:
+    """Per-key stats over the day gaps between CONSECUTIVE dated rows:
+    ``(key, n_gaps, median_gap_days, min_gap_days, max_gap_days)`` for
+    keys with >= 2 gaps (>= 3 rows).
+
+    The median is rank-pinned at ceil(n/2) — the repo's lower-median
+    convention: deterministic on both engines, and since equal gap
+    values are interchangeable under the (gap) ordering the pick is
+    order-insensitive. Same-date rows produce deterministic zero gaps
+    via the tiebreak ordering. Both windows partition by key — one
+    shuffle."""
+    w_lag = Window.partitionBy(key_col).orderBy(date_col, tiebreak_col)
+    gaps = df.select(
+        key_col,
+        F.datediff(F.col(date_col), F.lag(date_col).over(w_lag)).alias(
+            "gap"
+        ),
+    ).where(F.col("gap").isNotNull())
+    w_all = Window.partitionBy(key_col)
+    w_rank = Window.partitionBy(key_col).orderBy("gap")
+    r = gaps.select(
+        key_col,
+        "gap",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+    )
+    return (
+        r.where(F.col("n") >= 2)
+        .groupBy(key_col, "n")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("gap"))
+            )
+            .cast("bigint")
+            .alias("median_gap_days"),
+            F.min("gap").cast("bigint").alias("min_gap_days"),
+            F.max("gap").cast("bigint").alias("max_gap_days"),
+        )
+        .select(
+            key_col,
+            F.col("n").cast("bigint").alias("n_gaps"),
+            "median_gap_days",
+            "min_gap_days",
+            "max_gap_days",
+        )
+    )

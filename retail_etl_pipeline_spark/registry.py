@@ -8893,35 +8893,13 @@ def customer_spend_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_surprisal_score discipline), so the index is independent of
     partitioning and accumulation order. x=0 customers are excluded on
     both sides (0·ln0 = 0 by convention). One agg for totals
-    (broadcast back), one contribution scan, one final scalar agg."""
-    spend = _spend(spark, sf_dir).where(F.col("cents") > 0)
-    tot = spend.agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
-    )
-    contrib = spend.crossJoin(F.broadcast(tot)).select(
-        "n",
-        "sx",
-        (
-            F.col("cents").cast("decimal(38,0)")
-            * F.round(
-                F.log(
-                    (F.col("cents").cast("decimal(38,0)") * F.col("n")).cast(
-                        "double"
-                    )
-                    / F.col("sx").cast("double")
-                ).cast("decimal(38,12)"),
-                6,
-            ).cast("decimal(38,6)")
-        ).alias("c"),
-    )
-    return contrib.groupBy("n", "sx").agg(
-        F.sum("c").alias("sc")
-    ).select(
-        F.col("n").cast("bigint").alias("n_customers"),
-        _round6(
-            F.col("sc").cast("double") / F.col("sx").cast("double")
-        ).alias("theil_index"),
+    (broadcast back), one contribution scan, one final scalar agg.
+    Kernel: :func:`..functions.stats.theil_index` (zero-at-equality /
+    scale-invariance / ln(n)-at-concentration are unit-tested there)."""
+    from .functions.stats import theil_index
+
+    return theil_index(_spend(spark, sf_dir), "cents").select(
+        F.col("n").alias("n_customers"), "theil_index"
     )
 
 
@@ -9060,29 +9038,14 @@ def user_weekly_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     week-number keys are non-contiguous at year boundaries (52/53-week
     years), which would split every streak that crosses New Year.
     All-integer, one distinct + one per-user window + two hash aggs —
-    every stage partitions by user."""
+    every stage partitions by user. Kernel:
+    :func:`..operators.behavior.weekly_streak_histogram` (the
+    year-boundary contiguity claim is unit-tested there on synthetic
+    dates)."""
     ev = fx.events_stream(spark, sf_dir)
-    wk = ev.select(
-        "user_id",
-        F.expr(
-            "CAST(datediff(CAST(date_trunc('week', ts) AS DATE),"
-            " DATE '1995-01-02') AS BIGINT) div 7"
-        ).alias("widx"),
-    ).distinct()
-    w = Window.partitionBy("user_id").orderBy("widx")
-    runs = (
-        wk.select(
-            "user_id",
-            "widx",
-            (F.col("widx") - F.row_number().over(w)).alias("grp"),
-        )
-        .groupBy("user_id", "grp")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("len"))
+    return bh.weekly_streak_histogram(
+        ev.select("user_id", F.to_date("ts").alias("day"))
     )
-    mx = runs.groupBy("user_id").agg(F.max("len").alias("max_streak"))
-    return mx.groupBy(
-        F.col("max_streak").cast("bigint").alias("max_streak_weeks")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
 
 
 @_register(
@@ -9128,45 +9091,12 @@ def customer_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic zero gaps; the median is rank-pinned at ceil(n/2)
     (the repo's lower-median convention — equal gap values make the
     pick order-insensitive). Integer days end-to-end; both window
-    passes partition by customer, one shuffle."""
+    passes partition by customer, one shuffle. Kernel:
+    :func:`..operators.behavior.consecutive_gap_stats` (lower-median
+    pick and same-day zero gaps are unit-tested there)."""
     o = fx._read(spark, sf_dir, "orders").select(
         "o_custkey",
         F.col("o_orderdate").cast("date").alias("d"),
         "o_orderkey",
     )
-    w_lag = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
-    gaps = (
-        o.select(
-            "o_custkey",
-            F.datediff(F.col("d"), F.lag("d").over(w_lag)).alias("gap"),
-        )
-        .where(F.col("gap").isNotNull())
-    )
-    w_all = Window.partitionBy("o_custkey")
-    w_rank = Window.partitionBy("o_custkey").orderBy("gap")
-    r = gaps.select(
-        "o_custkey",
-        "gap",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
-    )
-    return (
-        r.where(F.col("n") >= 2)
-        .groupBy("o_custkey", "n")
-        .agg(
-            F.max(
-                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("gap"))
-            )
-            .cast("bigint")
-            .alias("median_gap_days"),
-            F.min("gap").cast("bigint").alias("min_gap_days"),
-            F.max("gap").cast("bigint").alias("max_gap_days"),
-        )
-        .select(
-            "o_custkey",
-            F.col("n").cast("bigint").alias("n_gaps"),
-            "median_gap_days",
-            "min_gap_days",
-            "max_gap_days",
-        )
-    )
+    return bh.consecutive_gap_stats(o, "o_custkey", "d", "o_orderkey")

@@ -1,0 +1,190 @@
+"""Unit tests for the engagement/inequality kernels factored out of the
+registry: weekly_streak_histogram + consecutive_gap_stats
+(operators/behavior.py) and theil_index (functions/stats.py).
+
+The oracle-parity sweep proves these match DuckDB on the fixtures; the
+tests here pin the CLAIMS the docstrings make on synthetic inputs the
+fixtures don't guarantee to contain — above all that a weekly streak
+SURVIVES a year boundary, which is the entire reason the kernel uses a
+linear week index instead of isoyear*100+weekofyear keys."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from retail_etl_pipeline_spark.operators.behavior import (
+    consecutive_gap_stats,
+    weekly_streak_histogram,
+)
+from retail_etl_pipeline_spark.functions.stats import theil_index
+
+
+def _acts(spark, rows):
+    return spark.createDataFrame(
+        [(u, dt.date.fromisoformat(d)) for u, d in rows],
+        "user_id bigint, day date",
+    )
+
+
+def _streaks(spark, rows) -> dict[int, int]:
+    out = weekly_streak_histogram(_acts(spark, rows)).collect()
+    return {r.max_streak_weeks: r.n_users for r in out}
+
+
+def test_streak_survives_new_year_52_week_year(spark):
+    # 1999 has 52 ISO weeks: 1999-12-20 is W51, 12-27 is W52, 2000-01-03
+    # is 2000-W01. Week-number keys jump 199952 -> 200001; the linear
+    # index runs n, n+1, n+2 — one unbroken streak of 3.
+    rows = [(1, "1999-12-20"), (1, "1999-12-27"), (1, "2000-01-03")]
+    assert _streaks(spark, rows) == {3: 1}
+
+
+def test_streak_survives_new_year_53_week_year(spark):
+    # 1998 has 53 ISO weeks (ends in W53): the jump ...9853 -> ...9901
+    # is -9952 in key arithmetic; the linear index is still contiguous.
+    rows = [(1, "1998-12-21"), (1, "1998-12-28"), (1, "1999-01-04")]
+    assert _streaks(spark, rows) == {3: 1}
+
+
+def test_isoweek_key_arithmetic_would_split_the_same_streak(spark):
+    # The counter-factual the kernel exists to avoid: run the identical
+    # gaps-and-islands arithmetic on isoyear*100+weekofyear keys over
+    # the 52-week-year rows above — the year boundary splits the run
+    # into 2 + 1, i.e. a max "streak" of 2, which is WRONG.
+    wk = (
+        _acts(
+            spark,
+            [(1, "1999-12-20"), (1, "1999-12-27"), (1, "2000-01-03")],
+        )
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(extract(YEAROFWEEK FROM day) * 100"
+                " + weekofyear(day) AS BIGINT)"
+            ).alias("widx"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("widx")
+    runs = (
+        wk.select(
+            "user_id",
+            (F.col("widx") - F.row_number().over(w)).alias("grp"),
+        )
+        .groupBy("user_id", "grp")
+        .count()
+    )
+    assert runs.agg(F.max("count")).collect()[0][0] == 2
+
+
+def test_streak_gap_week_splits_runs(spark):
+    # active W0, W1, skip W2, active W3 -> runs of 2 and 1, max 2
+    rows = [(1, "1995-01-02"), (1, "1995-01-09"), (1, "1995-01-23")]
+    assert _streaks(spark, rows) == {2: 1}
+
+
+def test_streak_same_week_days_collapse(spark):
+    # three days inside one week are ONE active week, and users
+    # histogram independently
+    rows = [
+        (1, "1995-01-02"),
+        (1, "1995-01-04"),
+        (1, "1995-01-08"),  # Sunday, same ISO week as the Monday above
+        (2, "1995-01-02"),
+        (2, "1995-01-09"),
+    ]
+    assert _streaks(spark, rows) == {1: 1, 2: 1}
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(
+        [(k, dt.date.fromisoformat(d), tb) for k, d, tb in rows],
+        "k bigint, d date, tb bigint",
+    )
+
+
+def test_gap_stats_lower_median_even_count(spark):
+    # gaps 1, 3, 5, 7 -> n=4, lower median = rank (4+1) div 2 = 2 -> 3
+    rows = [
+        (1, "1995-01-01", 1),
+        (1, "1995-01-02", 2),
+        (1, "1995-01-05", 3),
+        (1, "1995-01-10", 4),
+        (1, "1995-01-17", 5),
+    ]
+    out = consecutive_gap_stats(_orders(spark, rows), "k", "d", "tb").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_gaps, r.median_gap_days, r.min_gap_days, r.max_gap_days) == (
+        4,
+        3,
+        1,
+        7,
+    )
+
+
+def test_gap_stats_same_day_zero_gap_and_min_row_filter(spark):
+    # key 1: three orders, two on the same day -> gaps [0, 4], median
+    # at rank (2+1) div 2 = 1 -> 0; key 2: two orders = one gap only,
+    # excluded by the >= 2 gaps rule
+    rows = [
+        (1, "1995-01-01", 1),
+        (1, "1995-01-01", 2),
+        (1, "1995-01-05", 3),
+        (2, "1995-01-01", 4),
+        (2, "1995-02-01", 5),
+    ]
+    out = consecutive_gap_stats(_orders(spark, rows), "k", "d", "tb").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.k == 1
+    assert (r.n_gaps, r.median_gap_days, r.min_gap_days, r.max_gap_days) == (
+        2,
+        0,
+        0,
+        4,
+    )
+
+
+def _cents(spark, values):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "i bigint, cents bigint"
+    )
+
+
+def _theil(spark, values) -> tuple[int, float]:
+    r = theil_index(_cents(spark, values), "cents").collect()[0]
+    return r.n, r.theil_index
+
+
+def test_theil_zero_at_perfect_equality(spark):
+    n, t = _theil(spark, [700] * 9)
+    assert n == 9
+    assert t == 0.0
+
+
+def test_theil_scale_invariant(spark):
+    vals = [100, 2500, 317, 40000, 9, 9, 777]
+    _, t1 = _theil(spark, vals)
+    _, t13 = _theil(spark, [13 * v for v in vals])
+    # identical up to the two 6-decimal rounding hops
+    assert abs(t1 - t13) < 2e-6
+    assert t1 > 0
+
+
+def test_theil_matches_direct_formula_and_concentration_limit(spark):
+    vals = [1, 1, 1, 1, 10**9]  # near-total concentration, n=5
+    n, t = _theil(spark, vals)
+    sx = sum(vals)
+    expected = sum(v * math.log(v * n / sx) for v in vals) / sx
+    assert abs(t - expected) < 1e-4
+    # approaches ln(n) as the top holder takes everything
+    assert abs(t - math.log(n)) < 1e-4
+    # zeros are excluded, not counted into n
+    n0, t0 = _theil(spark, vals + [0, 0])
+    assert n0 == 5 and abs(t0 - t) < 1e-9
