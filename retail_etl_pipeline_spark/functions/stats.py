@@ -223,3 +223,58 @@ def theil_index(df: DataFrame, value_col: str) -> DataFrame:
             ).alias("theil_index"),
         )
     )
+
+
+def lorenz_buckets(
+    df: DataFrame, value_col: str, tiebreak_col: str, buckets: int = 10
+) -> DataFrame:
+    """Lorenz curve of an integer-valued column at ``buckets``
+    resolution: ``(bucket, n_rows, bucket_total, share_ppm,
+    cum_share_ppm)`` — the distribution table behind the Gini scalar
+    ("bottom 50% hold X%, top decile holds Y%").
+
+    Buckets come from the exact two-level NTILE
+    (:func:`..functions.ordered.with_global_rank` + ``ntile_from_rank``
+    — identical tie handling to SQL NTILE, no one-task window); shares
+    are exact integer division of DECIMAL(38,0) sums. The cumulative
+    sum runs as a broadcast non-equi self-join of the ``buckets``-row
+    relation — bounded by buckets², never by data. Invariants pinned by
+    the unit tests: bucket sizes differ by at most 1 with the larger
+    buckets FIRST (SQL NTILE), bucket totals sum to the grand total,
+    cum share is monotone and ends at exactly 1_000_000 ppm."""
+    from .ordered import ntile_from_rank, with_global_rank
+
+    ranked, n = with_global_rank(
+        df, [F.col(value_col), F.col(tiebreak_col)], rank_col="_lz_rk"
+    )
+    dec = ranked.select(
+        ntile_from_rank("_lz_rk", n, buckets).alias("bucket"),
+        F.col(value_col).alias("_v"),
+    )
+    d = dec.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("_v").cast("decimal(38,0)")).alias("dc"),
+    )
+    t = d.agg(F.sum("dc").alias("total"))
+    a, b = d.alias("a"), d.select("bucket", "dc").alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.bucket") <= F.col("a.bucket"))
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.sum(F.col("b.dc")).alias("cum"))
+    )
+    return (
+        d.join(cum, "bucket")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_rows",
+            F.col("dc").cast("bigint").alias("bucket_total"),
+            F.expr("CAST((dc * 1000000) div total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr("CAST((cum * 1000000) div total AS BIGINT)").alias(
+                "cum_share_ppm"
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -641,3 +641,66 @@ SELECT source,
 FROM documents
 GROUP BY source
 """
+
+
+def bigram_pmi(
+    docs: DataFrame, min_count: int = 5, top_k: int = 20
+) -> DataFrame:
+    """Top-``top_k`` collocations over a ``(doc_id, text)`` relation:
+    adjacent token pairs ranked by pointwise mutual information
+    ln(p(ab)/(p(a)·p(b))): ``(tok_a, tok_b, n_bigram, pmi)``.
+
+    Bigrams come from a lead() window over position-exploded tokens
+    (the DEVNOTES shingle pattern — no self-join on position); counts
+    are exact decimals; the PMI argument is a ratio of two exact
+    decimal products cast to double ONCE (bit-identical on any engine
+    — no float accumulation), rounded through the scale-6 decimal hop
+    so the ORDER BY key is tie-stable, with (tok_a, tok_b) breaking
+    residual ties. Unigram probabilities use total TOKEN count, bigram
+    probability uses total BIGRAM count (they differ by one per
+    document). Plan: explode -> per-doc window -> three hash aggs +
+    two vocab joins (AQE broadcasts the bounded vocab side) +
+    TakeOrdered top-k; linear in corpus tokens."""
+    from pyspark.sql import Window
+
+    from ..functions.stats import round6
+
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = toks.select(
+        F.col("tok").alias("a"), F.lead("tok").over(w).alias("b")
+    ).where(F.col("b").isNotNull())
+    bc = bi.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cab")
+    )
+    uc = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
+    )
+    tot = uc.agg(F.sum("c").alias("t")).crossJoin(
+        bc.agg(F.sum("cab").alias("bt"))
+    )
+    ca = uc.select(F.col("tok").alias("a"), F.col("c").alias("c_a"))
+    cb = uc.select(F.col("tok").alias("b"), F.col("c").alias("c_b"))
+    return (
+        bc.where(F.col("cab") >= min_count)
+        .join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("a").alias("tok_a"),
+            F.col("b").alias("tok_b"),
+            F.col("cab").cast("bigint").alias("n_bigram"),
+            round6(
+                F.log(
+                    (F.col("cab") * F.col("t") * F.col("t")).cast("double")
+                    / (F.col("bt") * F.col("c_a") * F.col("c_b")).cast(
+                        "double"
+                    )
+                )
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(top_k)
+    )

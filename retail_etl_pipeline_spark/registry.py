@@ -8818,42 +8818,19 @@ def customer_spend_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     to SQL NTILE, no one-task window); shares are exact integer
     division of DECIMAL(38,0) sums. The cumulative sum runs as a
     broadcast non-equi self-join of the 10-row decile relation —
-    bounded by buckets², never by data."""
-    from .functions.ordered import ntile_from_rank, with_global_rank
+    bounded by buckets², never by data. Kernel:
+    :func:`..functions.stats.lorenz_buckets` (bucket-size, sum-to-total
+    and monotone-cum-share invariants are unit-tested there)."""
+    from .functions.stats import lorenz_buckets
 
-    spend = _spend(spark, sf_dir)
-    ranked, n = with_global_rank(
-        spend, [F.col("cents"), F.col("o_custkey")], rank_col="_rk"
-    )
-    dec = ranked.select(
-        ntile_from_rank("_rk", n, 10).alias("decile"), "cents"
-    )
-    d = dec.groupBy("decile").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-        F.sum(F.col("cents").cast("decimal(38,0)")).alias("dc"),
-    )
-    t = d.agg(F.sum("dc").alias("total"))
-    a, b = d.alias("a"), d.select("decile", "dc").alias("b")
-    cum = (
-        a.join(F.broadcast(b), F.col("b.decile") <= F.col("a.decile"))
-        .groupBy(F.col("a.decile").alias("decile"))
-        .agg(F.sum(F.col("b.dc")).alias("cum"))
-    )
-    return (
-        d.join(cum, "decile")
-        .crossJoin(F.broadcast(t))
-        .select(
-            F.col("decile").cast("int").alias("decile"),
-            "n_customers",
-            F.col("dc").cast("bigint").alias("decile_cents"),
-            F.expr("CAST((dc * 1000000) div total AS BIGINT)").alias(
-                "share_ppm"
-            ),
-            F.expr("CAST((cum * 1000000) div total AS BIGINT)").alias(
-                "cum_share_ppm"
-            ),
-        )
-        .orderBy("decile")
+    return lorenz_buckets(
+        _spend(spark, sf_dir), "cents", "o_custkey", buckets=10
+    ).select(
+        F.col("bucket").alias("decile"),
+        F.col("n_rows").alias("n_customers"),
+        F.col("bucket_total").alias("decile_cents"),
+        "share_ppm",
+        "cum_share_ppm",
     )
 
 
@@ -8957,47 +8934,11 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY key is tie-stable, with (tok_a, tok_b) breaking residual
     ties. min-count >= 5 suppresses noise collocations. Plan: explode
     -> window -> three hash aggs + two vocab joins (AQE broadcasts the
-    bounded vocab side) + TakeOrdered top-k; linear in corpus tokens."""
-    d = fx._read(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.posexplode(tx.tokens(F.col("text"))).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bi = toks.select(
-        F.col("tok").alias("a"), F.lead("tok").over(w).alias("b")
-    ).where(F.col("b").isNotNull())
-    bc = bi.groupBy("a", "b").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("cab")
-    )
-    uc = toks.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("c")
-    )
-    tot = uc.agg(F.sum("c").alias("t")).crossJoin(
-        bc.agg(F.sum("cab").alias("bt"))
-    )
-    ca = uc.select(F.col("tok").alias("a"), F.col("c").alias("c_a"))
-    cb = uc.select(F.col("tok").alias("b"), F.col("c").alias("c_b"))
-    return (
-        bc.where(F.col("cab") >= 5)
-        .join(ca, "a")
-        .join(cb, "b")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.col("a").alias("tok_a"),
-            F.col("b").alias("tok_b"),
-            F.col("cab").cast("bigint").alias("n_bigram"),
-            _round6(
-                F.log(
-                    (F.col("cab") * F.col("t") * F.col("t")).cast("double")
-                    / (F.col("bt") * F.col("c_a") * F.col("c_b")).cast(
-                        "double"
-                    )
-                )
-            ).alias("pmi"),
-        )
-        .orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
-        .limit(20)
+    bounded vocab side) + TakeOrdered top-k; linear in corpus tokens.
+    Kernel: :func:`..operators.text.bigram_pmi` (hand-computed PMI on
+    a known corpus is unit-tested there)."""
+    return tx.bigram_pmi(
+        fx._read(spark, sf_dir, "documents"), min_count=5, top_k=20
     )
 
 

@@ -19,7 +19,11 @@ from retail_etl_pipeline_spark.operators.behavior import (
     consecutive_gap_stats,
     weekly_streak_histogram,
 )
-from retail_etl_pipeline_spark.functions.stats import theil_index
+from retail_etl_pipeline_spark.functions.stats import (
+    lorenz_buckets,
+    theil_index,
+)
+from retail_etl_pipeline_spark.operators.text import bigram_pmi
 
 
 def _acts(spark, rows):
@@ -188,3 +192,59 @@ def test_theil_matches_direct_formula_and_concentration_limit(spark):
     # zeros are excluded, not counted into n
     n0, t0 = _theil(spark, vals + [0, 0])
     assert n0 == 5 and abs(t0 - t) < 1e-9
+
+
+def test_lorenz_buckets_exact_shares_and_invariants(spark):
+    # values 1..10 into 5 buckets of 2: totals 3,7,11,15,19 over 55
+    df = spark.createDataFrame(
+        [(i, i) for i in range(1, 11)], "tb bigint, v bigint"
+    )
+    out = lorenz_buckets(df, "v", "tb", buckets=5).collect()
+    assert [r.bucket for r in out] == [1, 2, 3, 4, 5]
+    assert [r.n_rows for r in out] == [2] * 5
+    totals = [r.bucket_total for r in out]
+    assert totals == [3, 7, 11, 15, 19]
+    assert sum(totals) == 55
+    assert [r.share_ppm for r in out] == [
+        x * 10**6 // 55 for x in totals
+    ]
+    cums = [r.cum_share_ppm for r in out]
+    assert cums == sorted(cums)  # monotone
+    assert cums[-1] == 1_000_000  # exact, not 999999.99...
+    assert cums == [c * 10**6 // 55 for c in [3, 10, 21, 36, 55]]
+
+
+def test_lorenz_buckets_uneven_sizes_larger_first(spark):
+    # SQL NTILE convention: 7 rows into 3 buckets -> sizes 3, 2, 2
+    df = spark.createDataFrame(
+        [(i, 1) for i in range(7)], "tb bigint, v bigint"
+    )
+    out = lorenz_buckets(df, "v", "tb", buckets=3).collect()
+    assert [r.n_rows for r in out] == [3, 2, 2]
+
+
+def test_bigram_pmi_hand_computed(spark):
+    # doc1 = "x y x y", doc2 = "x z": unigrams x:3 y:2 z:1 (t=6),
+    # bigrams (x,y):2 (y,x):1 (x,z):1 (bt=4)
+    docs = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x z")], "doc_id bigint, text string"
+    )
+    out = bigram_pmi(docs, min_count=1, top_k=10).collect()
+    got = {(r.tok_a, r.tok_b): (r.n_bigram, r.pmi) for r in out}
+    assert got[("x", "y")] == (2, round(math.log(2 * 36 / (4 * 3 * 2)), 6))
+    assert got[("y", "x")] == (1, round(math.log(1 * 36 / (4 * 2 * 3)), 6))
+    assert got[("x", "z")] == (1, round(math.log(1 * 36 / (4 * 3 * 1)), 6))
+    # ordering: desc pmi, then (tok_a, tok_b) asc on the ln(3) tie
+    assert [(r.tok_a, r.tok_b) for r in out] == [
+        ("x", "y"),
+        ("x", "z"),
+        ("y", "x"),
+    ]
+
+
+def test_bigram_pmi_min_count_filters(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x z")], "doc_id bigint, text string"
+    )
+    out = bigram_pmi(docs, min_count=2, top_k=10).collect()
+    assert [(r.tok_a, r.tok_b, r.n_bigram) for r in out] == [("x", "y", 2)]
