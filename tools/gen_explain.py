@@ -129,6 +129,19 @@ SHOW = {
         "degree relation, TakeOrdered top-k — integer Jaccard ppm, no "
         "cross join, hub fan-out bounded by the support floor."
     ),
+    "customer_spend_lorenz": (
+        "Lorenz deciles via the exact two-level NTILE: range-shuffle "
+        "global rank (no one-task window), one hash agg to 10 decile "
+        "rows, then a broadcast non-equi self-join for the cumulative "
+        "share — the quadratic stage is buckets^2 = 100 rows, never "
+        "data-sized."
+    ),
+    "user_weekly_streaks": (
+        "Gaps-and-islands on the linear week index: distinct (user, "
+        "week) pairs, one per-user window for the run-group key, two "
+        "hash aggregations — every exchange partitions by user_id; no "
+        "calendar spine, no self-join."
+    ),
 }
 
 
