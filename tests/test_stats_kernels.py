@@ -122,3 +122,50 @@ def test_moment_sums_partition_invariance(spark):
     assert sorted(map(tuple, one.collect())) == sorted(
         map(tuple, many.collect())
     )
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**7), min_size=1, max_size=23
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+def test_lorenz_buckets_match_exact_python_oracle(spark, xs, buckets):
+    from retail_etl_pipeline_spark.functions.stats import lorenz_buckets
+
+    assume(sum(xs) != 0)  # all-zero: shares are 0/0
+    n = len(xs)
+    # SQL NTILE over ascending (value, tiebreak): first n % buckets
+    # buckets get ceil(n/buckets) rows, the rest floor(n/buckets) —
+    # empty buckets simply don't appear
+    order = sorted(range(n), key=lambda i: (xs[i], i))
+    sizes = [
+        (n // buckets) + (1 if b < n % buckets else 0)
+        for b in range(buckets)
+    ]
+    exp_rows, exp_totals, pos = [], [], 0
+    for sz in sizes:
+        if sz == 0:
+            continue
+        chunk = order[pos : pos + sz]
+        pos += sz
+        exp_rows.append(sz)
+        exp_totals.append(sum(xs[i] for i in chunk))
+    total = sum(exp_totals)
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "k long, cents long"
+    )
+    out = lorenz_buckets(df, "cents", "k", buckets=buckets).collect()
+    assert [r.n_rows for r in out] == exp_rows
+    assert [r.bucket_total for r in out] == exp_totals
+    assert [r.share_ppm for r in out] == [
+        t * 1_000_000 // total for t in exp_totals
+    ]
+    cum = 0
+    exp_cum = []
+    for t in exp_totals:
+        cum += t
+        exp_cum.append(cum * 1_000_000 // total)
+    assert [r.cum_share_ppm for r in out] == exp_cum
+    assert out[-1].cum_share_ppm == 1_000_000
