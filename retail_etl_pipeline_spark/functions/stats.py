@@ -278,3 +278,66 @@ def lorenz_buckets(
         )
         .orderBy("bucket")
     )
+
+
+def kaplan_meier(life: DataFrame) -> DataFrame:
+    """Kaplan–Meier product-limit survival curve from an ``(t, ev)``
+    lifetimes relation (integer duration, event flag 1/0 — 0 is a
+    right-censored observation): one row per event time,
+    ``(t_days, n_at_risk, n_events, survival)``.
+
+    S(t) = Π_{u ≤ t} (1 − d_u/n_u) over event times u, with the
+    at-risk count n_u = #{subjects with lifetime ≥ u} — censored
+    subjects leave the risk set without an event, which is the whole
+    point of KM versus a naive event-time ecdf. Distributed shape:
+
+    - per-time (d, c) counts: one hash aggregation;
+    - n via an exact DECIMAL suffix sum — :func:`with_running_sum`
+      over DESC time (range shuffle + bounded partials, no one-task
+      window);
+    - the product becomes a SUM of per-event ln(1 − d/n) terms, each
+      a ratio of exact integers evaluated in double and
+      decimal-rounded at 6 places BEFORE the (exact) cumulative sum —
+      the corpus_drift_psi discipline, so the curve is independent of
+      partitioning; ln/exp carry the documented cross-engine ulp
+      caveat absorbed by the rounding hops.
+    - n = d can only happen at the LAST event time (nobody remains at
+      risk beyond it), where S is exactly 0 — emitted as a literal,
+      never ln(0).
+
+    The relation is bounded by distinct durations (days), so both
+    running sums see tiny inputs; the heavy work is the one groupBy.
+    """
+    per_t = life.groupBy("t").agg(
+        F.sum("ev").cast("decimal(38,0)").alias("d"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c"),
+    )
+    from .ordered import with_running_sum
+
+    risk, _tot = with_running_sum(per_t, [F.desc("t")], "c", running_col="n")
+    evr = risk.where(F.col("d") > 0).select(
+        "t",
+        "d",
+        "n",
+        F.when(
+            F.col("n") > F.col("d"),
+            F.round(
+                F.log(
+                    (F.col("n") - F.col("d")).cast("double")
+                    / F.col("n").cast("double")
+                ).cast("decimal(38,12)"),
+                6,
+            ).cast("decimal(38,6)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(38,6)"))
+        .alias("lf"),
+    )
+    curve, _t2 = with_running_sum(evr, [F.asc("t")], "lf", running_col="cum")
+    return curve.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.when(F.col("n") == F.col("d"), F.lit(0.0))
+        .otherwise(round6(F.exp(F.col("cum").cast("double"))))
+        .alias("survival"),
+    ).orderBy("t_days")

@@ -9041,3 +9041,509 @@ def customer_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
     )
     return bh.consecutive_gap_stats(o, "o_custkey", "d", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Market concentration (HHI), price indices (Laspeyres/Paasche/Fisher),
+# ABC/XYZ inventory classification, Kaplan-Meier survival — four
+# econometric/supply-chain families over the same exact-decimal
+# discipline (round-5 continuation batch 3).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "supplier_revenue_hhi",
+    """
+WITH rev AS (
+  SELECT r_name, s_suppkey,
+         CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(30,6))), 2) * 100 AS BIGINT) AS cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT) AS total_cents,
+       CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)))
+                 * 1000000 AS HUGEINT)
+            // (CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS HUGEINT)
+                * CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS HUGEINT))
+            AS BIGINT) AS hhi_ppm
+FROM rev GROUP BY 1 ORDER BY 1
+""",
+)
+def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of supplier revenue per
+    region — the antitrust-style market-structure scalar (10_000 ppm =
+    perfectly fragmented at 100 suppliers, 1_000_000 = monopoly).
+    HHI = Σ sᵢ² over supplier shares, computed division-free as
+    Σxᵢ²·1e6 div (Σx)² with net-revenue cents in DECIMAL(38,0) — both
+    sums ride ONE hash aggregation per region, so there is no per-
+    supplier share division and no float accumulation anywhere. Scale:
+    lineitem⋈supplier shuffles on suppkey (well-distributed);
+    nation/region are broadcast; the region-level agg is 5 rows. The
+    kernel invariants (monopoly → 1e6, n equal shares → 1e6 div n) are
+    unit-tested in tests/test_engagement_inequality_unit.py."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    su = fx._read(spark, sf_dir, "supplier")
+    na = fx._read(spark, sf_dir, "nation")
+    re_ = fx._read(spark, sf_dir, "region")
+    rev = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re_), na.n_regionkey == re_.r_regionkey)
+        .groupBy("r_name", "s_suppkey")
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        (
+                            F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))
+                        ).cast("decimal(30,6)")
+                    ),
+                    2,
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    x = F.col("cents").cast("decimal(38,0)")
+    return (
+        rev.groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum(x).alias("tot"),
+            F.sum(x * x).alias("sq"),
+        )
+        .select(
+            "r_name",
+            "n_suppliers",
+            F.col("tot").cast("bigint").alias("total_cents"),
+            F.expr("CAST((sq * 1000000) div (tot * tot) AS BIGINT)").alias(
+                "hhi_ppm"
+            ),
+        )
+        .orderBy("r_name")
+    )
+
+
+@_register(
+    "part_price_index",
+    """
+WITH per AS (
+  SELECT l_partkey,
+         CAST(round(SUM(CASE WHEN year(CAST(l_shipdate AS DATE)) = 1996
+                        THEN CAST(l_extendedprice AS DECIMAL(30,6)) END), 2)
+              * 100 AS BIGINT) AS e0,
+         CAST(round(SUM(CASE WHEN year(CAST(l_shipdate AS DATE)) = 1997
+                        THEN CAST(l_extendedprice AS DECIMAL(30,6)) END), 2)
+              * 100 AS BIGINT) AS e1,
+         CAST(SUM(CASE WHEN year(CAST(l_shipdate AS DATE)) = 1996
+                  THEN CAST(l_quantity AS DECIMAL(30,6)) END) AS BIGINT) AS q0,
+         CAST(SUM(CASE WHEN year(CAST(l_shipdate AS DATE)) = 1997
+                  THEN CAST(l_quantity AS DECIMAL(30,6)) END) AS BIGINT) AS q1
+  FROM lineitem GROUP BY 1
+),
+kept AS (
+  SELECT CAST(e0 AS HUGEINT) e0, CAST(e1 AS HUGEINT) e1,
+         CAST(q0 AS HUGEINT) q0, CAST(q1 AS HUGEINT) q1
+  FROM per
+  WHERE q0 IS NOT NULL AND q1 IS NOT NULL AND q0 > 0 AND q1 > 0
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         SUM(e0) AS se0, SUM(e1) AS se1,
+         SUM((e1 * q0) // q1) AS sl,
+         SUM((e0 * q1) // q0) AS sp
+  FROM kept
+)
+SELECT n_parts,
+       CAST((sl * 1000000) // se0 AS BIGINT) AS laspeyres_ppm,
+       CAST((se1 * 1000000) // sp AS BIGINT) AS paasche_ppm,
+       CAST(round(CAST(sqrt(CAST(CAST((sl * 1000000) // se0 AS BIGINT)
+                                 AS DOUBLE)
+                            * CAST(CAST((se1 * 1000000) // sp AS BIGINT)
+                                   AS DOUBLE)) / 1000000.0
+                       AS DECIMAL(30,12)), 6) AS DOUBLE) AS fisher_index
+FROM s
+""",
+)
+def part_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shelf-price inflation 1996→1997 as the three classic index
+    numbers: Laspeyres (base-year basket at current prices), Paasche
+    (current basket at base prices), and their geometric mean (Fisher's
+    ideal index). Per part, yearly quantity and extended-price sums are
+    exact integers; the unit-price ratio never materializes — each
+    part's "basket at other-period prices" term is the exact floored
+    integer division (e₁·q₀) div q₁ (Spark decimal ``div`` ==
+    DuckDB HUGEINT ``//``, the customer_spend_gini discipline), so both
+    indices are ratios of exact BIGINT sums in ppm. Fisher is the only
+    double op: sqrt of a product of the two exact ppms, rounded through
+    the scale-6 decimal hop. Parts traded in only one of the two years
+    drop out (an index needs both a base and a current observation).
+    Scale: one conditional-aggregate pass over lineitem partitioned by
+    partkey, then a one-row reduction — no joins at all."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    yr = F.year(F.to_date("l_shipdate"))
+    per = (
+        li.groupBy("l_partkey")
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        F.when(
+                            yr == 1996,
+                            F.col("l_extendedprice").cast("decimal(30,6)"),
+                        )
+                    ),
+                    2,
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("e0"),
+            (
+                F.round(
+                    F.sum(
+                        F.when(
+                            yr == 1997,
+                            F.col("l_extendedprice").cast("decimal(30,6)"),
+                        )
+                    ),
+                    2,
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("e1"),
+            F.sum(
+                F.when(yr == 1996, F.col("l_quantity").cast("decimal(30,6)"))
+            )
+            .cast("bigint")
+            .alias("q0"),
+            F.sum(
+                F.when(yr == 1997, F.col("l_quantity").cast("decimal(30,6)"))
+            )
+            .cast("bigint")
+            .alias("q1"),
+        )
+        .where(
+            F.col("q0").isNotNull()
+            & F.col("q1").isNotNull()
+            & (F.col("q0") > 0)
+            & (F.col("q1") > 0)
+        )
+        .select(
+            F.col("e0").cast("decimal(38,0)").alias("e0"),
+            F.col("e1").cast("decimal(38,0)").alias("e1"),
+            F.col("q0").cast("decimal(38,0)").alias("q0"),
+            F.col("q1").cast("decimal(38,0)").alias("q1"),
+        )
+    )
+    from .functions.stats import round6
+
+    return (
+        per.select(
+            "e0",
+            "e1",
+            F.expr("(e1 * q0) div q1").cast("decimal(38,0)").alias("cl"),
+            F.expr("(e0 * q1) div q0").cast("decimal(38,0)").alias("cp"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("e0").alias("se0"),
+            F.sum("e1").alias("se1"),
+            F.sum("cl").alias("sl"),
+            F.sum("cp").alias("sp"),
+        )
+        .select(
+            "n_parts",
+            F.expr("CAST((sl * 1000000) div se0 AS BIGINT)").alias(
+                "laspeyres_ppm"
+            ),
+            F.expr("CAST((se1 * 1000000) div sp AS BIGINT)").alias(
+                "paasche_ppm"
+            ),
+        )
+        .select(
+            "n_parts",
+            "laspeyres_ppm",
+            "paasche_ppm",
+            round6(
+                F.sqrt(
+                    F.col("laspeyres_ppm").cast("double")
+                    * F.col("paasche_ppm").cast("double")
+                )
+                / F.lit(1000000.0)
+            ).alias("fisher_index"),
+        )
+    )
+
+
+@_register(
+    "part_demand_abc_xyz",
+    """
+WITH d AS (
+  SELECT l_partkey,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS net,
+         CAST(l_quantity AS DECIMAL(30,6)) AS qty,
+         CAST(datediff('day', DATE '1995-01-02',
+                       CAST(date_trunc('week', CAST(l_shipdate AS DATE))
+                            AS DATE)) AS BIGINT) // 7 AS widx
+  FROM lineitem
+),
+revp AS (
+  SELECT l_partkey,
+         CAST(CAST(round(SUM(net), 2) * 100 AS BIGINT) AS DECIMAL(38,0))
+           AS rc
+  FROM d GROUP BY 1
+),
+run AS (
+  SELECT l_partkey, rc,
+         SUM(rc) OVER (ORDER BY rc DESC, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(rc) OVER () AS total
+  FROM revp
+),
+abc AS (
+  SELECT l_partkey, rc,
+         CASE WHEN cum * 5 <= total * 4 THEN 'A'
+              WHEN cum * 20 <= total * 19 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM run
+),
+weekly AS (
+  SELECT l_partkey, widx, CAST(SUM(qty) AS BIGINT) AS wq
+  FROM d GROUP BY 1, 2
+),
+span AS (
+  SELECT CAST(MAX(widx) - MIN(widx) + 1 AS HUGEINT) AS nw FROM d
+),
+xyz AS (
+  SELECT l_partkey,
+         CASE WHEN cv <= 0.5 THEN 'X' WHEN cv <= 1.0 THEN 'Y'
+              ELSE 'Z' END AS xyz_class
+  FROM (
+    SELECT l_partkey,
+           CAST(round(CAST(sqrt(CAST(nw * sq2 - sq1 * sq1 AS DOUBLE))
+                           / CAST(sq1 AS DOUBLE) AS DECIMAL(30,12)), 6)
+                AS DOUBLE) AS cv
+    FROM (
+      SELECT l_partkey,
+             CAST(SUM(CAST(wq AS HUGEINT)) AS HUGEINT) AS sq1,
+             CAST(SUM(CAST(wq AS HUGEINT) * CAST(wq AS HUGEINT))
+                  AS HUGEINT) AS sq2
+      FROM weekly GROUP BY 1
+    ) m, span
+  ) c
+)
+SELECT abc_class, xyz_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rc) AS BIGINT) AS class_rev_cents
+FROM abc JOIN xyz USING (l_partkey)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def part_demand_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supply-chain planner's 3×3: ABC revenue classes (A = parts
+    inside the top 80% of cumulative net revenue, B to 95%, C the
+    tail) crossed with XYZ demand-variability classes (coefficient of
+    variation of WEEKLY demand: X ≤ 0.5 steady, Y ≤ 1.0, Z erratic) —
+    the matrix that decides which parts get safety stock vs
+    make-to-order. ABC cumulative shares ride the exact two-level
+    DECIMAL prefix sum over (revenue DESC, partkey) with the
+    division-free multiply-form thresholds (the pareto_customers
+    discipline); XYZ uses the moment-sum CV over the LINEAR week index
+    (weeks with zero demand are implicit zeros in Σq/Σq² — the global
+    week span supplies n, so no calendar densification scan), sqrt of
+    an exact integer in double, decimal-rounded before the class
+    compare. Scale: two passes over lineitem partitioned by partkey,
+    one bounded running sum over |parts| rows, broadcast 1-row span —
+    no data-sized join or window."""
+    from .functions.stats import round6
+    from .functions.ordered import with_running_sum
+
+    li = fx._read(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(30,6)")
+        .alias("net"),
+        F.col("l_quantity").cast("decimal(30,6)").alias("qty"),
+        F.expr(
+            "CAST(datediff(CAST(date_trunc('week', to_date(l_shipdate)) AS"
+            " DATE), DATE '1995-01-02') AS BIGINT) div 7"
+        ).alias("widx"),
+    )
+    revp = d.groupBy("l_partkey").agg(
+        (F.round(F.sum("net"), 2) * 100)
+        .cast("bigint")
+        .cast("decimal(38,0)")
+        .alias("rc")
+    )
+    run, total = with_running_sum(
+        revp, [F.desc("rc"), F.asc("l_partkey")], "rc", running_col="cum"
+    )
+    abc = run.select(
+        "l_partkey",
+        "rc",
+        F.when(
+            F.col("cum") * 5 <= F.lit(total).cast("decimal(38,0)") * 4, "A"
+        )
+        .when(
+            F.col("cum") * 20 <= F.lit(total).cast("decimal(38,0)") * 19,
+            "B",
+        )
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    weekly = d.groupBy("l_partkey", "widx").agg(
+        F.sum("qty").cast("bigint").alias("wq")
+    )
+    span = d.agg(
+        (F.max("widx") - F.min("widx") + 1)
+        .cast("decimal(38,0)")
+        .alias("nw")
+    )
+    wv = F.col("wq").cast("decimal(38,0)")
+    xyz = (
+        weekly.groupBy("l_partkey")
+        .agg(F.sum(wv).alias("sq"), F.sum(wv * wv).alias("sqq"))
+        .crossJoin(F.broadcast(span))
+        .select(
+            "l_partkey",
+            round6(
+                F.sqrt(F.expr("CAST(nw * sqq - sq * sq AS DOUBLE)"))
+                / F.col("sq").cast("double")
+            ).alias("cv"),
+        )
+        .select(
+            "l_partkey",
+            F.when(F.col("cv") <= 0.5, "X")
+            .when(F.col("cv") <= 1.0, "Y")
+            .otherwise("Z")
+            .alias("xyz_class"),
+        )
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("rc").cast("bigint").alias("class_rev_cents"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )
+
+
+@_register(
+    "customer_second_order_km",
+    """
+WITH ranked AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS dd,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+           AS rn
+  FROM orders
+),
+subj AS (
+  SELECT o_custkey,
+         MIN(CASE WHEN rn = 1 THEN dd END) AS d1,
+         MIN(CASE WHEN rn = 2 THEN dd END) AS d2
+  FROM ranked GROUP BY 1
+),
+mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS md FROM orders),
+life AS (
+  SELECT CASE WHEN d2 IS NOT NULL THEN datediff('day', d1, d2)
+              ELSE datediff('day', d1, md) END AS t,
+         CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM subj, mx
+),
+per_t AS (
+  SELECT t, CAST(SUM(ev) AS DECIMAL(38,0)) AS d,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+  FROM life GROUP BY 1
+),
+risk AS (
+  SELECT t, d, c,
+         SUM(c) OVER (ORDER BY t DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS n
+  FROM per_t
+),
+ev AS (
+  SELECT t, d, n,
+         CASE WHEN n > d THEN
+           CAST(round(CAST(ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE))
+                           AS DECIMAL(38,12)), 6) AS DECIMAL(38,6))
+         ELSE CAST(0 AS DECIMAL(38,6)) END AS lf
+  FROM risk WHERE d > 0
+),
+curve AS (
+  SELECT t, d, n,
+         SUM(lf) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM ev
+)
+SELECT CAST(t AS BIGINT) AS t_days,
+       CAST(n AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_events,
+       CASE WHEN n = d THEN 0.0
+            ELSE CAST(round(CAST(exp(CAST(cum AS DOUBLE))
+                                 AS DECIMAL(30,12)), 6) AS DOUBLE)
+       END AS survival
+FROM curve ORDER BY t_days
+""",
+)
+def customer_second_order_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of time-to-second-order: per event
+    time (days after the first order), the at-risk count, events, and
+    the product-limit survival probability — the censoring-correct
+    repeat-purchase curve behind "X% of new customers reorder within N
+    days" (customers who never reorder are right-censored at the
+    dataset's last order date, which a naive gap ecdf would silently
+    drop or miscount). Subjects come from one per-customer window
+    (first/second order date); the curve is
+    :func:`..functions.stats.kaplan_meier` — exact DECIMAL suffix sum
+    for the risk set, decimal-rounded ln terms, cumulative exact sum,
+    exp at the end (censoring semantics and the terminal S=0 case are
+    unit-tested on synthetic lifetimes in
+    tests/test_engagement_inequality_unit.py). Scale: the only
+    data-sized stages are the per-customer window and one groupBy on
+    duration; everything after is bounded by distinct durations."""
+    from .functions.stats import kaplan_meier
+
+    o = fx._read(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("dd"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("dd", "o_orderkey")
+    ranked = o.select(
+        "o_custkey", "dd", F.row_number().over(w).alias("rn")
+    )
+    subj = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("dd"))).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, F.col("dd"))).alias("d2"),
+    )
+    mx = o.agg(F.max("dd").alias("md"))
+    life = subj.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("d2").isNotNull(), F.datediff(F.col("d2"), F.col("d1"))
+        )
+        .otherwise(F.datediff(F.col("md"), F.col("d1")))
+        .cast("bigint")
+        .alias("t"),
+        F.when(F.col("d2").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("ev"),
+    )
+    return kaplan_meier(life)

@@ -248,3 +248,78 @@ def test_bigram_pmi_min_count_filters(spark):
     )
     out = bigram_pmi(docs, min_count=2, top_k=10).collect()
     assert [(r.tok_a, r.tok_b, r.n_bigram) for r in out] == [("x", "y", 2)]
+
+
+from retail_etl_pipeline_spark.functions.stats import kaplan_meier
+
+
+def _km(spark, rows):
+    life = spark.createDataFrame(rows, "t bigint, ev int")
+    out = kaplan_meier(life).collect()
+    return [(r.t_days, r.n_at_risk, r.n_events, r.survival) for r in out]
+
+
+def test_kaplan_meier_hand_computed_with_censoring(spark):
+    # classic worked example: events at t=1 (1 of 5 at risk) and t=3
+    # (1 of 3 at risk — the t=2 censored subject LEFT the risk set
+    # without an event); censored at t=2 and t=4; event at t=5 is the
+    # last subject -> terminal S=0
+    rows = [(1, 1), (2, 0), (3, 1), (4, 0), (5, 1)]
+    out = _km(spark, rows)
+    assert [(t, n, d) for t, n, d, _ in out] == [
+        (1, 5, 1),
+        (3, 3, 1),
+        (5, 1, 1),
+    ]
+    s = {t: sv for t, _, _, sv in out}
+    assert abs(s[1] - 4 / 5) < 1e-5
+    assert abs(s[3] - (4 / 5) * (2 / 3)) < 1e-5
+    assert s[5] == 0.0  # n == d at the terminal time: literal, not ln(0)
+
+
+def test_kaplan_meier_censoring_changes_the_curve(spark):
+    # same event times, but the t=2 subject is an EVENT instead of a
+    # censor: S(3) must drop further — a naive ecdf that ignores the
+    # ev flag would give identical curves
+    censored = _km(spark, [(1, 1), (2, 0), (3, 1), (9, 0)])
+    evented = _km(spark, [(1, 1), (2, 1), (3, 1), (9, 0)])
+    sc = {t: sv for t, _, _, sv in censored}
+    se = {t: sv for t, _, _, sv in evented}
+    assert abs(sc[3] - (3 / 4) * (1 / 2)) < 1e-5
+    assert abs(se[3] - (3 / 4) * (2 / 3) * (1 / 2)) < 1e-5
+    assert se[3] < sc[3]
+    # censor-only times never appear as curve rows
+    assert 2 not in sc and 9 not in sc and 9 not in se
+
+
+def test_kaplan_meier_ties_and_all_event_input(spark):
+    # tied events: d=2 of n=3 at t=2 -> S = 1/3; terminal t=7 -> 0
+    out = _km(spark, [(2, 1), (2, 1), (7, 1)])
+    assert [(t, n, d) for t, n, d, _ in out] == [(2, 3, 2), (7, 1, 1)]
+    assert abs(out[0][3] - 1 / 3) < 1e-5
+    assert out[1][3] == 0.0
+
+
+def test_hhi_monopoly_and_equal_shares(spark):
+    from retail_etl_pipeline_spark.registry import QUERIES  # noqa: F401
+    # the HHI arithmetic via a tiny frame mirroring the query's core
+    rev = spark.createDataFrame(
+        [("m", 1, 500), ("e", 1, 250), ("e", 2, 250), ("e", 3, 250),
+         ("e", 4, 250)],
+        "g string, k bigint, cents bigint",
+    )
+    x = F.col("cents").cast("decimal(38,0)")
+    out = {
+        r.g: r.hhi_ppm
+        for r in rev.groupBy("g")
+        .agg(F.sum(x).alias("tot"), F.sum(x * x).alias("sq"))
+        .select(
+            "g",
+            F.expr("CAST((sq * 1000000) div (tot * tot) AS BIGINT)").alias(
+                "hhi_ppm"
+            ),
+        )
+        .collect()
+    }
+    assert out["m"] == 1_000_000  # monopoly
+    assert out["e"] == 250_000  # 4 equal shares -> 1e6 / 4
