@@ -142,6 +142,19 @@ SHOW = {
         "hash aggregations — every exchange partitions by user_id; no "
         "calendar spine, no self-join."
     ),
+    "part_demand_abc_xyz": (
+        "ABC x XYZ classification: the revenue cumshare rides the "
+        "two-level decimal prefix sum (range exchange, bounded "
+        "partials), the weekly-demand CV is two hash aggregations "
+        "sharing the partkey partitioning plus a broadcast 1-row week "
+        "span — no parts-x-weeks densification join anywhere."
+    ),
+    "customer_second_order_km": (
+        "Kaplan-Meier: one per-customer window, one duration groupBy, "
+        "then BOTH running sums (risk-set suffix, ln-term prefix) over "
+        "the bounded distinct-duration relation — the survival product "
+        "never materializes a one-task window."
+    ),
 }
 
 
