@@ -9069,8 +9069,8 @@ SELECT r_name,
        CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT) AS total_cents,
        CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)))
                  * 1000000 AS HUGEINT)
-            // (CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS HUGEINT)
-                * CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS HUGEINT))
+            // NULLIF(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS HUGEINT)
+                      * CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS HUGEINT), 0)
             AS BIGINT) AS hhi_ppm
 FROM rev GROUP BY 1 ORDER BY 1
 """,
@@ -9125,9 +9125,11 @@ def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_name",
             "n_suppliers",
             F.col("tot").cast("bigint").alias("total_cents"),
-            F.expr("CAST((sq * 1000000) div (tot * tot) AS BIGINT)").alias(
-                "hhi_ppm"
-            ),
+            # NULLIF: a region whose entire revenue rounds to 0 cents has
+            # no defined share structure (0/0), not a zero HHI
+            F.expr(
+                "CAST((sq * 1000000) div NULLIF(tot * tot, 0) AS BIGINT)"
+            ).alias("hhi_ppm"),
         )
         .orderBy("r_name")
     )
@@ -9342,6 +9344,7 @@ xyz AS (
                   AS HUGEINT) AS sq2
       FROM weekly GROUP BY 1
     ) m, span
+    WHERE m.sq1 > 0
   ) c
 )
 SELECT abc_class, xyz_class,
@@ -9416,6 +9419,10 @@ def part_demand_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     xyz = (
         weekly.groupBy("l_partkey")
         .agg(F.sum(wv).alias("sq"), F.sum(wv * wv).alias("sqq"))
+        # CV is undefined at zero total demand (0/0 -> NaN, which the
+        # decimal hop cannot carry); such parts can't exist in TPC-H
+        # (qty >= 1) but a degenerate input must not crash the cast
+        .where(F.col("sq") > 0)
         .crossJoin(F.broadcast(span))
         .select(
             "l_partkey",
