@@ -323,3 +323,37 @@ def test_hhi_monopoly_and_equal_shares(spark):
     }
     assert out["m"] == 1_000_000  # monopoly
     assert out["e"] == 250_000  # 4 equal shares -> 1e6 / 4
+
+
+def test_kernels_are_empty_safe_and_km_single_subject(spark):
+    # degenerate inputs must yield empty results, not runtime errors
+    # (with_running_sum's driver-side offset fold sees zero partials)
+    assert (
+        kaplan_meier(spark.createDataFrame([], "t bigint, ev int")).collect()
+        == []
+    )
+    ev = spark.createDataFrame([], "k bigint, cents bigint")
+    assert lorenz_buckets(ev, "cents", "k").collect() == []
+    assert theil_index(ev, "cents").collect() == []
+    assert (
+        weekly_streak_histogram(
+            spark.createDataFrame([], "user_id bigint, day date")
+        ).collect()
+        == []
+    )
+    assert (
+        consecutive_gap_stats(
+            spark.createDataFrame([], "k bigint, d date, tb bigint"),
+            "k",
+            "d",
+            "tb",
+        ).collect()
+        == []
+    )
+    # a single evented subject is its own terminal time: S = 0 exactly
+    one = kaplan_meier(
+        spark.createDataFrame([(5, 1)], "t bigint, ev int")
+    ).collect()
+    assert [(r.t_days, r.n_at_risk, r.n_events, r.survival) for r in one] == [
+        (5, 1, 1, 0.0)
+    ]
