@@ -46,6 +46,10 @@ def main() -> None:
     selected = sorted(QUERIES.items())
     if only:
         names = {n.strip() for n in only.split(",") if n.strip()}
+        if not names:
+            raise SystemExit(
+                "SPARK_GRAFT_BENCH_ONLY is set but names no queries"
+            )
         unknown = names - QUERIES.keys()
         if unknown:
             raise SystemExit(f"unknown bench queries: {sorted(unknown)}")
@@ -77,6 +81,9 @@ def main() -> None:
     # BENCH_LOCAL.json in the repo
     record = {
         "metric": "total_query_time",
+        # subset triage lines must never be mistaken for a full-registry
+        # record in scrollback or by bench_compare.py
+        **({"subset": True} if only else {}),
         "value": total,
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -341,3 +341,35 @@ def kaplan_meier(life: DataFrame) -> DataFrame:
         .otherwise(round6(F.exp(F.col("cum").cast("double"))))
         .alias("survival"),
     ).orderBy("t_days")
+
+
+def hhi_ppm(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group Herfindahl–Hirschman concentration of a non-negative
+    integer-valued column: ``(*group_cols, n_units, total, hhi_ppm)``
+    (10_000 ppm = 100 equal units, 1_000_000 = monopoly).
+
+    Division-free form: HHI = Σsᵢ² = Σxᵢ²·1e6 div (Σx)² — both moments
+    ride ONE hash aggregation per group, no per-unit share division and
+    no float anywhere, so the result is independent of partitioning.
+    A group whose total is 0 has no defined share structure → NULL
+    (via NULLIF), not a zero. Invariants (monopoly → 1e6, n equal
+    units → 1e6 div n) are unit-tested."""
+    x = F.col(value_col).cast("decimal(38,0)")
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_units"),
+            F.sum(x).alias("tot"),
+            F.sum(x * x).alias("sq"),
+        )
+        .select(
+            *group_cols,
+            "n_units",
+            F.col("tot").cast("bigint").alias("total"),
+            F.expr(
+                "CAST((sq * 1000000) div NULLIF(tot * tot, 0) AS BIGINT)"
+            ).alias("hhi_ppm"),
+        )
+    )

@@ -8115,9 +8115,9 @@ def store_revenue_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: for correlation/entropy outputs where 2 decimals is too coarse.
 _ROUND6_SQL = "CAST(round(CAST({x} AS DECIMAL(30,12)), 6) AS DOUBLE)"
 
-
-def _round6(c: Column) -> Column:
-    return F.round(c.cast("decimal(30,12)"), 6).cast("double")
+# single definition of the 6-decimal hop (functions/stats.py) — a second
+# copy here could drift from the kernels' tie-break rule
+from .functions.stats import round6 as _round6  # noqa: E402
 
 
 _DAILY_REV_CTE = f"""
@@ -9113,23 +9113,15 @@ def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    x = F.col("cents").cast("decimal(38,0)")
+    from .functions.stats import hhi_ppm
+
     return (
-        rev.groupBy("r_name")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
-            F.sum(x).alias("tot"),
-            F.sum(x * x).alias("sq"),
-        )
+        hhi_ppm(rev, ["r_name"], "cents")
         .select(
             "r_name",
-            "n_suppliers",
-            F.col("tot").cast("bigint").alias("total_cents"),
-            # NULLIF: a region whose entire revenue rounds to 0 cents has
-            # no defined share structure (0/0), not a zero HHI
-            F.expr(
-                "CAST((sq * 1000000) div NULLIF(tot * tot, 0) AS BIGINT)"
-            ).alias("hhi_ppm"),
+            F.col("n_units").alias("n_suppliers"),
+            F.col("total").alias("total_cents"),
+            "hhi_ppm",
         )
         .orderBy("r_name")
     )
@@ -9367,9 +9359,12 @@ def part_demand_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     (weeks with zero demand are implicit zeros in Σq/Σq² — the global
     week span supplies n, so no calendar densification scan), sqrt of
     an exact integer in double, decimal-rounded before the class
-    compare. Scale: two passes over lineitem partitioned by partkey,
-    one bounded running sum over |parts| rows, broadcast 1-row span —
-    no data-sized join or window."""
+    compare. Scale: ONE shuffled pass over lineitem — everything (part
+    revenue, weekly demand, the global week span) derives from a single
+    (part, week) aggregation whose unrounded decimal partials re-sum
+    exactly to the per-part totals; after it only |parts|-bounded
+    reductions, the running sum and a broadcast 1-row span remain — no
+    data-sized join or window, no second fact scan."""
     from .functions.stats import round6
     from .functions.ordered import with_running_sum
 
@@ -9380,13 +9375,29 @@ def part_demand_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(30,6)")
         .alias("net"),
         F.col("l_quantity").cast("decimal(30,6)").alias("qty"),
-        F.expr(
-            "CAST(datediff(CAST(date_trunc('week', to_date(l_shipdate)) AS"
-            " DATE), DATE '1995-01-02') AS BIGINT) div 7"
-        ).alias("widx"),
+        # shared week-index fragment (operators/behavior.py) — the SAME
+        # epoch/truncation rule as user_weekly_streaks
+        F.expr(bh.linear_week_index_sql("to_date(l_shipdate)")).alias(
+            "widx"
+        ),
     )
-    revp = d.groupBy("l_partkey").agg(
-        (F.round(F.sum("net"), 2) * 100)
+    # the ONE data-sized aggregation: weekly grain carries UNROUNDED
+    # exact decimal revenue partials, so the per-part rounding below
+    # equals rounding the direct per-part sum. Persisted: three
+    # consumers (revenue ranks, CV moments, week span) read the bounded
+    # |parts x weeks| relation instead of re-scanning the fact table
+    # (the shared-shingle-relation contract; bench/tests clearCache
+    # between queries)
+    base = (
+        d.groupBy("l_partkey", "widx")
+        .agg(
+            F.sum("net").alias("wnet"),
+            F.sum("qty").cast("bigint").alias("wq"),
+        )
+        .persist()
+    )
+    revp = base.groupBy("l_partkey").agg(
+        (F.round(F.sum("wnet"), 2) * 100)
         .cast("bigint")
         .cast("decimal(38,0)")
         .alias("rc")
@@ -9407,17 +9418,16 @@ def part_demand_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
-    weekly = d.groupBy("l_partkey", "widx").agg(
-        F.sum("qty").cast("bigint").alias("wq")
-    )
-    span = d.agg(
+    # span from the SAME (part, week) aggregate — the exchange is
+    # reused, not a third scan of the fact table
+    span = base.agg(
         (F.max("widx") - F.min("widx") + 1)
         .cast("decimal(38,0)")
         .alias("nw")
     )
     wv = F.col("wq").cast("decimal(38,0)")
     xyz = (
-        weekly.groupBy("l_partkey")
+        base.groupBy("l_partkey")
         .agg(F.sum(wv).alias("sq"), F.sum(wv * wv).alias("sqq"))
         # CV is undefined at zero total demand (0/0 -> NaN, which the
         # decimal hop cannot carry); such parts can't exist in TPC-H

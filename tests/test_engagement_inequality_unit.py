@@ -300,29 +300,22 @@ def test_kaplan_meier_ties_and_all_event_input(spark):
     assert out[1][3] == 0.0
 
 
-def test_hhi_monopoly_and_equal_shares(spark):
-    from retail_etl_pipeline_spark.registry import QUERIES  # noqa: F401
-    # the HHI arithmetic via a tiny frame mirroring the query's core
+def test_hhi_monopoly_equal_shares_and_zero_total(spark):
+    from retail_etl_pipeline_spark.functions.stats import hhi_ppm
+
+    # the SAME kernel supplier_revenue_hhi runs, on hand-checkable groups
     rev = spark.createDataFrame(
         [("m", 1, 500), ("e", 1, 250), ("e", 2, 250), ("e", 3, 250),
-         ("e", 4, 250)],
+         ("e", 4, 250), ("z", 1, 0), ("z", 2, 0)],
         "g string, k bigint, cents bigint",
     )
-    x = F.col("cents").cast("decimal(38,0)")
     out = {
-        r.g: r.hhi_ppm
-        for r in rev.groupBy("g")
-        .agg(F.sum(x).alias("tot"), F.sum(x * x).alias("sq"))
-        .select(
-            "g",
-            F.expr("CAST((sq * 1000000) div (tot * tot) AS BIGINT)").alias(
-                "hhi_ppm"
-            ),
-        )
-        .collect()
+        r.g: (r.n_units, r.total, r.hhi_ppm)
+        for r in hhi_ppm(rev, ["g"], "cents").collect()
     }
-    assert out["m"] == 1_000_000  # monopoly
-    assert out["e"] == 250_000  # 4 equal shares -> 1e6 / 4
+    assert out["m"] == (1, 500, 1_000_000)  # monopoly
+    assert out["e"] == (4, 1000, 250_000)  # 4 equal shares -> 1e6 / 4
+    assert out["z"] == (2, 0, None)  # zero total: undefined, not 0
 
 
 def test_kernels_are_empty_safe_and_km_single_subject(spark):
