@@ -114,6 +114,56 @@ def ntile_from_rank(rank_col: str, n_rows: int, n_buckets: int) -> Column:
     return F.when(F.col(rank_col) <= F.lit(pivot), big).otherwise(small)
 
 
+def with_running_min(
+    df: DataFrame,
+    order: list[Column],
+    value_col: str,
+    running_col: str = "running_min",
+    num_partitions: int | None = None,
+):
+    """Exact running (prefix) minimum of ``value_col`` in ``order``
+    (rows from the first row through the current one), plus the global
+    minimum.
+
+    Same two-level shape as :func:`with_running_sum` — range shuffle,
+    bounded per-partition MIN partials collected as plan literals,
+    partition-local cumulative window — but with MIN instead of SUM,
+    so it is exact for ANY orderable column type (no accumulation).
+    The per-partition offset for partition p is the minimum over all
+    PRIOR partitions' minimums (none for the first partition → the
+    local window stands alone via ``least``'s null-skipping).
+
+    Primary consumer: :func:`..functions.stats.with_cusum`, where the
+    running minimum of an exact prefix sum turns the recursive
+    ``max(0, C + dev)`` CUSUM into two prefix passes.
+    """
+    vt = df.schema[value_col].dataType.simpleString()
+    d = _range_partitioned(df, order, num_partitions).persist()
+    mins = {
+        r[_PID]: r["m"]
+        for r in d.groupBy(_PID).agg(F.min(value_col).alias("m")).collect()
+    }
+    entries: list[Column] = []
+    prior = None  # min over all PRIOR partitions, exact driver-side
+    for pid in sorted(mins):
+        if prior is not None:
+            entries += [F.lit(pid), F.lit(prior).cast(vt)]
+        m = mins[pid]
+        if m is not None and (prior is None or m < prior):
+            prior = m
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # least() skips nulls: first partition (null offset) = local min alone
+    running = F.least(
+        _offset_expr(entries, F.lit(None).cast(vt)),
+        F.min(value_col).over(w),
+    )
+    return d.withColumn(running_col, running).drop(_PID), prior
+
+
 def with_running_sum(
     df: DataFrame,
     order: list[Column],

@@ -343,6 +343,320 @@ def kaplan_meier(life: DataFrame) -> DataFrame:
     ).orderBy("t_days")
 
 
+def mann_whitney_u2(df: DataFrame, value_col: str, flag_col: str) -> DataFrame:
+    """One-row exact two-sample Mann–Whitney rank-sum statistic, doubled
+    to stay integer under ties: ``(n_a, n_b, u2_a)`` with
+    ``u2_a = 2·U_A`` where ``U_A = #{(a,b): a > b} + ½·#{a = b}``.
+
+    The rank-based drift twin beside :func:`ks_statistic` (KS reacts to
+    any ecdf gap; U reacts to stochastic dominance). One-pass identity
+    over per-value counts (ca, cb) in ascending value order: an *a* at
+    value v beats every *b* below v and half-ties the cb_v at v, so
+    ``2U = Σ_v ca_v · (2·CumB(<v) + cb_v)`` — one hash aggregation plus
+    one exact DECIMAL prefix sum (:func:`..functions.ordered.
+    with_running_sum`, two-level, no one-task window). All integer
+    arithmetic; property-tested against the brute-force pair count.
+    Consistency check: ``u2_a + u2_b = 2·n_a·n_b``.
+    """
+    from .ordered import with_running_sum
+
+    cnt = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.sum(F.when(F.col(flag_col), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("ca"),
+        F.sum(F.when(F.col(flag_col), 0).otherwise(1))
+        .cast("decimal(38,0)")
+        .alias("cb"),
+    )
+    run, _tot = with_running_sum(cnt, [F.col("v")], "cb", running_col="cumb")
+    per = run.select(
+        "ca",
+        "cb",
+        (
+            F.col("ca")
+            * (2 * (F.col("cumb") - F.col("cb")) + F.col("cb"))
+        )
+        .cast("decimal(38,0)")
+        .alias("t"),
+    )
+    return per.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+        F.sum("t").cast("bigint").alias("u2_a"),
+    )
+
+
+def atkinson_index(df: DataFrame, value_col: str) -> DataFrame:
+    """One-row Atkinson inequality index at aversion ε=1 of a
+    non-negative integer-valued column: ``(n, atkinson)`` with
+    ``A = 1 − geomean(x)/mean(x)`` ∈ [0, 1).
+
+    Same ln-micros discipline as :func:`theil_index`: each ln(x) is a
+    double of an exact integer (bit-identical cross-engine),
+    decimal-rounded at 6 places, summed exactly; only the final
+    ``exp(Σln/n)·n/Σx`` runs in double. Any x = 0 collapses the
+    geometric mean to exactly 0 → A = 1 without evaluating ln(0);
+    an all-zero (Σx = 0) input has no defined inequality → NULL.
+    Negatives are the caller's bug (raise-by-contract: money/counts).
+    """
+    base = df.select(F.col(value_col).cast("decimal(38,0)").alias("x"))
+    agg = base.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.when(F.col("x") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nz"),
+        F.sum(
+            F.when(
+                F.col("x") > 0,
+                F.round(
+                    F.log(F.col("x").cast("double")).cast("decimal(38,12)"),
+                    6,
+                ).cast("decimal(38,6)"),
+            ).otherwise(F.lit(0).cast("decimal(38,6)"))
+        ).alias("slog"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.when(F.col("sx") <= 0, F.lit(None).cast("double"))
+        .when(F.col("nz") > 0, F.lit(1.0))
+        .otherwise(
+            round6(
+                F.lit(1.0)
+                - F.exp(
+                    F.col("slog").cast("double") / F.col("n").cast("double")
+                )
+                * F.col("n").cast("double")
+                / F.col("sx").cast("double")
+            )
+        )
+        .alias("atkinson"),
+    )
+
+
+def theil_decomposition(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One-row between/within decomposition of the Theil T index over a
+    grouping column: ``(n, n_groups, theil_total, theil_between,
+    theil_within)``.
+
+    Exact additive identity (pre-rounding):
+    ``Σx·ln(xn/S) = Σx·ln(x·n_g/S_g) + Σ_g S_g·ln(S_g·n/(S·n_g))`` —
+    total = within + between, each term ÷ S. Every ln argument is a
+    ratio of exact DECIMAL(38,0) products evaluated in double
+    (bit-identical cross-engine), contributions decimal-rounded at 6
+    places then summed exactly (the :func:`theil_index` discipline), so
+    the decomposition is partitioning-independent and the additivity
+    holds to ~1e-6 (pinned by the unit test). Rows with x ≤ 0 are
+    excluded as in :func:`theil_index`. Plan: one row-level join to the
+    per-group sums (AQE sizes it; groups relation ≪ rows), one
+    broadcast of the 1-row total, three bounded aggregations.
+    """
+    pos = df.where(F.col(value_col) > 0).select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("decimal(38,0)").alias("x"),
+    )
+    grp = pos.groupBy("g").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("ng"),
+        F.sum("x").alias("sg"),
+    )
+    tot = grp.agg(
+        F.sum("ng").cast("decimal(38,0)").alias("n"),
+        F.sum("sg").cast("decimal(38,0)").alias("sx"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+    )
+
+    def _c(log_arg: Column, weight: Column) -> Column:
+        return (
+            weight
+            * F.round(F.log(log_arg).cast("decimal(38,12)"), 6).cast(
+                "decimal(38,6)"
+            )
+        ).cast("decimal(38,6)")
+
+    rows = pos.join(grp, "g").crossJoin(F.broadcast(tot))
+    row_sums = rows.agg(
+        F.sum(
+            _c(
+                (F.col("x") * F.col("n")).cast("double")
+                / F.col("sx").cast("double"),
+                F.col("x"),
+            )
+        ).alias("c_total"),
+        F.sum(
+            _c(
+                (F.col("x") * F.col("ng")).cast("double")
+                / F.col("sg").cast("double"),
+                F.col("x"),
+            )
+        ).alias("c_within"),
+    )
+    grp_sum = grp.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            _c(
+                (F.col("sg") * F.col("n")).cast("double")
+                / (F.col("sx") * F.col("ng")).cast("double"),
+                F.col("sg"),
+            )
+        ).alias("c_between")
+    )
+    return (
+        tot.crossJoin(F.broadcast(row_sums))
+        .crossJoin(F.broadcast(grp_sum))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            "n_groups",
+            round6(
+                F.col("c_total").cast("double") / F.col("sx").cast("double")
+            ).alias("theil_total"),
+            round6(
+                F.col("c_between").cast("double") / F.col("sx").cast("double")
+            ).alias("theil_between"),
+            round6(
+                F.col("c_within").cast("double") / F.col("sx").cast("double")
+            ).alias("theil_within"),
+        )
+    )
+
+
+def kaplan_meier_by(life: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Stratified Kaplan–Meier with Greenwood standard errors: one
+    product-limit curve per group from a ``(*group_cols, t, ev)``
+    lifetimes relation — ``(*group_cols, t_days, n_at_risk, n_events,
+    survival, greenwood_se)``.
+
+    Same construction as :func:`kaplan_meier` but the group key
+    partitions every window (``Window.partitionBy(*group_cols)`` —
+    real partitioning, NOT the banned empty-partitionBy shape), so the
+    two-level running-sum machinery is unnecessary: state per task is
+    one group's distinct event times. Greenwood's formula rides along:
+    ``Var(S(t)) = S(t)²·Σ_{u≤t} d/(n(n−d))`` — each summand a ratio of
+    exact integers, decimal-rounded at 12 places (the terms are
+    O(1/n²)) then cumulated exactly; ``greenwood_se = S·√Σ``. At the
+    terminal n = d event S = 0 exactly and the d/(n·0) summand is
+    moot — both emitted as literals, never a division by zero.
+    Unit-tested per group against the unstratified kernel and a
+    float-exact Python mirror.
+    """
+    from pyspark.sql.window import Window
+
+    per_t = life.groupBy(*group_cols, "t").agg(
+        F.sum("ev").cast("decimal(38,0)").alias("d"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("c"),
+    )
+    w_desc = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = per_t.withColumn("n", F.sum("c").over(w_desc))
+    evr = risk.where(F.col("d") > 0).select(
+        *group_cols,
+        "t",
+        "d",
+        "n",
+        F.when(
+            F.col("n") > F.col("d"),
+            F.round(
+                F.log(
+                    (F.col("n") - F.col("d")).cast("double")
+                    / F.col("n").cast("double")
+                ).cast("decimal(38,12)"),
+                6,
+            ).cast("decimal(38,6)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(38,6)"))
+        .alias("lf"),
+        F.when(
+            F.col("n") > F.col("d"),
+            F.round(
+                (
+                    F.col("d").cast("double")
+                    / (F.col("n") * (F.col("n") - F.col("d"))).cast("double")
+                ).cast("decimal(38,18)"),
+                12,
+            ).cast("decimal(38,12)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(38,12)"))
+        .alias("gw"),
+    )
+    w_asc = (
+        Window.partitionBy(*group_cols)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = evr.withColumn("cum", F.sum("lf").over(w_asc)).withColumn(
+        "gcum", F.sum("gw").over(w_asc)
+    )
+    s_raw = F.exp(F.col("cum").cast("double"))
+    return curve.select(
+        *group_cols,
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.when(F.col("n") == F.col("d"), F.lit(0.0))
+        .otherwise(round6(s_raw))
+        .alias("survival"),
+        F.when(F.col("n") == F.col("d"), F.lit(0.0))
+        .otherwise(round6(s_raw * F.sqrt(F.col("gcum").cast("double"))))
+        .alias("greenwood_se"),
+    ).orderBy(*group_cols, "t_days")
+
+
+def km_median_survival(curve: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Median survival time per group from a :func:`kaplan_meier_by`
+    curve: the FIRST event time where survival drops to ≤ 0.5
+    (rank-pinned via MIN — tie-stable). Groups whose curve never
+    reaches 0.5 have no estimable median and drop out; a query wanting
+    them as NULL left-joins this back to the group list."""
+    return (
+        curve.where(F.col("survival") <= 0.5)
+        .groupBy(*group_cols)
+        .agg(F.min("t_days").cast("bigint").alias("median_t_days"))
+    )
+
+
+def with_cusum(
+    df: DataFrame,
+    order: list,
+    dev_col: str,
+    cusum_col: str = "cusum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact one-sided (upper) CUSUM over an already-pinned integer
+    deviation column: appends ``C_i = max(0, C_{i-1} + dev_i)`` in
+    ``order`` (which must be total).
+
+    The recursion is not a window frame, but the prefix identity
+    ``C_i = S_i − min(0, min_{j≤i} S_j)`` (S = running sum of dev)
+    makes it two exact passes: :func:`..functions.ordered.
+    with_running_sum` then :func:`..functions.ordered.with_running_min`
+    — both two-level range-partitioned, no one-task stage, all
+    DECIMAL(38,0) arithmetic. ``dev_col`` must already be
+    DECIMAL(38,0) deviations (caller pins x − μ − k in cents/ppm);
+    property-tested against the textbook recursion.
+    """
+    from .ordered import with_running_min, with_running_sum
+
+    run, _tot = with_running_sum(
+        df, order, dev_col, running_col="_cs_s", num_partitions=num_partitions
+    )
+    runm, _gmin = with_running_min(
+        run, order, "_cs_s", running_col="_cs_m", num_partitions=num_partitions
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    return (
+        runm.withColumn(
+            cusum_col,
+            (F.col("_cs_s") - F.least(F.col("_cs_m"), zero)).cast(
+                "decimal(38,0)"
+            ),
+        )
+        .drop("_cs_s", "_cs_m")
+    )
+
+
 def hhi_ppm(
     df: DataFrame, group_cols: list[str], value_col: str
 ) -> DataFrame:
