@@ -1,0 +1,26 @@
+"""Differential tests for the round-6 STAGED queries (registry_next.py)
+vs their DuckDB oracles at sf0.001 — identical harness to
+test_oracle_parity.py, so the staged surface stays continuously green
+until round 6 registers it with the driver."""
+
+from __future__ import annotations
+
+import pytest
+
+from retail_etl_pipeline_spark.registry_next import ORACLES, QUERIES
+
+from .oracle_utils import compare
+
+PARAMS = sorted(ORACLES.keys())
+
+
+def test_staged_registry_is_consistent():
+    assert set(QUERIES) == set(ORACLES)
+
+
+@pytest.mark.parametrize("name", PARAMS)
+def test_staged_query_matches_oracle(spark, duck, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    problems = compare(df, duck, ORACLES[name])
+    spark.catalog.clearCache()  # ordered-kernel queries persist partials
+    assert not problems, f"{name}: " + " | ".join(problems)
