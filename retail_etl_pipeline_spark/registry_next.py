@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .operators import behavior as bh
 from .operators import fixtures_adapter as fx
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -460,3 +461,448 @@ def segment_second_order_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return kaplan_meier_by(life, ["segment"])
+
+
+@_stage(
+    "part_abc_migration_matrix",
+    """
+WITH d AS (
+  SELECT l_partkey, year(l_shipdate) AS yr,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS net
+  FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)
+),
+r96 AS (
+  SELECT l_partkey,
+         CAST(CAST(round(SUM(net), 2) * 100 AS BIGINT) AS DECIMAL(38,0))
+           AS rc
+  FROM d WHERE yr = 1996 GROUP BY 1
+),
+a96 AS (
+  SELECT l_partkey,
+         CASE WHEN cum * 5 <= total * 4 THEN 'A'
+              WHEN cum * 20 <= total * 19 THEN 'B'
+              ELSE 'C' END AS class_1996
+  FROM (
+    SELECT l_partkey,
+           SUM(rc) OVER (ORDER BY rc DESC, l_partkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum,
+           SUM(rc) OVER () AS total
+    FROM r96
+  ) x
+),
+r97 AS (
+  SELECT l_partkey,
+         CAST(CAST(round(SUM(net), 2) * 100 AS BIGINT) AS DECIMAL(38,0))
+           AS rc
+  FROM d WHERE yr = 1997 GROUP BY 1
+),
+a97 AS (
+  SELECT l_partkey, rc,
+         CASE WHEN cum * 5 <= total * 4 THEN 'A'
+              WHEN cum * 20 <= total * 19 THEN 'B'
+              ELSE 'C' END AS class_1997
+  FROM (
+    SELECT l_partkey, rc,
+           SUM(rc) OVER (ORDER BY rc DESC, l_partkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum,
+           SUM(rc) OVER () AS total
+    FROM r97
+  ) x
+)
+SELECT COALESCE(class_1996, 'N') AS class_1996,
+       COALESCE(class_1997, 'N') AS class_1997,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(COALESCE(rc, 0)) AS BIGINT) AS rev97_cents
+FROM a96 FULL JOIN a97 USING (l_partkey)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def part_abc_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year ABC class migration: every part classified by the
+    1996 revenue Pareto AND independently by the 1997 one, cross-
+    tabulated — the assortment-churn matrix planners read as "which A
+    parts fell to C, what's newly A" ('N' = not traded that year).
+    Reuses part_demand_abc_xyz's exact machinery per year: cents in
+    DECIMAL(38,0), the two-level exact prefix sum over (revenue DESC,
+    partkey) via :func:`.functions.ordered.with_running_sum`, and the
+    division-free multiply-form thresholds (cum·5 ≤ total·4 is A,
+    cum·20 ≤ total·19 is B). Scale: one conditional scan of lineitem
+    per year (filter-pruned), |parts|-bounded running sums, a
+    |parts|-sized full outer join, and a ≤16-cell output."""
+    from .functions.ordered import with_running_sum
+
+    li = fx._read(spark, sf_dir, "lineitem")
+    net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+
+    def classes(year: int, keep_rc: bool) -> DataFrame:
+        revp = (
+            li.where(F.year("l_shipdate") == year)
+            .groupBy("l_partkey")
+            .agg(
+                (F.round(F.sum(net), 2) * 100)
+                .cast("bigint")
+                .cast("decimal(38,0)")
+                .alias("rc")
+            )
+        )
+        run, total = with_running_sum(
+            revp, [F.desc("rc"), F.asc("l_partkey")], "rc", running_col="cum"
+        )
+        t = F.lit(total).cast("decimal(38,0)")
+        cls = (
+            F.when(F.col("cum") * 5 <= t * 4, "A")
+            .when(F.col("cum") * 20 <= t * 19, "B")
+            .otherwise("C")
+            .alias(f"class_{year}")
+        )
+        cols = ["l_partkey", cls] + (["rc"] if keep_rc else [])
+        return run.select(*cols)
+
+    a96 = classes(1996, keep_rc=False)
+    a97 = classes(1997, keep_rc=True)
+    return (
+        a96.join(a97, "l_partkey", "full_outer")
+        .groupBy(
+            F.coalesce(F.col("class_1996"), F.lit("N")).alias("class_1996"),
+            F.coalesce(F.col("class_1997"), F.lit("N")).alias("class_1997"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum(F.coalesce(F.col("rc"), F.lit(0).cast("decimal(38,0)")))
+            .cast("bigint")
+            .alias("rev97_cents"),
+        )
+        .orderBy("class_1996", "class_1997")
+    )
+
+
+@_stage(
+    "part_price_index_chained",
+    """
+WITH per AS (
+  SELECT l_partkey,
+         CAST(round(SUM(CASE WHEN year(l_shipdate) = 1996
+                        THEN CAST(l_extendedprice AS DECIMAL(30,6)) END), 2)
+              * 100 AS BIGINT) AS e0,
+         CAST(round(SUM(CASE WHEN year(l_shipdate) = 1997
+                        THEN CAST(l_extendedprice AS DECIMAL(30,6)) END), 2)
+              * 100 AS BIGINT) AS e1,
+         CAST(round(SUM(CASE WHEN year(l_shipdate) = 1998
+                        THEN CAST(l_extendedprice AS DECIMAL(30,6)) END), 2)
+              * 100 AS BIGINT) AS e2,
+         CAST(SUM(CASE WHEN year(l_shipdate) = 1996
+                  THEN CAST(l_quantity AS DECIMAL(30,6)) END) AS BIGINT) AS q0,
+         CAST(SUM(CASE WHEN year(l_shipdate) = 1997
+                  THEN CAST(l_quantity AS DECIMAL(30,6)) END) AS BIGINT) AS q1,
+         CAST(SUM(CASE WHEN year(l_shipdate) = 1998
+                  THEN CAST(l_quantity AS DECIMAL(30,6)) END) AS BIGINT) AS q2
+  FROM lineitem GROUP BY 1
+),
+h AS (
+  SELECT CAST(e0 AS HUGEINT) e0, CAST(e1 AS HUGEINT) e1,
+         CAST(e2 AS HUGEINT) e2, CAST(q0 AS HUGEINT) q0,
+         CAST(q1 AS HUGEINT) q1, CAST(q2 AS HUGEINT) q2,
+         (q0 > 0 AND q1 > 0) AS k01,
+         (q1 > 0 AND q2 > 0) AS k12,
+         (q0 > 0 AND q2 > 0) AS k02
+  FROM per
+),
+s AS (
+  SELECT
+    CAST(SUM(CASE WHEN k01 THEN 1 ELSE 0 END) AS BIGINT) AS n_parts_01,
+    CAST(SUM(CASE WHEN k12 THEN 1 ELSE 0 END) AS BIGINT) AS n_parts_12,
+    CAST(SUM(CASE WHEN k02 THEN 1 ELSE 0 END) AS BIGINT) AS n_parts_02,
+    SUM(CASE WHEN k01 THEN e0 END) AS se0_01,
+    SUM(CASE WHEN k01 THEN (e1 * q0) // NULLIF(q1, 0) END) AS sl1,
+    SUM(CASE WHEN k12 THEN e1 END) AS se1_12,
+    SUM(CASE WHEN k12 THEN (e2 * q1) // NULLIF(q2, 0) END) AS sl2,
+    SUM(CASE WHEN k02 THEN e0 END) AS se0_02,
+    SUM(CASE WHEN k02 THEN (e2 * q0) // NULLIF(q2, 0) END) AS sld
+  FROM h
+),
+p AS (
+  SELECT n_parts_01, n_parts_12, n_parts_02,
+         (sl1 * 1000000) // se0_01 AS l1,
+         (sl2 * 1000000) // se1_12 AS l2,
+         (sld * 1000000) // se0_02 AS ld
+  FROM s
+)
+SELECT n_parts_01, n_parts_12, n_parts_02,
+       CAST(l1 AS BIGINT) AS laspeyres_9697_ppm,
+       CAST(l2 AS BIGINT) AS laspeyres_9798_ppm,
+       CAST((l1 * l2) // 1000000 AS BIGINT) AS chained_9698_ppm,
+       CAST(ld AS BIGINT) AS direct_9698_ppm
+FROM p
+""",
+)
+def part_price_index_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained vs direct Laspeyres 1996→1998: the two-link chain
+    L(96→97)·L(97→98)/1e6 beside the direct L(96→98) — the pair that
+    exposes CHAIN DRIFT, the index-number effect basket updates
+    introduce (and the reason statistical agencies chain annually).
+    Same exact arithmetic as part_price_index: per-part cross-period
+    basket terms as floored integer division of exact cents/quantities
+    (Spark decimal ``div`` == DuckDB HUGEINT ``//``), each link an
+    exact ppm ratio, the chain product an exact integer division by
+    1e6. Pair-eligibility (q>0 in both periods) is evaluated per link,
+    so the three baskets differ — that asymmetry IS the measurement.
+    Scale: ONE conditional-aggregate pass over lineitem keyed by part,
+    then a 1-row reduction — no joins, no second scan (the three kept-
+    sets are CASE branches over the same per-part row, with NULLIF
+    guards so no division ever sees an empty period)."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    yr = F.year("l_shipdate")
+
+    def esum(y: int, alias: str):
+        return (
+            (
+                F.round(
+                    F.sum(
+                        F.when(
+                            yr == y,
+                            F.col("l_extendedprice").cast("decimal(30,6)"),
+                        )
+                    ),
+                    2,
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias(alias)
+        )
+
+    def qsum(y: int, alias: str):
+        return (
+            F.sum(
+                F.when(yr == y, F.col("l_quantity").cast("decimal(30,6)"))
+            )
+            .cast("bigint")
+            .alias(alias)
+        )
+
+    per = li.groupBy("l_partkey").agg(
+        esum(1996, "e0"),
+        esum(1997, "e1"),
+        esum(1998, "e2"),
+        qsum(1996, "q0"),
+        qsum(1997, "q1"),
+        qsum(1998, "q2"),
+    )
+    h = per.select(
+        *[
+            F.col(c).cast("decimal(38,0)").alias(c)
+            for c in ["e0", "e1", "e2", "q0", "q1", "q2"]
+        ]
+    ).select(
+        "*",
+        ((F.col("q0") > 0) & (F.col("q1") > 0)).alias("k01"),
+        ((F.col("q1") > 0) & (F.col("q2") > 0)).alias("k12"),
+        ((F.col("q0") > 0) & (F.col("q2") > 0)).alias("k02"),
+    )
+    s = h.agg(
+        F.sum(F.when(F.col("k01"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_parts_01"),
+        F.sum(F.when(F.col("k12"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_parts_12"),
+        F.sum(F.when(F.col("k02"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_parts_02"),
+        F.sum(F.when(F.col("k01"), F.col("e0"))).alias("se0_01"),
+        F.sum(
+            F.when(F.col("k01"), F.expr("(e1 * q0) div NULLIF(q1, 0)"))
+        ).alias("sl1"),
+        F.sum(F.when(F.col("k12"), F.col("e1"))).alias("se1_12"),
+        F.sum(
+            F.when(F.col("k12"), F.expr("(e2 * q1) div NULLIF(q2, 0)"))
+        ).alias("sl2"),
+        F.sum(F.when(F.col("k02"), F.col("e0"))).alias("se0_02"),
+        F.sum(
+            F.when(F.col("k02"), F.expr("(e2 * q0) div NULLIF(q2, 0)"))
+        ).alias("sld"),
+    )
+    return s.select(
+        "n_parts_01",
+        "n_parts_12",
+        "n_parts_02",
+        F.expr("CAST((sl1 * 1000000) div se0_01 AS DECIMAL(38,0))").alias(
+            "l1"
+        ),
+        F.expr("CAST((sl2 * 1000000) div se1_12 AS DECIMAL(38,0))").alias(
+            "l2"
+        ),
+        F.expr("CAST((sld * 1000000) div se0_02 AS DECIMAL(38,0))").alias(
+            "ld"
+        ),
+    ).select(
+        "n_parts_01",
+        "n_parts_12",
+        "n_parts_02",
+        F.col("l1").cast("bigint").alias("laspeyres_9697_ppm"),
+        F.col("l2").cast("bigint").alias("laspeyres_9798_ppm"),
+        F.expr("CAST((l1 * l2) div 1000000 AS BIGINT)").alias(
+            "chained_9698_ppm"
+        ),
+        F.col("ld").cast("bigint").alias("direct_9698_ppm"),
+    )
+
+
+@_stage(
+    "segment_lapsed_customers",
+    """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey FROM orders
+),
+gaps AS (
+  SELECT o_custkey, datediff('day', prev_d, d) AS gap
+  FROM (
+    SELECT o_custkey, d,
+           lag(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+             AS prev_d
+    FROM o
+  ) x WHERE prev_d IS NOT NULL
+),
+r AS (
+  SELECT o_custkey, gap,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY gap) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n
+  FROM gaps
+),
+cad AS (
+  SELECT o_custkey,
+         CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS BIGINT)
+           AS median_gap_days
+  FROM r WHERE n >= 2 GROUP BY o_custkey, n
+),
+last_o AS (
+  SELECT o_custkey, MAX(d) AS last_d FROM o GROUP BY 1
+),
+mx AS (SELECT MAX(d) AS md FROM o)
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_cadenced,
+       CAST(SUM(CASE WHEN datediff('day', last_d, md)
+                          > 3 * median_gap_days
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_lapsed
+FROM cad
+JOIN last_o USING (o_custkey)
+JOIN customer ON o_custkey = c_custkey
+CROSS JOIN mx
+GROUP BY 1 ORDER BY 1
+""",
+)
+def segment_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lapsing-customer counts per market segment at the churn cutoff
+    the customer_order_cadence docstring names: a customer whose
+    days-since-last-order exceed 3× their OWN median reorder gap is
+    lapsing — a personalized-recency screen, not a global-threshold
+    one. Denominator = customers with an estimable cadence (≥ 2 gaps).
+    Reuses :func:`..operators.behavior.consecutive_gap_stats`
+    (rank-pinned lower median, deterministic same-day zero gaps); the
+    recency anchor is the dataset max date broadcast as a 1-row
+    relation. Scale: the cadence windows partition by customer (one
+    shuffle), the segment rollup is 5 rows; the customer join is
+    AQE-broadcast at fixture scale and a plain hash join at 100 TB."""
+    o = fx._read(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+    )
+    cad = bh.consecutive_gap_stats(o, "o_custkey", "d", "o_orderkey").select(
+        "o_custkey", "median_gap_days"
+    )
+    last_o = o.groupBy("o_custkey").agg(F.max("d").alias("last_d"))
+    mx = o.agg(F.max("d").alias("md"))
+    c = fx._read(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    j = (
+        cad.join(last_o, "o_custkey")
+        .join(c, cad.o_custkey == c.c_custkey)
+        .crossJoin(F.broadcast(mx))
+    )
+    lapsed = F.datediff(F.col("md"), F.col("last_d")) > 3 * F.col(
+        "median_gap_days"
+    )
+    return (
+        j.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cadenced"),
+            F.sum(F.when(lapsed, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_lapsed"),
+        )
+        .orderBy("segment")
+    )
+
+
+@_stage(
+    "stockout_streak_histogram",
+    f"""
+WITH {fx.INVENTORY_CTE.strip()},
+f AS (
+  SELECT store_key, prod_key,
+         datediff('day', DATE '1995-01-01', cal_dt) AS didx
+  FROM inventory WHERE out_of_stock_flg = 1
+),
+g AS (
+  SELECT store_key, prod_key,
+         didx - ROW_NUMBER() OVER (PARTITION BY store_key, prod_key
+                                   ORDER BY didx) AS grp
+  FROM f
+),
+runs AS (
+  SELECT store_key, prod_key, CAST(COUNT(*) AS BIGINT) AS len
+  FROM g GROUP BY store_key, prod_key, grp
+),
+mx AS (
+  SELECT store_key, prod_key, MAX(len) AS ms FROM runs GROUP BY 1, 2
+)
+SELECT CAST(ms AS BIGINT) AS streak_days,
+       CAST(COUNT(*) AS BIGINT) AS n_store_parts
+FROM mx GROUP BY 1 ORDER BY 1
+""",
+)
+def stockout_streak_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stockout persistence: (store, part) pairs histogrammed by their
+    LONGEST run of consecutive flagged days — one long outage is a
+    supplier problem, many short ones a reorder-point problem, and the
+    flag-sum queries (out_of_stock_week) cannot tell them apart.
+    Gaps-and-islands (user_weekly_streaks' kernel pattern) on the exact
+    DAY index: didx − row_number is constant along a consecutive run;
+    all integer, the only window partitions by (store, part). Scale:
+    one filter-pruned pass over the daily inventory relation, two hash
+    aggregations, bounded histogram output."""
+    inv = (
+        fx.inventory(spark, sf_dir)
+        .where(F.col("out_of_stock_flg") == 1)
+        .select(
+            "store_key",
+            "prod_key",
+            F.datediff(
+                F.col("cal_dt"), F.lit("1995-01-01").cast("date")
+            ).alias("didx"),
+        )
+    )
+    w = Window.partitionBy("store_key", "prod_key").orderBy("didx")
+    runs = (
+        inv.select(
+            "store_key",
+            "prod_key",
+            (F.col("didx") - F.row_number().over(w)).alias("grp"),
+        )
+        .groupBy("store_key", "prod_key", "grp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("len"))
+    )
+    mx = runs.groupBy("store_key", "prod_key").agg(
+        F.max("len").alias("ms")
+    )
+    return (
+        mx.groupBy(F.col("ms").cast("bigint").alias("streak_days"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_store_parts"))
+        .orderBy("streak_days")
+    )
