@@ -906,3 +906,190 @@ def stockout_streak_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_store_parts"))
         .orderBy("streak_days")
     )
+
+
+@_stage(
+    "region_hhi_trend",
+    """
+WITH rev AS (
+  SELECT r_name, year(l_shipdate) AS yr, s_suppkey,
+         CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(30,6))), 2) * 100 AS BIGINT) AS cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2, 3
+)
+SELECT r_name, CAST(yr AS INTEGER) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)))
+                 * 1000000 AS HUGEINT)
+            // NULLIF(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS HUGEINT)
+                      * CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS HUGEINT), 0)
+            AS BIGINT) AS hhi_ppm
+FROM rev GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def region_hhi_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration TREND: the supplier_revenue_hhi scalar per
+    (region, ship year) — is each regional market concentrating or
+    fragmenting over time? Same division-free kernel
+    (:func:`.functions.stats.hhi_ppm`, Σx²·1e6 div (Σx)², one hash
+    aggregation per group, NULL on zero-revenue groups); the year
+    simply joins the grouping key, so the plan is identical to the
+    single-year query with a wider (and still tiny) output. Scale:
+    lineitem⋈supplier shuffles on suppkey, nation/region broadcast,
+    the trend table is |regions|×|years| rows."""
+    from .functions.stats import hhi_ppm
+
+    li = fx._read(spark, sf_dir, "lineitem")
+    su = fx._read(spark, sf_dir, "supplier")
+    na = fx._read(spark, sf_dir, "nation")
+    re_ = fx._read(spark, sf_dir, "region")
+    rev = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re_), na.n_regionkey == re_.r_regionkey)
+        .groupBy(
+            "r_name",
+            F.year("l_shipdate").cast("int").alias("yr"),
+            "s_suppkey",
+        )
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        (
+                            F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))
+                        ).cast("decimal(30,6)")
+                    ),
+                    2,
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    return (
+        hhi_ppm(rev, ["r_name", "yr"], "cents")
+        .select(
+            "r_name",
+            "yr",
+            F.col("n_units").alias("n_suppliers"),
+            "hhi_ppm",
+        )
+        .orderBy("r_name", "yr")
+    )
+
+
+@_stage(
+    "segment_median_survival",
+    """
+WITH ranked AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS dd,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+           AS rn
+  FROM orders
+),
+subj AS (
+  SELECT o_custkey,
+         MIN(CASE WHEN rn = 1 THEN dd END) AS d1,
+         MIN(CASE WHEN rn = 2 THEN dd END) AS d2
+  FROM ranked GROUP BY 1
+),
+seg AS (
+  SELECT c_mktsegment AS segment, d1, d2
+  FROM subj JOIN customer ON o_custkey = c_custkey
+),
+mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS md FROM orders),
+life AS (
+  SELECT segment,
+         CASE WHEN d2 IS NOT NULL THEN datediff('day', d1, d2)
+              ELSE datediff('day', d1, md) END AS t,
+         CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM seg, mx
+),
+per_t AS (
+  SELECT segment, t, CAST(SUM(ev) AS DECIMAL(38,0)) AS d,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+  FROM life GROUP BY 1, 2
+),
+risk AS (
+  SELECT segment, t, d, c,
+         SUM(c) OVER (PARTITION BY segment ORDER BY t DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS n
+  FROM per_t
+),
+ev AS (
+  SELECT segment, t, d, n,
+         CASE WHEN n > d THEN
+           CAST(round(CAST(ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE))
+                           AS DECIMAL(38,12)), 6) AS DECIMAL(38,6))
+         ELSE CAST(0 AS DECIMAL(38,6)) END AS lf
+  FROM risk WHERE d > 0
+),
+curve AS (
+  SELECT segment, t, d, n,
+         SUM(lf) OVER (PARTITION BY segment ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM ev
+),
+surv AS (
+  SELECT segment, t,
+         CASE WHEN n = d THEN 0.0
+              ELSE CAST(round(CAST(exp(CAST(cum AS DOUBLE))
+                                   AS DECIMAL(30,12)), 6) AS DOUBLE)
+         END AS survival
+  FROM curve
+)
+SELECT segment, CAST(MIN(t) AS BIGINT) AS median_t_days
+FROM surv WHERE survival <= 0.5
+GROUP BY 1 ORDER BY 1
+""",
+)
+def segment_median_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median time-to-second-order per market segment: the first event
+    time where the stratified KM curve (segment_second_order_km) drops
+    to ≤ 0.5 — THE one-number summary of repeat-purchase speed that is
+    censoring-correct (a naive median of observed gaps is biased low
+    because never-reordering customers are excluded rather than
+    censored). Kernel: :func:`.functions.stats.km_median_survival` over
+    :func:`.functions.stats.kaplan_meier_by` — rank-pinned via MIN,
+    tie-stable; segments whose curve never reaches 0.5 drop out (none
+    do at the fixture scales). Plan adds one 5-row aggregation to the
+    stratified-KM plan."""
+    from .functions.stats import kaplan_meier_by, km_median_survival
+
+    o = fx._read(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("dd"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("dd", "o_orderkey")
+    ranked = o.select("o_custkey", "dd", F.row_number().over(w).alias("rn"))
+    subj = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("dd"))).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, F.col("dd"))).alias("d2"),
+    )
+    c = fx._read(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    seg = subj.join(c, subj.o_custkey == c.c_custkey)
+    mx = o.agg(F.max("dd").alias("md"))
+    life = seg.crossJoin(F.broadcast(mx)).select(
+        "segment",
+        F.when(F.col("d2").isNotNull(), F.datediff(F.col("d2"), F.col("d1")))
+        .otherwise(F.datediff(F.col("md"), F.col("d1")))
+        .cast("bigint")
+        .alias("t"),
+        F.when(F.col("d2").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+            "ev"
+        ),
+    )
+    return km_median_survival(
+        kaplan_meier_by(life, ["segment"]), ["segment"]
+    ).orderBy("segment")
