@@ -600,3 +600,29 @@ def test_no_partial_unbounded_following_frames_anywhere(spark, sf_dir):
             assert not bad.search(plan), (name, bad.search(plan).group(0))
     finally:
         spark.catalog.clearCache()
+
+
+def test_staged_queries_obey_repo_wide_plan_rules(spark, sf_dir):
+    """The round-6 STAGED queries (registry_next.py) must satisfy the
+    same four repo-wide locks as the registered surface BEFORE they
+    reach the driver: no cartesian product, no row-at-a-time Python, no
+    empty-partitionBy window, no partial unbounded-FOLLOWING frame."""
+    from retail_etl_pipeline_spark.registry_next import QUERIES as STAGED
+
+    bad_frame = re.compile(
+        r"specifiedwindowframe\((?:Row|Range)Frame,"
+        r" (?!unboundedpreceding)[^,]+, unboundedfollowing",
+        re.IGNORECASE,
+    )
+    try:
+        for name, fn in STAGED.items():
+            phys = _physical(fn(spark, sf_dir))
+            assert "CartesianProduct" not in phys, name
+            assert "BatchEvalPython" not in phys, name
+            opt = _optimized(fn(spark, sf_dir))
+            bad = _global_windows(opt)
+            assert not bad, f"{name}: global window:\n" + "\n".join(bad)
+            m = bad_frame.search(opt)
+            assert not m, (name, m.group(0))
+    finally:
+        spark.catalog.clearCache()
