@@ -379,10 +379,11 @@ def mann_whitney_u2(df: DataFrame, value_col: str, flag_col: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("t"),
     )
+    zero = F.lit(0).cast("decimal(38,0)")
     return per.agg(
-        F.sum("ca").cast("bigint").alias("n_a"),
-        F.sum("cb").cast("bigint").alias("n_b"),
-        F.sum("t").cast("bigint").alias("u2_a"),
+        F.coalesce(F.sum("ca"), zero).cast("bigint").alias("n_a"),
+        F.coalesce(F.sum("cb"), zero).cast("bigint").alias("n_b"),
+        F.coalesce(F.sum("t"), zero).cast("bigint").alias("u2_a"),
     )
 
 

@@ -350,3 +350,39 @@ def test_cusum_requires_decimal_dev(spark):
     df = spark.createDataFrame([(1, 2)], "i long, dev long")
     with pytest.raises(TypeError, match="DECIMAL"):
         with_cusum(df, [F.col("i")], "dev")
+
+
+# ---------------------------------------------------------------------------
+# empty-input safety (the repo discipline: degenerate inputs must not
+# crash, and their outputs are pinned here so refactors can't drift)
+# ---------------------------------------------------------------------------
+
+
+def test_empty_input_safety(spark):
+    empty_vf = spark.createDataFrame([], "v long, is_a boolean")
+    mwu = mann_whitney_u2(empty_vf, "v", "is_a").collect()
+    spark.catalog.clearCache()
+    assert [tuple(r) for r in mwu] == [(0, 0, 0)]
+
+    empty_x = spark.createDataFrame([], "x long")
+    atk = atkinson_index(empty_x, "x").collect()
+    assert [tuple(r) for r in atk] == [(0, None)]
+
+    empty_gx = spark.createDataFrame([], "g string, x long")
+    td = theil_decomposition(empty_gx, "g", "x").collect()
+    # tot aggregates an empty group relation: sums are NULL, counts 0
+    assert len(td) == 1
+    assert td[0].n_groups == 0
+    assert td[0].theil_total is None
+
+    empty_life = spark.createDataFrame([], "g string, t long, ev int")
+    assert kaplan_meier_by(empty_life, ["g"]).collect() == []
+
+    empty_dev = spark.createDataFrame([], "i long, dev decimal(38,0)")
+    assert with_cusum(empty_dev, [F.col("i")], "dev").collect() == []
+    spark.catalog.clearCache()
+
+    empty_iv = spark.createDataFrame([], "i long, v long")
+    out, gmin = with_running_min(empty_iv, [F.col("i")], "v")
+    assert out.collect() == [] and gmin is None
+    spark.catalog.clearCache()
