@@ -922,4 +922,15 @@ def test_streaming_ks_drift_state_equals_batch(spark, sf_dir):
     streamed = ks_statistic(streamed_rows, "v", "a").collect()[0]
     direct = ks_statistic(vals, "v", "a").collect()[0]
     assert tuple(streamed) == tuple(direct)
+
+    # the SAME folded state serves the whole rank-based drift family:
+    # Mann-Whitney (functions/stats.mann_whitney_u2) also consumes only
+    # per-value counts, so the fold built for KS reproduces it exactly
+    # too — one incremental state table, two exact statistics.
+    from retail_etl_pipeline_spark.functions.stats import mann_whitney_u2
+
+    mwu_streamed = mann_whitney_u2(streamed_rows, "v", "a").collect()[0]
+    mwu_direct = mann_whitney_u2(vals, "v", "a").collect()[0]
+    spark.catalog.clearCache()
+    assert tuple(mwu_streamed) == tuple(mwu_direct)
     shutil.rmtree(base, ignore_errors=True)
