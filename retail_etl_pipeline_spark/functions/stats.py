@@ -168,6 +168,67 @@ def ks_statistic(
     )
 
 
+def ks_statistic_by(
+    df: DataFrame, group_cols: list[str], value_col: str, flag_col: str
+) -> DataFrame:
+    """Stratified exact two-sample KS: :func:`ks_statistic` per group —
+    ``(*group_cols, n_a, n_b, ks_ppm, at_value)``.
+
+    Same scaled-ecdf-gap identity, but the group key partitions every
+    window (real partitions — NOT the banned empty-partitionBy shape),
+    so the two-level running-sum machinery is unnecessary: per-task
+    state is one group's distinct values. Group totals ride a
+    whole-partition frame (computed once per partition — the allowed
+    frame class); the prefix sum is a plain partitioned cumulative
+    window; max/argmax are bounded aggregations. A group with one side
+    empty has no defined statistic → ks_ppm NULL (via NULLIF).
+    Unit-tested per group against the unstratified kernel."""
+    from pyspark.sql.window import Window
+
+    cnt = df.groupBy(*group_cols, F.col(value_col).alias("v")).agg(
+        F.sum(F.when(F.col(flag_col), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("ca"),
+        F.sum(F.when(F.col(flag_col), 0).otherwise(1))
+        .cast("decimal(38,0)")
+        .alias("cb"),
+    )
+    wg = Window.partitionBy(*group_cols)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = (
+        cnt.withColumn("na", F.sum("ca").over(wg))
+        .withColumn("nb", F.sum("cb").over(wg))
+        .withColumn(
+            "rd",
+            F.sum(
+                (F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+                .cast("decimal(38,0)")
+            ).over(w),
+        )
+    )
+    g = run.groupBy(*group_cols, "na", "nb").agg(
+        F.max(F.abs(F.col("rd"))).alias("m")
+    )
+    at = (
+        run.join(g.select(*group_cols, "m"), list(group_cols))
+        .where(F.abs(F.col("rd")) == F.col("m"))
+        .groupBy(*group_cols)
+        .agg(F.min("v").cast("bigint").alias("at_value"))
+    )
+    return g.select(
+        *group_cols,
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.expr(
+            "CAST((m * 1000000) div NULLIF(na * nb, 0) AS BIGINT)"
+        ).alias("ks_ppm"),
+    ).join(at, list(group_cols))
+
+
 def round6(c: Column) -> Column:
     """6-decimal presentation rounding via the decimal hop at scale 6 —
     the money() discipline for correlation/entropy outputs where 2

@@ -1093,3 +1093,103 @@ def segment_median_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return km_median_survival(
         kaplan_meier_by(life, ["segment"]), ["segment"]
     ).orderBy("segment")
+
+
+@_stage(
+    "nation_revenue_ks",
+    """
+WITH vals AS (
+  SELECT n_name AS g,
+         CAST(round(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)),
+                    2) * 100 AS BIGINT) AS v,
+         year(l_shipdate) <= 1997 AS a
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+),
+cnt AS (
+  SELECT g, v,
+         CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS DECIMAL(38,0)) AS ca,
+         CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS DECIMAL(38,0)) AS cb
+  FROM vals GROUP BY 1, 2
+),
+ann AS (
+  SELECT g, v, ca, cb,
+         SUM(ca) OVER (PARTITION BY g) AS na,
+         SUM(cb) OVER (PARTITION BY g) AS nb
+  FROM cnt
+),
+run AS (
+  SELECT g, v, na, nb,
+         SUM(ca * nb - cb * na)
+           OVER (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rd
+  FROM ann
+),
+mg AS (
+  SELECT g, na, nb, MAX(abs(rd)) AS m FROM run GROUP BY 1, 2, 3
+),
+at AS (
+  SELECT run.g, CAST(MIN(v) AS BIGINT) AS at_cents
+  FROM run JOIN mg ON run.g = mg.g AND abs(run.rd) = mg.m
+  GROUP BY 1
+)
+SELECT mg.g AS nation,
+       CAST(na AS BIGINT) AS n_early,
+       CAST(nb AS BIGINT) AS n_late,
+       CAST(CAST(m * 1000000 AS HUGEINT)
+            // NULLIF(CAST(na AS HUGEINT) * CAST(nb AS HUGEINT), 0)
+            AS BIGINT) AS ks_ppm,
+       at_cents
+FROM mg JOIN at ON mg.g = at.g
+ORDER BY nation
+""",
+)
+def nation_revenue_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation early-vs-late revenue drift: the exact two-sample KS
+    statistic of lineitem_revenue_ks stratified by supplier nation —
+    which markets' price distributions actually moved, not just the
+    global aggregate. Kernel: :func:`.functions.stats.ks_statistic_by`
+    — the nation key partitions every window (group totals on a
+    whole-partition frame, the ecdf-gap prefix sum on a plain
+    partitioned cumulative window), so per-task state is one nation's
+    distinct cents values and no two-level machinery is needed;
+    one-sided groups yield NULL via NULLIF. Per-group parity with the
+    unstratified kernel is unit-tested in tests/test_r6_kernels.py.
+    Scale: lineitem⋈supplier shuffles on suppkey, nation broadcast,
+    then everything is bounded by nations × distinct values."""
+    from .functions.stats import ks_statistic_by
+
+    li = fx._read(spark, sf_dir, "lineitem")
+    su = fx._read(spark, sf_dir, "supplier")
+    na = fx._read(spark, sf_dir, "nation")
+    vals = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .select(
+            F.col("n_name").alias("g"),
+            (
+                F.round(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(30,6)"),
+                    2,
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("v"),
+            (F.year("l_shipdate") <= 1997).alias("a"),
+        )
+    )
+    return (
+        ks_statistic_by(vals, ["g"], "v", "a")
+        .select(
+            F.col("g").alias("nation"),
+            F.col("n_a").alias("n_early"),
+            F.col("n_b").alias("n_late"),
+            "ks_ppm",
+            F.col("at_value").alias("at_cents"),
+        )
+        .orderBy("nation")
+    )

@@ -386,3 +386,46 @@ def test_empty_input_safety(spark):
     out, gmin = with_running_min(empty_iv, [F.col("i")], "v")
     assert out.collect() == [] and gmin is None
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# ks_statistic_by
+# ---------------------------------------------------------------------------
+
+
+def test_ks_by_matches_unstratified_per_group(spark):
+    from retail_etl_pipeline_spark.functions.stats import (
+        ks_statistic,
+        ks_statistic_by,
+    )
+
+    rows = []
+    for g, vals_a, vals_b in [
+        ("x", [1, 2, 2, 5, 9], [2, 3, 3, 8]),
+        ("y", [4, 4, 4], [1, 2, 9, 9]),
+        ("z", [7], [7]),
+    ]:
+        rows += [(g, v, True) for v in vals_a]
+        rows += [(g, v, False) for v in vals_b]
+    df = spark.createDataFrame(rows, "g string, v long, a boolean")
+    strat = {r.g: r for r in ks_statistic_by(df, ["g"], "v", "a").collect()}
+    for g in ["x", "y", "z"]:
+        single = ks_statistic(
+            df.where(F.col("g") == g).select("v", "a"), "v", "a"
+        ).collect()[0]
+        spark.catalog.clearCache()  # ks_statistic uses the two-level sums
+        got = strat[g]
+        assert (got.n_a, got.n_b, got.ks_ppm, got.at_value) == tuple(single)
+
+
+def test_ks_by_one_sided_group_is_null(spark):
+    from retail_etl_pipeline_spark.functions.stats import ks_statistic_by
+
+    df = spark.createDataFrame(
+        [("only_a", 1, True), ("only_a", 2, True), ("both", 1, True),
+         ("both", 2, False)],
+        "g string, v long, a boolean",
+    )
+    out = {r.g: r for r in ks_statistic_by(df, ["g"], "v", "a").collect()}
+    assert out["only_a"].ks_ppm is None
+    assert out["both"].ks_ppm == 1_000_000  # disjoint singletons
