@@ -719,6 +719,47 @@ def with_cusum(
     )
 
 
+def with_cusum_by(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list,
+    dev_col: str,
+    cusum_col: str = "cusum",
+) -> DataFrame:
+    """Per-group exact one-sided CUSUM: :func:`with_cusum` with the
+    group key partitioning both prefix passes — plain partitioned
+    windows (running SUM then running MIN of it over the same
+    (group, order) partitioning → ONE shuffle), no two-level machinery
+    needed because per-task state is one group's rows. ``dev_col``
+    must already be DECIMAL(38,0) deviations (enforced, as in
+    ``with_running_sum``); same C = S − min(0, min-prefix S) identity,
+    property-tested per group against the textbook recursion."""
+    from pyspark.sql.types import DecimalType
+    from pyspark.sql.window import Window
+
+    in_type = df.schema[dev_col].dataType
+    if not isinstance(in_type, DecimalType):
+        raise TypeError(
+            f"with_cusum_by needs a DECIMAL deviation column; {dev_col} "
+            f"is {in_type.simpleString()} — cast it first"
+        )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    d = df.withColumn(
+        "_csb_s", F.sum(F.col(dev_col)).over(w).cast("decimal(38,0)")
+    )
+    return d.withColumn(
+        cusum_col,
+        (
+            F.col("_csb_s") - F.least(F.min("_csb_s").over(w), zero)
+        ).cast("decimal(38,0)"),
+    ).drop("_csb_s")
+
+
 def hhi_ppm(
     df: DataFrame, group_cols: list[str], value_col: str
 ) -> DataFrame:

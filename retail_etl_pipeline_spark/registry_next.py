@@ -1193,3 +1193,122 @@ def nation_revenue_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@_stage(
+    "store_revenue_cusum_breaches",
+    """
+WITH daily AS (
+  SELECT l_suppkey AS store_key, CAST(l_shipdate AS DATE) AS d,
+         CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(30,6))), 2) * 100 AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1, 2
+),
+st AS (
+  SELECT store_key,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS HUGEINT)
+           // CAST(COUNT(*) AS HUGEINT) AS mu
+  FROM daily GROUP BY 1
+),
+dev AS (
+  SELECT daily.store_key, d, mu,
+         CAST(cents AS HUGEINT) - mu - (mu // 20) AS dv
+  FROM daily JOIN st USING (store_key)
+),
+run AS (
+  SELECT store_key, d, mu,
+         SUM(dv) OVER (PARTITION BY store_key ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS s
+  FROM dev
+),
+c AS (
+  SELECT store_key, d, mu,
+         s - LEAST(MIN(s) OVER (PARTITION BY store_key ORDER BY d
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW),
+                   0) AS cusum
+  FROM run
+)
+SELECT CAST(store_key AS BIGINT) AS store_key,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN cusum > mu THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_breach_days,
+       CAST(COALESCE(MAX(CASE WHEN cusum > mu THEN cusum END), 0)
+            AS BIGINT) AS max_excess_cents
+FROM c GROUP BY 1 ORDER BY 1
+""",
+)
+def store_revenue_cusum_breaches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-store CUSUM regime-change screen: for each store (supplier),
+    the count of days where the one-sided cumulative deviation from the
+    store's OWN mean daily revenue exceeds one average day (h = μ,
+    allowance k = μ/20), plus the worst excess — the stratified twin of
+    daily_revenue_cusum_days that localizes WHICH stores shifted, while
+    the per-store baseline keeps big and small stores comparable.
+    Kernel: :func:`.functions.stats.with_cusum_by` — both prefix passes
+    (running sum, running min) ride ONE (store, day) partitioned
+    window shuffle; μ and k are exact integer divisions joined back on
+    the store key. Per-group parity with the textbook recursion is
+    property-tested in tests/test_r6_kernels.py. Scale: everything
+    after the daily rollup is bounded by stores × days, and per-task
+    window state is one store's day series."""
+    from .functions.stats import with_cusum_by
+
+    li = fx._read(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_suppkey").alias("store_key"),
+        F.col("l_shipdate").cast("date").alias("d"),
+    ).agg(
+        (
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(30,6)")
+                ),
+                2,
+            )
+            * 100
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    st = daily.groupBy("store_key").agg(
+        F.expr(
+            "CAST(SUM(CAST(cents AS DECIMAL(38,0)))"
+            " div COUNT(*) AS DECIMAL(38,0))"
+        ).alias("mu")
+    )
+    dev = daily.join(st, "store_key").select(
+        "store_key",
+        "d",
+        "mu",
+        (
+            F.col("cents").cast("decimal(38,0)")
+            - F.col("mu")
+            - F.expr("mu div 20")
+        )
+        .cast("decimal(38,0)")
+        .alias("dev"),
+    )
+    c = with_cusum_by(dev, ["store_key"], [F.col("d")], "dev")
+    breach = F.col("cusum") > F.col("mu")
+    return (
+        c.groupBy(F.col("store_key").cast("bigint").alias("store_key"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum(F.when(breach, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_breach_days"),
+            F.coalesce(
+                F.max(F.when(breach, F.col("cusum"))),
+                F.lit(0).cast("decimal(38,0)"),
+            )
+            .cast("bigint")
+            .alias("max_excess_cents"),
+        )
+        .orderBy("store_key")
+    )

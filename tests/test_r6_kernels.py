@@ -429,3 +429,44 @@ def test_ks_by_one_sided_group_is_null(spark):
     out = {r.g: r for r in ks_statistic_by(df, ["g"], "v", "a").collect()}
     assert out["only_a"].ks_ppm is None
     assert out["both"].ks_ppm == 1_000_000  # disjoint singletons
+
+
+# ---------------------------------------------------------------------------
+# with_cusum_by
+# ---------------------------------------------------------------------------
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=-(10**6), max_value=10**6),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cusum_by_equals_recursion_per_group(spark, rows):
+    from retail_etl_pipeline_spark.functions.stats import with_cusum_by
+
+    df = spark.createDataFrame(
+        [(g, i, d) for i, (g, d) in enumerate(rows)],
+        "g string, i long, dev long",
+    ).select("g", "i", F.col("dev").cast("decimal(38,0)").alias("dev"))
+    out = with_cusum_by(df, ["g"], [F.col("i")], "dev", cusum_col="c")
+    got = {(r.g, r.i): int(r.c) for r in out.collect()}
+    state: dict[str, int] = {}
+    for i, (g, d) in enumerate(rows):
+        state[g] = max(0, state.get(g, 0) + d)
+        assert got[(g, i)] == state[g]
+
+
+def test_cusum_by_requires_decimal_dev(spark):
+    import pytest
+
+    from retail_etl_pipeline_spark.functions.stats import with_cusum_by
+
+    df = spark.createDataFrame([("a", 1, 2)], "g string, i long, dev long")
+    with pytest.raises(TypeError, match="DECIMAL"):
+        with_cusum_by(df, ["g"], [F.col("i")], "dev")
