@@ -448,6 +448,48 @@ def mann_whitney_u2(df: DataFrame, value_col: str, flag_col: str) -> DataFrame:
     )
 
 
+def mann_whitney_u2_by(
+    df: DataFrame, group_cols: list[str], value_col: str, flag_col: str
+) -> DataFrame:
+    """Stratified :func:`mann_whitney_u2`: the doubled exact U per
+    group — ``(*group_cols, n_a, n_b, u2_a)``.
+
+    Same per-value identity, with the group key partitioning the one
+    cumulative window (plain partitioned window — per-task state is
+    one group's distinct values, no two-level machinery), then one
+    bounded aggregation per group. Completes the stratified drift
+    trio beside :func:`ks_statistic_by` and :func:`with_cusum_by`;
+    per-group parity with the unstratified kernel is unit-tested."""
+    from pyspark.sql.window import Window
+
+    cnt = df.groupBy(*group_cols, F.col(value_col).alias("v")).agg(
+        F.sum(F.when(F.col(flag_col), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("ca"),
+        F.sum(F.when(F.col(flag_col), 0).otherwise(1))
+        .cast("decimal(38,0)")
+        .alias("cb"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = cnt.withColumn("cumb", F.sum("cb").over(w))
+    return run.groupBy(*group_cols).agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+        F.sum(
+            (
+                F.col("ca")
+                * (2 * (F.col("cumb") - F.col("cb")) + F.col("cb"))
+            ).cast("decimal(38,0)")
+        )
+        .cast("bigint")
+        .alias("u2_a"),
+    )
+
+
 def atkinson_index(df: DataFrame, value_col: str) -> DataFrame:
     """One-row Atkinson inequality index at aversion ε=1 of a
     non-negative integer-valued column: ``(n, atkinson)`` with

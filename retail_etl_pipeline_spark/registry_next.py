@@ -1312,3 +1312,84 @@ def store_revenue_cusum_breaches(
         )
         .orderBy("store_key")
     )
+
+
+@_stage(
+    "nation_revenue_mwu",
+    """
+WITH vals AS (
+  SELECT n_name AS g,
+         CAST(round(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)),
+                    2) * 100 AS BIGINT) AS v,
+         year(l_shipdate) <= 1997 AS a
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+),
+cnt AS (
+  SELECT g, v,
+         CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS DECIMAL(38,0)) AS ca,
+         CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS DECIMAL(38,0)) AS cb
+  FROM vals GROUP BY 1, 2
+),
+run AS (
+  SELECT g, ca, cb,
+         SUM(cb) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumb
+  FROM cnt
+)
+SELECT g AS nation,
+       CAST(SUM(ca) AS BIGINT) AS n_early,
+       CAST(SUM(cb) AS BIGINT) AS n_late,
+       CAST(SUM(CAST(ca * (2 * (cumb - cb) + cb) AS DECIMAL(38,0)))
+            AS BIGINT) AS u2_early
+FROM run GROUP BY 1 ORDER BY 1
+""",
+)
+def nation_revenue_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Mann–Whitney drift: the doubled exact rank-sum
+    statistic between early and late revenue per supplier nation — the
+    directional companion to nation_revenue_ks on the same
+    stratification (u2/2 far above n_early·n_late/2 = late revenues
+    stochastically larger). Kernel:
+    :func:`.functions.stats.mann_whitney_u2_by` — one (nation, value)
+    aggregation, one nation-partitioned cumulative window, one bounded
+    rollup; all integer arithmetic, per-group parity with the
+    unstratified kernel unit-tested. Scale: identical plan family to
+    the stratified KS — bounded by nations × distinct cents values
+    after the first aggregation."""
+    from .functions.stats import mann_whitney_u2_by
+
+    li = fx._read(spark, sf_dir, "lineitem")
+    su = fx._read(spark, sf_dir, "supplier")
+    na = fx._read(spark, sf_dir, "nation")
+    vals = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .select(
+            F.col("n_name").alias("g"),
+            (
+                F.round(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(30,6)"),
+                    2,
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("v"),
+            (F.year("l_shipdate") <= 1997).alias("a"),
+        )
+    )
+    return (
+        mann_whitney_u2_by(vals, ["g"], "v", "a")
+        .select(
+            F.col("g").alias("nation"),
+            F.col("n_a").alias("n_early"),
+            F.col("n_b").alias("n_late"),
+            F.col("u2_a").alias("u2_early"),
+        )
+        .orderBy("nation")
+    )

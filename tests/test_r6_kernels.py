@@ -470,3 +470,29 @@ def test_cusum_by_requires_decimal_dev(spark):
     df = spark.createDataFrame([("a", 1, 2)], "g string, i long, dev long")
     with pytest.raises(TypeError, match="DECIMAL"):
         with_cusum_by(df, ["g"], [F.col("i")], "dev")
+
+
+def test_mwu_by_matches_unstratified_per_group(spark):
+    from retail_etl_pipeline_spark.functions.stats import (
+        mann_whitney_u2,
+        mann_whitney_u2_by,
+    )
+
+    rows = []
+    for g, vals_a, vals_b in [
+        ("x", [1, 2, 2, 5], [2, 3]),
+        ("y", [4], [1, 2, 9]),
+        ("z", [7, 7], [7]),
+    ]:
+        rows += [(g, v, True) for v in vals_a]
+        rows += [(g, v, False) for v in vals_b]
+    df = spark.createDataFrame(rows, "g string, v long, a boolean")
+    strat = {
+        r.g: r for r in mann_whitney_u2_by(df, ["g"], "v", "a").collect()
+    }
+    for g in ["x", "y", "z"]:
+        single = mann_whitney_u2(
+            df.where(F.col("g") == g).select("v", "a"), "v", "a"
+        ).collect()[0]
+        spark.catalog.clearCache()  # the unstratified kernel persists
+        assert tuple(strat[g])[1:] == tuple(single)
