@@ -1204,16 +1204,17 @@ WITH daily AS (
                              AS DECIMAL(30,6))), 2) * 100 AS BIGINT) AS cents
   FROM lineitem GROUP BY 1, 2
 ),
-st AS (
-  SELECT store_key,
-         CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS HUGEINT)
-           // CAST(COUNT(*) AS HUGEINT) AS mu
-  FROM daily GROUP BY 1
+ann AS (
+  SELECT store_key, d, cents,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0)))
+                OVER (PARTITION BY store_key) AS HUGEINT)
+           // CAST(COUNT(*) OVER (PARTITION BY store_key) AS HUGEINT) AS mu
+  FROM daily
 ),
 dev AS (
-  SELECT daily.store_key, d, mu,
+  SELECT store_key, d, mu,
          CAST(cents AS HUGEINT) - mu - (mu // 20) AS dv
-  FROM daily JOIN st USING (store_key)
+  FROM ann
 ),
 run AS (
   SELECT store_key, d, mu,
@@ -1276,13 +1277,21 @@ def store_revenue_cusum_breaches(
         .cast("bigint")
         .alias("cents")
     )
-    st = daily.groupBy("store_key").agg(
-        F.expr(
-            "CAST(SUM(CAST(cents AS DECIMAL(38,0)))"
-            " div COUNT(*) AS DECIMAL(38,0))"
-        ).alias("mu")
-    )
-    dev = daily.join(st, "store_key").select(
+    # per-store mu as a whole-partition window (the allowed frame class)
+    # over the SAME store partitioning the CUSUM windows use: one
+    # exchange feeds mu, dev, and both prefix passes — the groupBy+join
+    # alternative plans a second scan of lineitem (no exchange reuse
+    # across the join's two aggregated subtrees; verified in EXPLAIN)
+    wg = Window.partitionBy("store_key")
+    ann = daily.withColumn(
+        "tot", F.sum(F.col("cents").cast("decimal(38,0)")).over(wg)
+    ).withColumn("nd", F.count(F.lit(1)).over(wg))
+    dev = ann.select(
+        "store_key",
+        "d",
+        "cents",
+        F.expr("CAST(tot div nd AS DECIMAL(38,0))").alias("mu"),
+    ).select(
         "store_key",
         "d",
         "mu",

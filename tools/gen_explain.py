@@ -157,6 +157,26 @@ SHOW = {
     ),
 }
 
+#: round-6 STAGED queries (registry_next.py) whose plan shape is the
+#: point — shown here before registration so the claim is reviewable.
+SHOW_STAGED = {
+    "store_revenue_cusum_breaches": (
+        "Per-store CUSUM via the prefix identity C = S - min(0, "
+        "min-prefix S): ONE FileScan, one daily two-phase aggregate, "
+        "then a single store exchange feeding THREE chained Window "
+        "nodes — the whole-partition mu baseline, the running SUM, and "
+        "the running MIN (the groupBy+join mu formulation planned a "
+        "second lineitem scan; rewritten to the shared-partitioning "
+        "window after reading this plan)."
+    ),
+    "nation_revenue_ks": (
+        "Stratified exact KS: group totals on a whole-partition frame, "
+        "the ecdf-gap prefix sum on a plain partitioned cumulative "
+        "window — the nation key partitions every stage, so no "
+        "two-level rank machinery and no one-task window appears."
+    ),
+}
+
 
 def main() -> None:
     from pyspark.sql import SparkSession
@@ -179,11 +199,29 @@ def main() -> None:
         "AQE may further improve them at runtime.",
         "",
     ]
+    from retail_etl_pipeline_spark.registry_next import (
+        QUERIES as STAGED_QUERIES,
+    )
+
     for name, note in SHOW.items():
         df = QUERIES[name](spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
         lines = [ln[:160] for ln in plan.splitlines()][:60]
         out += [f"## {name}", "", note, "", "```", *lines, "```", ""]
+    for name, note in SHOW_STAGED.items():
+        df = STAGED_QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = [ln[:160] for ln in plan.splitlines()][:60]
+        out += [
+            f"## {name} (staged, registry_next.py)",
+            "",
+            note,
+            "",
+            "```",
+            *lines,
+            "```",
+            "",
+        ]
     with open("EXPLAIN.md", "w") as f:
         f.write("\n".join(out))
     print(f"wrote EXPLAIN.md ({sum(len(l) for l in out)} chars)")
