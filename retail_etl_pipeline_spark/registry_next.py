@@ -37,6 +37,11 @@ ORACLES: dict[str, str] = {}
 
 def _stage(name: str, oracle: str):
     def deco(fn: QueryFn) -> QueryFn:
+        # the round-5 gotcha: a same-name re-registration silently
+        # overwrites the dict entry (DEVNOTES) — fail loudly instead.
+        # Round-6 movers must also grep registry.py for the name.
+        if name in QUERIES:
+            raise ValueError(f"duplicate staged query name: {name}")
         QUERIES[name] = fn
         ORACLES[name] = oracle
         return fn
