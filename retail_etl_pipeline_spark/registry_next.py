@@ -1407,3 +1407,84 @@ def nation_revenue_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@_stage(
+    "purchase_attribution_last_touch",
+    f"""
+WITH {fx.EVENTS_STREAM_CTE.strip()},
+ann AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         last_value(CASE WHEN event_type <> 'purchase'
+                    THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS attr_us,
+         last_value(CASE WHEN event_type <> 'purchase'
+                    THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS attr_type
+  FROM events_norm
+)
+SELECT CASE WHEN attr_us IS NOT NULL
+                 AND us - attr_us <= 7 * 86400 * 1000000::BIGINT
+            THEN attr_type ELSE 'none' END AS attributed_to,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM ann WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+""",
+)
+def purchase_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch purchase attribution: each purchase credited to the
+    user's most recent non-purchase event within a 7-day lookback
+    ('none' when no touch qualifies) — the marketing-analytics join
+    pattern behind channel ROI, done WITHOUT a self-join: the
+    most-recent-touch is an ignore-nulls last_value over a
+    PRECEDING-only running frame (the allowed frame class — the banned
+    shape is partial frames ending at UNBOUNDED FOLLOWING), so one
+    user-partitioned window pass replaces the purchases×events range
+    join. Timestamps compare as exact epoch microseconds on both
+    engines; the (ts, event_id) ordering pins same-timestamp touches
+    deterministically. Scale: one shuffle on user_id, then a bounded
+    5-row rollup; the window state per task is one user's event
+    history."""
+    from pyspark.sql.window import Window
+
+    ev = fx.events_stream(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    np_ = F.col("event_type") != "purchase"
+    ann = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.last(
+            F.when(np_, F.unix_micros("ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("attr_us"),
+        F.last(F.when(np_, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("attr_type"),
+    )
+    lookback = 7 * 86400 * 1_000_000
+    return (
+        ann.where(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("attr_us").isNotNull()
+                & (F.col("us") - F.col("attr_us") <= lookback),
+                F.col("attr_type"),
+            )
+            .otherwise(F.lit("none"))
+            .alias("attributed_to")
+        )
+        .groupBy("attributed_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
+        .orderBy("attributed_to")
+    )
