@@ -24,3 +24,13 @@ def test_staged_query_matches_oracle(spark, duck, sf_dir, name):
     problems = compare(df, duck, ORACLES[name])
     spark.catalog.clearCache()  # ordered-kernel queries persist partials
     assert not problems, f"{name}: " + " | ".join(problems)
+
+
+def test_staged_names_do_not_collide_with_registry():
+    """The round-6 move is a cut-paste into registry.py — a name that
+    already exists there would silently overwrite its dict entry (the
+    round-5 duplicate-registration gotcha). Guard it at test time."""
+    from retail_etl_pipeline_spark.registry import QUERIES as REG
+
+    overlap = set(QUERIES) & set(REG)
+    assert not overlap, f"staged names already registered: {overlap}"
