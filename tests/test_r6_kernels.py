@@ -496,3 +496,45 @@ def test_mwu_by_matches_unstratified_per_group(spark):
         ).collect()[0]
         spark.catalog.clearCache()  # the unstratified kernel persists
         assert tuple(strat[g])[1:] == tuple(single)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["p", "q"]),
+            st.integers(min_value=0, max_value=20),
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_ks_by_property_matches_python_oracle(spark, rows):
+    """Grouped KS vs the exact Python oracle (the same oracle as the
+    unstratified property test, applied per group)."""
+    from retail_etl_pipeline_spark.functions.stats import ks_statistic_by
+
+    df = spark.createDataFrame(rows, "g string, v long, a boolean")
+    got = {r.g: r for r in ks_statistic_by(df, ["g"], "v", "a").collect()}
+    groups: dict[str, list[tuple[int, bool]]] = {}
+    for g, v, a in rows:
+        groups.setdefault(g, []).append((v, a))
+    assert set(got) == set(groups)
+    for g, pairs in groups.items():
+        a = [v for v, fl in pairs if fl]
+        b = [v for v, fl in pairs if not fl]
+        r = got[g]
+        assert (r.n_a, r.n_b) == (len(a), len(b))
+        if not a or not b:
+            assert r.ks_ppm is None
+            continue
+        best, best_at, ca, cb = -1, None, 0, 0
+        for v in sorted(set(a) | set(b)):
+            ca += sum(1 for x in a if x == v)
+            cb += sum(1 for x in b if x == v)
+            gap = abs(ca * len(b) - cb * len(a))
+            if gap > best:
+                best, best_at = gap, v
+        assert r.ks_ppm == best * 1_000_000 // (len(a) * len(b))
+        assert r.at_value == best_at
