@@ -1488,3 +1488,98 @@ def purchase_attribution_last_touch(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
         .orderBy("attributed_to")
     )
+
+
+@_stage(
+    "purchase_attribution_linear",
+    f"""
+WITH {fx.EVENTS_STREAM_CTE.strip()},
+ann AS (
+  SELECT event_id, event_type, epoch_us(ts) AS us,
+         last_value(CASE WHEN event_type = 'purchase'
+                    THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS next_us,
+         last_value(CASE WHEN event_type = 'purchase'
+                    THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS next_pid
+  FROM events_norm
+),
+touches AS (
+  SELECT event_type AS channel, next_pid
+  FROM ann
+  WHERE event_type <> 'purchase'
+    AND next_us IS NOT NULL
+    AND next_us - us <= 7 * 86400 * 1000000::BIGINT
+),
+k AS (
+  SELECT next_pid, CAST(COUNT(*) AS HUGEINT) AS n_t
+  FROM touches GROUP BY 1
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(CAST(1000000 AS HUGEINT) // n_t) AS BIGINT)
+         AS credit_ppm
+FROM touches JOIN k USING (next_pid)
+GROUP BY 1 ORDER BY 1
+""",
+)
+def purchase_attribution_linear(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear (multi-touch) attribution: every non-purchase event whose
+    user purchases within the next 7 days shares that purchase's credit
+    equally — per channel, the touch count and the exact total credit
+    in ppm-of-a-purchase (floor division; a purchase's credit sums to
+    ≤1e6 by exactly the remainder ppm). The forward-looking
+    "next purchase after this touch" is an ignore-nulls last_value over
+    a PRECEDING-only frame on the DESCENDING (ts, event_id) sort — the
+    repo's standard inversion (store_revenue_interpolated) that avoids
+    both the O(rows²) partial unbounded-FOLLOWING frame and the
+    touches×purchases range join. Per-purchase touch counts are one
+    bounded aggregation joined back on the purchase id. Scale: two
+    user-partitioned window columns in one pass, one |purchases|-sized
+    join — state per task is one user's event history."""
+    from pyspark.sql.window import Window
+
+    ev = fx.events_stream(spark, sf_dir)
+    w_desc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_p = F.col("event_type") == "purchase"
+    ann = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.last(F.when(is_p, F.unix_micros("ts")), ignorenulls=True)
+        .over(w_desc)
+        .alias("next_us"),
+        F.last(F.when(is_p, F.col("event_id")), ignorenulls=True)
+        .over(w_desc)
+        .alias("next_pid"),
+    )
+    lookback = 7 * 86400 * 1_000_000
+    touches = ann.where(
+        (F.col("event_type") != "purchase")
+        & F.col("next_us").isNotNull()
+        & (F.col("next_us") - F.col("us") <= lookback)
+    ).select(F.col("event_type").alias("channel"), "next_pid")
+    k = touches.groupBy("next_pid").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_t")
+    )
+    return (
+        touches.join(k, "next_pid")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum(F.expr("CAST(1000000 AS DECIMAL(38,0)) div n_t"))
+            .cast("bigint")
+            .alias("credit_ppm"),
+        )
+        .orderBy("channel")
+    )
