@@ -249,3 +249,115 @@ def consecutive_gap_stats(
             "max_gap_days",
         )
     )
+
+
+#: fixed-point scale for the Markov power iteration (1e12, the
+#: graph-family convention — operators/graph.py SCALE)
+MARKOV_SCALE = 1_000_000_000_000
+
+
+def markov_power_iteration(
+    events: DataFrame, iterations: int = 5
+) -> DataFrame:
+    """Fixed-point power iteration toward the stationary distribution of
+    the user-behavior Markov chain (event_transitions' row-stochastic
+    matrix): ``(event_type, mass_fp)`` after ``iterations`` steps from
+    the uniform start, mass scaled by :data:`MARKOV_SCALE`.
+
+    Exactly the PageRank determinism trick (operators/graph.py) on the
+    |types|×|types| transition matrix: each update term is the exact
+    floored integer division ``(mass·c_ij) div rowsum_i`` summed in
+    DECIMAL(38,0) — no float mass anywhere, so Spark and the unrolled
+    DuckDB twin agree bit-for-bit and per-(i,j) floor loss is identical
+    on both engines. The transition relation is persisted once (bounded
+    by |types|², trivially small — same cache contract as the pagerank
+    adjacency); each iteration is one tiny join + aggregation.
+    Sink-only types (no outgoing transitions) would leak mass; every
+    fixture type has outgoing edges, and the kernel makes no
+    redistribution attempt (documented, mirrored in the oracle)."""
+    tr = event_transitions(events)
+    rs = tr.groupBy("from_type").agg(
+        F.sum("transitions").cast("decimal(38,0)").alias("rowsum")
+    )
+    trr = (
+        tr.select(
+            "from_type",
+            "to_type",
+            F.col("transitions").cast("decimal(38,0)").alias("c"),
+        )
+        .join(rs, "from_type")
+        .persist()
+    )
+    pi = (
+        events.select(F.col("event_type").alias("node"))
+        .distinct()
+        .select(
+            "node",
+            F.lit(MARKOV_SCALE).cast("decimal(38,0)").alias("mass"),
+        )
+    )
+    for _ in range(iterations):
+        pi = (
+            trr.join(pi, trr.from_type == pi.node)
+            .select(
+                F.col("to_type").alias("n2"),
+                F.expr("CAST((mass * c) div rowsum AS DECIMAL(38,0))").alias(
+                    "m"
+                ),
+            )
+            .groupBy(F.col("n2").alias("node"))
+            .agg(F.sum("m").cast("decimal(38,0)").alias("mass"))
+        )
+    return pi.select(
+        F.col("node").alias("event_type"),
+        F.col("mass").cast("bigint").alias("mass_fp"),
+    ).orderBy("event_type")
+
+
+def markov_oracle_sql(events_cte: str, iterations: int = 5) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`markov_power_iteration` (the
+    pagerank_oracle_sql pattern — recursive CTEs can't aggregate in the
+    recursive member, so the bounded loop is unrolled). HUGEINT ``//``
+    matches Spark decimal ``div`` on the all-positive masses."""
+    cte = [
+        events_cte.strip(),
+        """seq AS (
+  SELECT event_type AS to_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS from_type
+  FROM events_norm
+)""",
+        """tr AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+)""",
+        """rs AS (
+  SELECT from_type, CAST(SUM(c) AS HUGEINT) AS rowsum FROM tr GROUP BY 1
+)""",
+        """trr AS (
+  SELECT tr.from_type, tr.to_type, tr.c, rs.rowsum
+  FROM tr JOIN rs USING (from_type)
+)""",
+        f"""m0 AS (
+  SELECT DISTINCT event_type AS node,
+         CAST({MARKOV_SCALE} AS HUGEINT) AS mass
+  FROM events_norm
+)""",
+    ]
+    for i in range(iterations):
+        cte.append(
+            f"""m{i + 1} AS (
+  SELECT t.to_type AS node, SUM((m.mass * t.c) // t.rowsum) AS mass
+  FROM trr t JOIN m{i} m ON t.from_type = m.node
+  GROUP BY 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"""
+SELECT node AS event_type, CAST(mass AS BIGINT) AS mass_fp
+FROM m{iterations} ORDER BY event_type
+"""
+    )

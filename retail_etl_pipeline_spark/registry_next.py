@@ -1583,3 +1583,23 @@ def purchase_attribution_linear(
         )
         .orderBy("channel")
     )
+
+
+@_stage(
+    "event_type_steady_state",
+    bh.markov_oracle_sql(fx.EVENTS_STREAM_CTE, iterations=5),
+)
+def event_type_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where does user behavior settle? The stationary distribution of
+    the event-type Markov chain (markov_transitions' matrix), computed
+    as 5 fixed-point power-iteration steps from the uniform start —
+    the long-run share of each event type implied by the observed
+    transition structure, in exact 1e12-scaled mass. Kernel:
+    :func:`..operators.behavior.markov_power_iteration` — the PageRank
+    determinism recipe ((mass·c) div rowsum, DECIMAL(38,0) sums) on the
+    |types|²-bounded transition relation; the oracle unrolls the same
+    5 steps (pagerank_oracle_sql pattern). Scale: ONE data-sized pass
+    (the per-user lag window building transition counts); every
+    iteration after touches ≤ |types|² rows."""
+    ev = fx.events_stream(spark, sf_dir)
+    return bh.markov_power_iteration(ev, iterations=5)
