@@ -448,6 +448,76 @@ def mann_whitney_u2(df: DataFrame, value_col: str, flag_col: str) -> DataFrame:
     )
 
 
+def mann_whitney_z(df: DataFrame, value_col: str, flag_col: str) -> DataFrame:
+    """:func:`mann_whitney_u2` plus the tie-corrected normal-
+    approximation z-score: ``(n_a, n_b, u2_a, z)``.
+
+    z = (U − na·nb/2) / √var with the tie-corrected variance
+    var = (na·nb/12)·[(n+1) − Σ(t³−t)/(n(n−1))] over pooled tie-group
+    sizes t — in the doubled-U form z = (u2 − na·nb) / (2·√var), so the
+    numerator stays an exact integer. Every var input (na, nb, n,
+    Σ(t³−t)) is an exact DECIMAL integer; the z expression is ONE fixed
+    double formula over those integers (bit-identical cross-engine) and
+    the output takes the scale-6 rounding hop. No continuity
+    correction (documented; both engines identical either way).
+    z is NULL when either side is empty or the variance is 0 (all
+    pooled values tied). Same one-aggregation + one-prefix-sum plan as
+    the base kernel, with Σ(t³−t) riding the same aggregation."""
+    from .ordered import with_running_sum
+
+    cnt = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.sum(F.when(F.col(flag_col), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("ca"),
+        F.sum(F.when(F.col(flag_col), 0).otherwise(1))
+        .cast("decimal(38,0)")
+        .alias("cb"),
+    )
+    run, _tot = with_running_sum(cnt, [F.col("v")], "cb", running_col="cumb")
+    per = run.select(
+        "ca",
+        "cb",
+        (
+            F.col("ca")
+            * (2 * (F.col("cumb") - F.col("cb")) + F.col("cb"))
+        )
+        .cast("decimal(38,0)")
+        .alias("t"),
+        F.expr(
+            "CAST((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)"
+            " AS DECIMAL(38,0))"
+        ).alias("tie3"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    agg = per.agg(
+        F.coalesce(F.sum("ca"), zero).alias("na"),
+        F.coalesce(F.sum("cb"), zero).alias("nb"),
+        F.coalesce(F.sum("t"), zero).alias("u2"),
+        F.coalesce(F.sum("tie3"), zero).alias("stie"),
+    )
+    z = F.expr(
+        "CAST(u2 - na * nb AS DOUBLE)"
+        " / (2.0 * sqrt((CAST(na * nb AS DOUBLE) / 12.0)"
+        " * (CAST(na + nb + 1 AS DOUBLE)"
+        "    - CAST(stie AS DOUBLE)"
+        "      / CAST((na + nb) * (na + nb - 1) AS DOUBLE))))"
+    )
+    var_pos = F.expr(
+        "na > 0 AND nb > 0 AND"
+        " CAST(na + nb + 1 AS DOUBLE)"
+        " - CAST(stie AS DOUBLE) / CAST((na + nb) * (na + nb - 1) AS DOUBLE)"
+        " > 0"
+    )
+    return agg.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("u2").cast("bigint").alias("u2_a"),
+        F.when(var_pos, round6(z)).otherwise(F.lit(None).cast("double")).alias(
+            "z"
+        ),
+    )
+
+
 def mann_whitney_u2_by(
     df: DataFrame, group_cols: list[str], value_col: str, flag_col: str
 ) -> DataFrame:

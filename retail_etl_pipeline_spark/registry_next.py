@@ -1603,3 +1603,89 @@ def event_type_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration after touches ≤ |types|² rows."""
     ev = fx.events_stream(spark, sf_dir)
     return bh.markov_power_iteration(ev, iterations=5)
+
+
+@_stage(
+    "lineitem_revenue_mwu_z",
+    """
+WITH vals AS (
+  SELECT CAST(round(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)),
+                    2) * 100 AS BIGINT) AS v,
+         year(l_shipdate) <= 1997 AS a
+  FROM lineitem
+),
+cnt AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS DECIMAL(38,0)) AS ca,
+         CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS DECIMAL(38,0)) AS cb
+  FROM vals GROUP BY 1
+),
+run AS (
+  SELECT ca, cb,
+         SUM(cb) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumb
+  FROM cnt
+),
+agg AS (
+  SELECT CAST(SUM(ca) AS HUGEINT) AS na,
+         CAST(SUM(cb) AS HUGEINT) AS nb,
+         CAST(SUM(CAST(ca * (2 * (cumb - cb) + cb) AS DECIMAL(38,0)))
+              AS HUGEINT) AS u2,
+         CAST(SUM(CAST((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)
+                       AS DECIMAL(38,0))) AS HUGEINT) AS stie
+  FROM run
+)
+SELECT CAST(na AS BIGINT) AS n_early,
+       CAST(nb AS BIGINT) AS n_late,
+       CAST(u2 AS BIGINT) AS u2_early,
+       CASE WHEN na > 0 AND nb > 0 AND
+                 CAST(na + nb + 1 AS DOUBLE)
+                 - CAST(stie AS DOUBLE)
+                   / CAST((na + nb) * (na + nb - 1) AS DOUBLE) > 0
+            THEN CAST(round(CAST(
+                   CAST(u2 - na * nb AS DOUBLE)
+                   / (2.0 * sqrt((CAST(na * nb AS DOUBLE) / 12.0)
+                      * (CAST(na + nb + 1 AS DOUBLE)
+                         - CAST(stie AS DOUBLE)
+                           / CAST((na + nb) * (na + nb - 1) AS DOUBLE))))
+                 AS DECIMAL(30,12)), 6) AS DOUBLE)
+            ELSE NULL END AS z
+FROM agg
+""",
+)
+def lineitem_revenue_mwu_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem_revenue_mwu with the tie-corrected normal-approximation
+    z-score — the number an analyst actually reads off a rank-sum test
+    ("how many sigmas of stochastic dominance is the late period
+    showing"). Kernel: :func:`.functions.stats.mann_whitney_z` — the
+    variance's tie term Σ(t³−t) rides the SAME per-value aggregation
+    as the U statistic, so the z costs nothing extra; every input to
+    the one double expression is an exact integer (bit-identical
+    cross-engine, scale-6 rounding hop on the output; no continuity
+    correction, identically on both sides). Float-mirror parity and
+    the zero-variance/empty-side NULL cases are property-tested in
+    tests/test_r6_kernels.py."""
+    from .functions.stats import mann_whitney_z
+
+    li = fx._read(spark, sf_dir, "lineitem")
+    vals = li.select(
+        (
+            F.round(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(30,6)"),
+                2,
+            )
+            * 100
+        )
+        .cast("bigint")
+        .alias("v"),
+        (F.year("l_shipdate") <= 1997).alias("a"),
+    )
+    return mann_whitney_z(vals, "v", "a").select(
+        F.col("n_a").alias("n_early"),
+        F.col("n_b").alias("n_late"),
+        F.col("u2_a").alias("u2_early"),
+        "z",
+    )

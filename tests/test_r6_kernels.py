@@ -538,3 +538,55 @@ def test_ks_by_property_matches_python_oracle(spark, rows):
                 best, best_at = gap, v
         assert r.ks_ppm == best * 1_000_000 // (len(a) * len(b))
         assert r.at_value == best_at
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=15), min_size=2, max_size=25),
+    st.lists(st.integers(min_value=0, max_value=15), min_size=2, max_size=25),
+)
+def test_mann_whitney_z_matches_float_mirror(spark, a, b):
+    from retail_etl_pipeline_spark.functions.stats import mann_whitney_z
+
+    rows = [(v, True) for v in a] + [(v, False) for v in b]
+    df = spark.createDataFrame(rows, "v long, is_a boolean")
+    got = mann_whitney_z(df, "v", "is_a").collect()[0]
+    spark.catalog.clearCache()
+    na, nb, n = len(a), len(b), len(a) + len(b)
+    u2 = sum(2 for x in a for y in b if x > y) + sum(
+        1 for x in a for y in b if x == y
+    )
+    assert (got.n_a, got.n_b, got.u2_a) == (na, nb, u2)
+    from collections import Counter
+
+    ties = Counter(a) + Counter(b)
+    stie = sum(t**3 - t for t in ties.values())
+    var_term = (n + 1) - stie / (n * (n - 1))
+    if var_term <= 0:  # all pooled values tied
+        assert got.z is None
+        return
+    z = (u2 - na * nb) / (2.0 * math.sqrt((na * nb / 12.0) * var_term))
+    assert abs(got.z - z) < 2e-6
+    # antisymmetry: swapping the sides negates z (exact integers in)
+    swapped = mann_whitney_z(
+        df.withColumn("is_b", ~F.col("is_a")), "v", "is_b"
+    ).collect()[0]
+    spark.catalog.clearCache()
+    assert abs(got.z + swapped.z) < 2e-6
+
+
+def test_mann_whitney_z_null_when_degenerate(spark):
+    from retail_etl_pipeline_spark.functions.stats import mann_whitney_z
+
+    # all pooled values tied -> zero variance -> NULL z
+    df = spark.createDataFrame(
+        [(5, True), (5, True), (5, False)], "v long, is_a boolean"
+    )
+    got = mann_whitney_z(df, "v", "is_a").collect()[0]
+    spark.catalog.clearCache()
+    assert got.z is None and got.u2_a == 2  # two ties split
+    # one empty side -> NULL z, zero-filled counts
+    one = spark.createDataFrame([(1, True)], "v long, is_a boolean")
+    g1 = mann_whitney_z(one, "v", "is_a").collect()[0]
+    spark.catalog.clearCache()
+    assert (g1.n_a, g1.n_b, g1.u2_a, g1.z) == (1, 0, 0, None)
