@@ -109,6 +109,57 @@ def gini_ppm(df: DataFrame, value_col: str, tiebreak_col: str) -> DataFrame:
     )
 
 
+def gini_weighted_ppm(
+    df: DataFrame, value_col: str, weight_col: str, tiebreak_col: str
+) -> DataFrame:
+    """One-row population-weighted Gini of an integer-valued column with
+    integer weights, in ppm: ``(n, total_w, gini_ppm)``.
+
+    Trapezoid Lorenz form over the ascending value order:
+    ``G = 1 − Σ w_i·(2S_i − w_i·x_i) / (W·S)`` with ``S_i`` the running
+    Σw·x — one exact DECIMAL prefix sum (:func:`..functions.ordered.
+    with_running_sum`), all integer arithmetic, final value as ONE
+    floor division ``((W·S − N)·1e6) div (W·S)`` so the w≡1 case equals
+    :func:`gini_ppm` BIT-FOR-BIT (the rank form's numerator identity
+    ``R = nS − N`` is exact; pinned by the property test, along with
+    weight-replication equivalence: integer weights == the replicated
+    multiset). Tie blocks are order-insensitive in this form (the
+    within-block sum is symmetric in the tied rows' weights), so the
+    tiebreak only pins plan determinism."""
+    from .ordered import with_running_sum
+
+    staged = df.select(
+        F.col(value_col).cast("decimal(38,0)").alias("x"),
+        F.col(weight_col).cast("decimal(38,0)").alias("w"),
+        F.col(tiebreak_col).alias("tb"),
+        (
+            F.col(value_col).cast("decimal(38,0)")
+            * F.col(weight_col).cast("decimal(38,0)")
+        ).alias("wx"),
+    )
+    run, s_total = with_running_sum(
+        staged, [F.asc("x"), F.asc("tb")], "wx", running_col="s"
+    )
+    agg = run.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("w").alias("tw"),
+        F.sum(
+            (F.col("w") * (2 * F.col("s") - F.col("wx"))).cast(
+                "decimal(38,0)"
+            )
+        ).alias("num"),
+        F.sum("wx").alias("s_n"),
+    )
+    return agg.select(
+        "n",
+        F.col("tw").cast("bigint").alias("total_w"),
+        F.expr(
+            "CAST(((tw * s_n - num) * 1000000) div NULLIF(tw * s_n, 0)"
+            " AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
 def ks_statistic(
     df: DataFrame, value_col: str, flag_col: str
 ) -> DataFrame:

@@ -590,3 +590,70 @@ def test_mann_whitney_z_null_when_degenerate(spark):
     g1 = mann_whitney_z(one, "v", "is_a").collect()[0]
     spark.catalog.clearCache()
     assert (g1.n_a, g1.n_b, g1.u2_a, g1.z) == (1, 0, 0, None)
+
+
+# ---------------------------------------------------------------------------
+# gini_weighted_ppm
+# ---------------------------------------------------------------------------
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**6), min_size=2, max_size=20
+    )
+)
+def test_weighted_gini_with_unit_weights_equals_gini(spark, xs):
+    from hypothesis import assume
+
+    from retail_etl_pipeline_spark.functions.stats import (
+        gini_ppm,
+        gini_weighted_ppm,
+    )
+
+    assume(sum(xs) != 0)
+    df = spark.createDataFrame(
+        [(i, x, 1) for i, x in enumerate(xs)], "k long, cents long, w long"
+    )
+    wg = gini_weighted_ppm(df, "cents", "w", "k").collect()[0]
+    g = gini_ppm(df, "cents", "k").collect()[0]
+    spark.catalog.clearCache()
+    assert (wg.n, wg.total_w) == (len(xs), len(xs))
+    assert wg.gini_ppm == g.gini_ppm
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**4),
+            st.integers(min_value=1, max_value=5),
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_weighted_gini_equals_replicated_multiset(spark, pairs):
+    from hypothesis import assume
+
+    from retail_etl_pipeline_spark.functions.stats import gini_weighted_ppm
+
+    assume(sum(x * w for x, w in pairs) != 0)
+    weighted = spark.createDataFrame(
+        [(i, x, w) for i, (x, w) in enumerate(pairs)],
+        "k long, cents long, w long",
+    )
+    replicated_rows = []
+    i = 0
+    for x, w in pairs:
+        for _ in range(w):
+            replicated_rows.append((i, x, 1))
+            i += 1
+    replicated = spark.createDataFrame(
+        replicated_rows, "k long, cents long, w long"
+    )
+    wg = gini_weighted_ppm(weighted, "cents", "w", "k").collect()[0]
+    rep = gini_weighted_ppm(replicated, "cents", "w", "k").collect()[0]
+    spark.catalog.clearCache()
+    assert wg.total_w == rep.total_w == rep.n
+    assert wg.gini_ppm == rep.gini_ppm
