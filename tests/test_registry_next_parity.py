@@ -34,3 +34,37 @@ def test_staged_names_do_not_collide_with_registry():
 
     overlap = set(QUERIES) & set(REG)
     assert not overlap, f"staged names already registered: {overlap}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "supplier_revenue_weighted_gini",   # two-level prefix sum offsets
+        "store_revenue_cusum_breaches",     # partitioned prefix sum + min
+        "daily_revenue_cusum_days",         # two-level sum THEN two-level min
+        "nation_revenue_ks",                # partitioned ecdf-gap cumsum
+        "event_type_steady_state",          # iterative fixed-point joins
+        "part_abc_migration_matrix",        # two independent running sums
+    ],
+)
+def test_staged_results_identical_across_shuffle_parallelism(
+    spark, sf_dir, name
+):
+    """The partitioning-independence contract for the staged queries
+    that ride the exactness machinery (two-level prefix sums/mins,
+    partitioned cumulative windows, fixed-point loops): results must
+    be IDENTICAL at 3 and 24 shuffle partitions — mirrors
+    test_properties.test_results_identical_across_shuffle_parallelism
+    for the registered surface."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for n in (3, 24):
+            spark.conf.set("spark.sql.shuffle.partitions", str(n))
+            spark.catalog.clearCache()
+            rows = QUERIES[name](spark, sf_dir).collect()
+            results[n] = sorted(tuple(r) for r in rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.catalog.clearCache()
+    assert results[3] == results[24]
