@@ -1,4 +1,11 @@
-"""Exact distributed statistics kernels (moment sums, Gini, KS).
+"""Exact distributed statistics kernels.
+
+Families: bivariate moment sums (OLS/corr closed forms), Gini — plain,
+weighted (trapezoid Lorenz), and Lorenz buckets — Theil (index and
+between/within decomposition), Atkinson, two-sample drift (KS and
+Mann–Whitney U/z, each with a group-stratified twin), Kaplan–Meier
+survival (plain and stratified with Greenwood SE, median pick), and
+CUSUM change detection (global two-level and group-partitioned).
 
 The shared discipline (DEVNOTES "moment-sum regression recipe"): pin
 every input to an INTEGER (cents, day offsets, decimal-rounded ln
@@ -7,13 +14,15 @@ order-independent, combine-friendly — and leave only the final ratio to
 double (on bit-identical inputs) or to exact integer division. The
 cluster answer then equals the local answer bit-for-bit at any
 partitioning, which is what makes these kernels oracle-checkable and
-safe to re-plan at 100 TB.
+safe to re-plan at 100 TB. Stratified variants replace the two-level
+global machinery with plain group-partitioned windows — per-task state
+is one group's rows, never the banned empty-partitionBy shape.
 
-Property-tested against exact-fraction Python oracles in
-``tests/test_stats_kernels.py``; exercised end-to-end by the
-``store_revenue_autocorr7`` / ``store_revenue_trend`` /
-``brand_price_elasticity`` / ``customer_spend_gini`` /
-``lineitem_revenue_ks`` registry queries and their DuckDB twins.
+Property-tested against exact-fraction/float Python oracles in
+``tests/test_stats_kernels.py`` and ``tests/test_r6_kernels.py``;
+exercised end-to-end by the registered inequality/drift/survival
+queries and the round-6 staged surface (``registry_next.py``) with
+their DuckDB twins.
 """
 
 from __future__ import annotations

@@ -1760,3 +1760,121 @@ def supplier_revenue_weighted_gini(
     return gini_weighted_ppm(rev, "cents", "w", "l_suppkey").select(
         F.col("n").alias("n_suppliers"), "total_w", "gini_ppm"
     )
+
+
+@_stage(
+    "purchase_attribution_u_shaped",
+    f"""
+WITH {fx.EVENTS_STREAM_CTE.strip()},
+ann AS (
+  SELECT event_id, event_type, epoch_us(ts) AS us,
+         last_value(CASE WHEN event_type = 'purchase'
+                    THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS next_us,
+         last_value(CASE WHEN event_type = 'purchase'
+                    THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS next_pid
+  FROM events_norm
+),
+touches AS (
+  SELECT event_type AS channel, event_id, us, next_pid
+  FROM ann
+  WHERE event_type <> 'purchase'
+    AND next_us IS NOT NULL
+    AND next_us - us <= 7 * 86400 * 1000000::BIGINT
+),
+pos AS (
+  SELECT channel,
+         ROW_NUMBER() OVER (PARTITION BY next_pid
+                            ORDER BY us, event_id) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY next_pid) AS HUGEINT) AS k
+  FROM touches
+),
+credit AS (
+  SELECT channel,
+         CASE WHEN k = 1 THEN CAST(1000000 AS HUGEINT)
+              WHEN k = 2 THEN CAST(500000 AS HUGEINT)
+              WHEN r = 1 OR r = k THEN CAST(400000 AS HUGEINT)
+              ELSE CAST(200000 AS HUGEINT) // (k - 2) END AS c
+  FROM pos
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(c) AS BIGINT) AS credit_ppm
+FROM credit GROUP BY 1 ORDER BY 1
+""",
+)
+def purchase_attribution_u_shaped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """U-shaped (position-based) attribution — the third standard model
+    beside the staged last-touch and linear pair: the FIRST touch in a
+    purchase's 7-day window earns 40%, the LAST 40%, the middles split
+    the remaining 20% (single-touch 100%, two-touch 50/50). Credit is
+    exact integer ppm (the middle split is floor division — a
+    purchase's credit sums to ≤1e6 by the remainder, identically on
+    both engines). Same next-purchase window as the linear model, plus
+    one window pass partitioned by the PURCHASE id (a real key — rank
+    and count share the partitioning, one stage). Scale: two
+    user-partitioned window columns, one purchase-partitioned window,
+    bounded rollup — still no touches×purchases join anywhere."""
+    from pyspark.sql.window import Window
+
+    ev = fx.events_stream(spark, sf_dir)
+    w_desc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_p = F.col("event_type") == "purchase"
+    ann = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.last(F.when(is_p, F.unix_micros("ts")), ignorenulls=True)
+        .over(w_desc)
+        .alias("next_us"),
+        F.last(F.when(is_p, F.col("event_id")), ignorenulls=True)
+        .over(w_desc)
+        .alias("next_pid"),
+    )
+    lookback = 7 * 86400 * 1_000_000
+    touches = ann.where(
+        (F.col("event_type") != "purchase")
+        & F.col("next_us").isNotNull()
+        & (F.col("next_us") - F.col("us") <= lookback)
+    ).select(
+        F.col("event_type").alias("channel"), "event_id", "us", "next_pid"
+    )
+    wp = Window.partitionBy("next_pid").orderBy("us", "event_id")
+    wk = Window.partitionBy("next_pid")
+    pos = touches.select(
+        "channel",
+        F.row_number().over(wp).alias("r"),
+        F.count(F.lit(1)).over(wk).cast("decimal(38,0)").alias("k"),
+    )
+    credit = pos.select(
+        "channel",
+        F.when(F.col("k") == 1, F.lit(1_000_000).cast("decimal(38,0)"))
+        .when(F.col("k") == 2, F.lit(500_000).cast("decimal(38,0)"))
+        .when(
+            (F.col("r") == 1) | (F.col("r") == F.col("k")),
+            F.lit(400_000).cast("decimal(38,0)"),
+        )
+        .otherwise(
+            F.expr("CAST(200000 AS DECIMAL(38,0)) div (k - 2)")
+        )
+        .alias("c"),
+    )
+    return (
+        credit.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("c").cast("bigint").alias("credit_ppm"),
+        )
+        .orderBy("channel")
+    )
