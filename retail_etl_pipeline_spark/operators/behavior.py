@@ -361,3 +361,141 @@ SELECT node AS event_type, CAST(mass AS BIGINT) AS mass_fp
 FROM m{iterations} ORDER BY event_type
 """
     )
+
+
+#: attribution lookback: a touch only earns credit if its user purchases
+#: within this many microseconds (7 days)
+ATTRIBUTION_LOOKBACK_US = 7 * 86400 * 1_000_000
+
+
+def _with_next_purchase(events: DataFrame) -> DataFrame:
+    """Annotate every event with the user's NEXT purchase (timestamp +
+    event id) via an ignore-nulls last_value over the PRECEDING-only
+    frame on the DESCENDING (ts, event_id) sort — the forward-looking
+    inversion (no partial unbounded-FOLLOWING frame, no range join)."""
+    w_desc = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_p = F.col("event_type") == "purchase"
+    return events.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.last(F.when(is_p, F.unix_micros("ts")), ignorenulls=True)
+        .over(w_desc)
+        .alias("next_us"),
+        F.last(F.when(is_p, F.col("event_id")), ignorenulls=True)
+        .over(w_desc)
+        .alias("next_pid"),
+    )
+
+
+def attribute_last_touch(events: DataFrame) -> DataFrame:
+    """Last-touch attribution over an (event_id, ts, user_id,
+    event_type) stream: ``(attributed_to, n_purchases)`` — each
+    purchase credited to the most recent prior non-purchase event
+    within :data:`ATTRIBUTION_LOOKBACK_US`, else 'none'."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    np_ = F.col("event_type") != "purchase"
+    ann = events.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.last(F.when(np_, F.unix_micros("ts")), ignorenulls=True)
+        .over(w)
+        .alias("attr_us"),
+        F.last(F.when(np_, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("attr_type"),
+    )
+    return (
+        ann.where(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("attr_us").isNotNull()
+                & (
+                    F.col("us") - F.col("attr_us")
+                    <= ATTRIBUTION_LOOKBACK_US
+                ),
+                F.col("attr_type"),
+            )
+            .otherwise(F.lit("none"))
+            .alias("attributed_to")
+        )
+        .groupBy("attributed_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
+        .orderBy("attributed_to")
+    )
+
+
+def _qualifying_touches(events: DataFrame) -> DataFrame:
+    """(channel, event_id, us, next_pid) for every non-purchase event
+    whose user purchases within the lookback."""
+    ann = _with_next_purchase(events)
+    return ann.where(
+        (F.col("event_type") != "purchase")
+        & F.col("next_us").isNotNull()
+        & (F.col("next_us") - F.col("us") <= ATTRIBUTION_LOOKBACK_US)
+    ).select(
+        F.col("event_type").alias("channel"), "event_id", "us", "next_pid"
+    )
+
+
+def attribute_linear(events: DataFrame) -> DataFrame:
+    """Linear multi-touch attribution: every qualifying touch shares
+    its purchase's credit equally (exact ppm floor division) —
+    ``(channel, n_touches, credit_ppm)``."""
+    touches = _qualifying_touches(events)
+    k = touches.groupBy("next_pid").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_t")
+    )
+    return (
+        touches.join(k, "next_pid")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum(F.expr("CAST(1000000 AS DECIMAL(38,0)) div n_t"))
+            .cast("bigint")
+            .alias("credit_ppm"),
+        )
+        .orderBy("channel")
+    )
+
+
+def attribute_u_shaped(events: DataFrame) -> DataFrame:
+    """Position-based (U-shaped) attribution: first and last qualifying
+    touches earn 400_000 ppm each, middles split 200_000 by floor
+    division (single touch 1e6, two touches 500_000 each) —
+    ``(channel, n_touches, credit_ppm)``."""
+    touches = _qualifying_touches(events)
+    wp = Window.partitionBy("next_pid").orderBy("us", "event_id")
+    wk = Window.partitionBy("next_pid")
+    pos = touches.select(
+        "channel",
+        F.row_number().over(wp).alias("r"),
+        F.count(F.lit(1)).over(wk).cast("decimal(38,0)").alias("k"),
+    )
+    credit = pos.select(
+        "channel",
+        F.when(F.col("k") == 1, F.lit(1_000_000).cast("decimal(38,0)"))
+        .when(F.col("k") == 2, F.lit(500_000).cast("decimal(38,0)"))
+        .when(
+            (F.col("r") == 1) | (F.col("r") == F.col("k")),
+            F.lit(400_000).cast("decimal(38,0)"),
+        )
+        .otherwise(F.expr("CAST(200000 AS DECIMAL(38,0)) div (k - 2)"))
+        .alias("c"),
+    )
+    return (
+        credit.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("c").cast("bigint").alias("credit_ppm"),
+        )
+        .orderBy("channel")
+    )

@@ -1450,44 +1450,10 @@ def purchase_attribution_last_touch(
     engines; the (ts, event_id) ordering pins same-timestamp touches
     deterministically. Scale: one shuffle on user_id, then a bounded
     5-row rollup; the window state per task is one user's event
-    history."""
-    from pyspark.sql.window import Window
-
-    ev = fx.events_stream(spark, sf_dir)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    np_ = F.col("event_type") != "purchase"
-    ann = ev.select(
-        "event_type",
-        F.unix_micros("ts").alias("us"),
-        F.last(
-            F.when(np_, F.unix_micros("ts")), ignorenulls=True
-        )
-        .over(w)
-        .alias("attr_us"),
-        F.last(F.when(np_, F.col("event_type")), ignorenulls=True)
-        .over(w)
-        .alias("attr_type"),
-    )
-    lookback = 7 * 86400 * 1_000_000
-    return (
-        ann.where(F.col("event_type") == "purchase")
-        .select(
-            F.when(
-                F.col("attr_us").isNotNull()
-                & (F.col("us") - F.col("attr_us") <= lookback),
-                F.col("attr_type"),
-            )
-            .otherwise(F.lit("none"))
-            .alias("attributed_to")
-        )
-        .groupBy("attributed_to")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
-        .orderBy("attributed_to")
-    )
+    history. Kernel: :func:`..operators.behavior.attribute_last_touch`
+    (credit math unit-tested on synthetic journeys in
+    tests/test_attribution_unit.py)."""
+    return bh.attribute_last_touch(fx.events_stream(spark, sf_dir))
 
 
 @_stage(
@@ -1542,47 +1508,10 @@ def purchase_attribution_linear(
     touches×purchases range join. Per-purchase touch counts are one
     bounded aggregation joined back on the purchase id. Scale: two
     user-partitioned window columns in one pass, one |purchases|-sized
-    join — state per task is one user's event history."""
-    from pyspark.sql.window import Window
-
-    ev = fx.events_stream(spark, sf_dir)
-    w_desc = (
-        Window.partitionBy("user_id")
-        .orderBy(F.desc("ts"), F.desc("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    is_p = F.col("event_type") == "purchase"
-    ann = ev.select(
-        "event_id",
-        "event_type",
-        F.unix_micros("ts").alias("us"),
-        F.last(F.when(is_p, F.unix_micros("ts")), ignorenulls=True)
-        .over(w_desc)
-        .alias("next_us"),
-        F.last(F.when(is_p, F.col("event_id")), ignorenulls=True)
-        .over(w_desc)
-        .alias("next_pid"),
-    )
-    lookback = 7 * 86400 * 1_000_000
-    touches = ann.where(
-        (F.col("event_type") != "purchase")
-        & F.col("next_us").isNotNull()
-        & (F.col("next_us") - F.col("us") <= lookback)
-    ).select(F.col("event_type").alias("channel"), "next_pid")
-    k = touches.groupBy("next_pid").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_t")
-    )
-    return (
-        touches.join(k, "next_pid")
-        .groupBy("channel")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
-            F.sum(F.expr("CAST(1000000 AS DECIMAL(38,0)) div n_t"))
-            .cast("bigint")
-            .alias("credit_ppm"),
-        )
-        .orderBy("channel")
-    )
+    join — state per task is one user's event history. Kernel:
+    :func:`..operators.behavior.attribute_linear` (credit conservation
+    per purchase unit-tested in tests/test_attribution_unit.py)."""
+    return bh.attribute_linear(fx.events_stream(spark, sf_dir))
 
 
 @_stage(
@@ -1821,60 +1750,8 @@ def purchase_attribution_u_shaped(
     one window pass partitioned by the PURCHASE id (a real key — rank
     and count share the partitioning, one stage). Scale: two
     user-partitioned window columns, one purchase-partitioned window,
-    bounded rollup — still no touches×purchases join anywhere."""
-    from pyspark.sql.window import Window
-
-    ev = fx.events_stream(spark, sf_dir)
-    w_desc = (
-        Window.partitionBy("user_id")
-        .orderBy(F.desc("ts"), F.desc("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    is_p = F.col("event_type") == "purchase"
-    ann = ev.select(
-        "event_id",
-        "event_type",
-        F.unix_micros("ts").alias("us"),
-        F.last(F.when(is_p, F.unix_micros("ts")), ignorenulls=True)
-        .over(w_desc)
-        .alias("next_us"),
-        F.last(F.when(is_p, F.col("event_id")), ignorenulls=True)
-        .over(w_desc)
-        .alias("next_pid"),
-    )
-    lookback = 7 * 86400 * 1_000_000
-    touches = ann.where(
-        (F.col("event_type") != "purchase")
-        & F.col("next_us").isNotNull()
-        & (F.col("next_us") - F.col("us") <= lookback)
-    ).select(
-        F.col("event_type").alias("channel"), "event_id", "us", "next_pid"
-    )
-    wp = Window.partitionBy("next_pid").orderBy("us", "event_id")
-    wk = Window.partitionBy("next_pid")
-    pos = touches.select(
-        "channel",
-        F.row_number().over(wp).alias("r"),
-        F.count(F.lit(1)).over(wk).cast("decimal(38,0)").alias("k"),
-    )
-    credit = pos.select(
-        "channel",
-        F.when(F.col("k") == 1, F.lit(1_000_000).cast("decimal(38,0)"))
-        .when(F.col("k") == 2, F.lit(500_000).cast("decimal(38,0)"))
-        .when(
-            (F.col("r") == 1) | (F.col("r") == F.col("k")),
-            F.lit(400_000).cast("decimal(38,0)"),
-        )
-        .otherwise(
-            F.expr("CAST(200000 AS DECIMAL(38,0)) div (k - 2)")
-        )
-        .alias("c"),
-    )
-    return (
-        credit.groupBy("channel")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
-            F.sum("c").cast("bigint").alias("credit_ppm"),
-        )
-        .orderBy("channel")
-    )
+    bounded rollup — still no touches×purchases join anywhere. Kernel:
+    :func:`..operators.behavior.attribute_u_shaped` (the 100/50-50/
+    40-20-40 position cases are unit-tested on synthetic journeys in
+    tests/test_attribution_unit.py)."""
+    return bh.attribute_u_shaped(fx.events_stream(spark, sf_dir))

@@ -1,0 +1,91 @@
+"""Unit tests for the attribution kernels (operators/behavior.py) on
+synthetic journeys — the cases the fixture can't pin individually:
+exact lookback boundary, untouched purchases, single/double/4-touch
+position credit, and per-purchase credit conservation."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from retail_etl_pipeline_spark.operators.behavior import (
+    ATTRIBUTION_LOOKBACK_US,
+    attribute_last_touch,
+    attribute_linear,
+    attribute_u_shaped,
+)
+
+T0 = datetime(2024, 3, 1, 12, 0, 0)
+SEVEN_D = timedelta(microseconds=ATTRIBUTION_LOOKBACK_US)
+EPS = timedelta(microseconds=1)
+
+_ROWS = [
+    # user 1: click -> view -> purchase (two touches)
+    (1, T0, 1, "click"),
+    (2, T0 + timedelta(hours=1), 1, "view"),
+    (3, T0 + timedelta(hours=2), 1, "purchase"),
+    # user 2: touch 8 days before the purchase -> outside lookback
+    (10, T0, 2, "signup"),
+    (11, T0 + timedelta(days=8), 2, "purchase"),
+    # user 3: single touch inside
+    (20, T0, 3, "signup"),
+    (21, T0 + timedelta(days=1), 3, "purchase"),
+    # user 4: four touches -> first/middles/last
+    (30, T0, 4, "click"),
+    (31, T0 + timedelta(minutes=1), 4, "view"),
+    (32, T0 + timedelta(minutes=2), 4, "click"),
+    (33, T0 + timedelta(minutes=3), 4, "error"),
+    (34, T0 + timedelta(minutes=4), 4, "purchase"),
+    # user 5: purchase with no prior event at all
+    (40, T0, 5, "purchase"),
+    # user 6: touch at EXACTLY the lookback boundary -> attributed (<=)
+    (50, T0, 6, "click"),
+    (51, T0 + SEVEN_D, 6, "purchase"),
+    # user 7: one microsecond beyond the boundary -> none
+    (60, T0, 7, "view"),
+    (61, T0 + SEVEN_D + EPS, 7, "purchase"),
+]
+
+
+def _events(spark):
+    return spark.createDataFrame(
+        _ROWS, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def test_last_touch_credit(spark):
+    got = {
+        r.attributed_to: r.n_purchases
+        for r in attribute_last_touch(_events(spark)).collect()
+    }
+    assert got == {"view": 1, "signup": 1, "error": 1, "click": 1, "none": 3}
+
+
+def test_linear_credit(spark):
+    got = {
+        r.channel: (r.n_touches, r.credit_ppm)
+        for r in attribute_linear(_events(spark)).collect()
+    }
+    assert got == {
+        "click": (4, 2_000_000),   # 500k (u1) + 2x250k (u4) + 1e6 (u6)
+        "view": (2, 750_000),      # 500k (u1) + 250k (u4)
+        "signup": (1, 1_000_000),  # u3 single touch
+        "error": (1, 250_000),     # u4 quarter share
+    }
+    # conservation: total credit == 1e6 per fully-attributed purchase
+    # (u1, u3, u4, u6 -> 4e6 exactly; 4 touches divide 1e6 evenly)
+    assert sum(c for _n, c in got.values()) == 4_000_000
+
+
+def test_u_shaped_credit(spark):
+    got = {
+        r.channel: (r.n_touches, r.credit_ppm)
+        for r in attribute_u_shaped(_events(spark)).collect()
+    }
+    assert got == {
+        # u1 two-touch 500k + u4 first 400k + u4 middle 100k + u6 1e6
+        "click": (4, 2_000_000),
+        "view": (2, 600_000),      # u1 500k + u4 middle 100k
+        "signup": (1, 1_000_000),
+        "error": (1, 400_000),     # u4 last
+    }
+    assert sum(c for _n, c in got.values()) == 4_000_000
