@@ -209,11 +209,15 @@ def main() -> None:
         lines = [ln[:160] for ln in plan.splitlines()][:60]
         out += [f"## {name}", "", note, "", "```", *lines, "```", ""]
     for name, note in SHOW_STAGED.items():
-        df = STAGED_QUERIES[name](spark, "/root/testdata/sf0.001")
+        # resolve from either dict so the round-6 move into registry.py
+        # doesn't break this tool (DEVNOTES playbook step 4)
+        fn = STAGED_QUERIES.get(name) or QUERIES[name]
+        df = fn(spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
         lines = [ln[:160] for ln in plan.splitlines()][:60]
+        staged = " (staged, registry_next.py)" if name in STAGED_QUERIES else ""
         out += [
-            f"## {name} (staged, registry_next.py)",
+            f"## {name}{staged}",
             "",
             note,
             "",
