@@ -89,3 +89,53 @@ def test_u_shaped_credit(spark):
         "error": (1, 400_000),     # u4 last
     }
     assert sum(c for _n, c in got.values()) == 4_000_000
+
+
+# ---------------------------------------------------------------------------
+# markov_power_iteration (behavior.py) vs an exact Python mirror
+# ---------------------------------------------------------------------------
+
+
+def test_markov_power_iteration_matches_python_mirror(spark):
+    from retail_etl_pipeline_spark.operators.behavior import (
+        MARKOV_SCALE,
+        markov_power_iteration,
+    )
+
+    # two users, three types, deterministic sequences
+    seqs = {1: ["a", "b", "a", "c", "a"], 2: ["b", "c", "b", "a", "b", "c"]}
+    rows, eid = [], 0
+    for uid, seq in seqs.items():
+        for i, t in enumerate(seq):
+            rows.append((eid, T0 + timedelta(minutes=i), uid, t))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r.event_type: r.mass_fp
+        for r in markov_power_iteration(ev, iterations=5).collect()
+    }
+    spark.catalog.clearCache()  # the kernel persists the transition relation
+
+    # exact integer mirror of the fixed-point recurrence
+    from collections import Counter
+
+    c: Counter = Counter()
+    for seq in seqs.values():
+        for x, y in zip(seq, seq[1:]):
+            c[(x, y)] += 1
+    rowsum: Counter = Counter()
+    for (x, _y), n in c.items():
+        rowsum[x] += n
+    mass = {t: MARKOV_SCALE for t in "abc"}
+    for _ in range(5):
+        new: dict[str, int] = {}
+        for (x, y), n in c.items():
+            new[y] = new.get(y, 0) + (mass[x] * n) // rowsum[x]
+        mass = new
+    assert got == mass
+    # floor-only loss: total mass never exceeds the start, and the
+    # per-round loss is bounded by the number of transition edges
+    assert sum(mass.values()) <= 3 * MARKOV_SCALE
+    assert 3 * MARKOV_SCALE - sum(mass.values()) <= 5 * len(c)
