@@ -962,3 +962,70 @@ def hhi_ppm(
             ).alias("hhi_ppm"),
         )
     )
+
+
+def km_confidence_bands(curve: DataFrame, z: float = 1.96) -> DataFrame:
+    """Plain (linear) Greenwood confidence bands appended to a
+    Kaplan–Meier curve (:func:`kaplan_meier_by` output):
+    ``ci_lo = max(S − z·se, 0)``, ``ci_hi = min(S + z·se, 1)``, both
+    through the scale-6 rounding hop. Linear bands can hug the [0,1]
+    boundaries (the classic criticism; log-minus-log bands fix it at
+    the cost of more transcendentals) — kept linear so a DuckDB twin
+    is the literally identical clamp expression over identical
+    inputs. Round-7 staging candidate (DEVNOTES queue)."""
+    lo = F.greatest(
+        F.col("survival") - F.lit(z) * F.col("greenwood_se"), F.lit(0.0)
+    )
+    hi = F.least(
+        F.col("survival") + F.lit(z) * F.col("greenwood_se"), F.lit(1.0)
+    )
+    return curve.select(
+        "*", round6(lo).alias("ci_lo"), round6(hi).alias("ci_hi")
+    )
+
+
+def atkinson2_index(df: DataFrame, value_col: str) -> DataFrame:
+    """One-row Atkinson index at aversion ε=2 of a non-negative
+    integer-valued column: ``(n, atkinson2)`` with
+    ``A₂ = 1 − harmonic_mean/mean = 1 − n² / (Σ(1/x)·Σx)``.
+
+    The higher-aversion sibling of :func:`atkinson_index` (ε=1): ε=2
+    weights the poorest holders even harder, so A₂ ≥ A₁ always
+    (property-tested). Per-row reciprocals are doubles of exact
+    integers, decimal-rounded at 18 places (x ≥ 1 → 1/x ≤ 1, so
+    DECIMAL(38,18) is exact headroom) and summed exactly; the final
+    ``n²/(Σ(1/x)·Σx)`` runs once in double through the scale-6 hop.
+    Zero holders collapse the harmonic mean to exactly 0 → A₂ = 1
+    (no division by zero is ever evaluated); all-zero → NULL."""
+    base = df.select(F.col(value_col).cast("decimal(38,0)").alias("x"))
+    agg = base.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.when(F.col("x") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nz"),
+        F.sum(
+            F.when(
+                F.col("x") > 0,
+                F.round(
+                    (F.lit(1.0) / F.col("x").cast("double")).cast(
+                        "decimal(38,18)"
+                    ),
+                    18,
+                ),
+            ).otherwise(F.lit(0).cast("decimal(38,18)"))
+        ).alias("sr"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.when(F.col("sx") <= 0, F.lit(None).cast("double"))
+        .when(F.col("nz") > 0, F.lit(1.0))
+        .otherwise(
+            round6(
+                F.lit(1.0)
+                - (F.col("n") * F.col("n")).cast("double")
+                / (F.col("sr").cast("double") * F.col("sx").cast("double"))
+            )
+        )
+        .alias("atkinson2"),
+    )

@@ -657,3 +657,57 @@ def test_weighted_gini_equals_replicated_multiset(spark, pairs):
     spark.catalog.clearCache()
     assert wg.total_w == rep.total_w == rep.n
     assert wg.gini_ppm == rep.gini_ppm
+
+
+# ---------------------------------------------------------------------------
+# km_confidence_bands + atkinson2_index (round-7 prep)
+# ---------------------------------------------------------------------------
+
+
+def test_km_confidence_bands_clamp_and_order(spark):
+    from retail_etl_pipeline_spark.functions.stats import km_confidence_bands
+
+    life = spark.createDataFrame(_LIVES, "g string, t long, ev int")
+    curve = km_confidence_bands(kaplan_meier_by(life, ["g"]))
+    for r in curve.collect():
+        assert 0.0 <= r.ci_lo <= r.survival <= r.ci_hi <= 1.0
+        if r.n_at_risk == r.n_events:  # terminal S = 0, se = 0
+            assert r.ci_lo == r.ci_hi == 0.0
+        else:
+            mirror_lo = max(r.survival - 1.96 * r.greenwood_se, 0.0)
+            mirror_hi = min(r.survival + 1.96 * r.greenwood_se, 1.0)
+            assert abs(r.ci_lo - mirror_lo) < 1e-6
+            assert abs(r.ci_hi - mirror_hi) < 1e-6
+
+
+def test_atkinson2_degenerate_cases(spark):
+    from retail_etl_pipeline_spark.functions.stats import atkinson2_index
+
+    eq = spark.createDataFrame([(7,)] * 5, "x long")
+    assert atkinson2_index(eq, "x").collect()[0].atkinson2 == 0.0
+    zero = spark.createDataFrame([(0,), (3,)], "x long")
+    assert atkinson2_index(zero, "x").collect()[0].atkinson2 == 1.0
+    allz = spark.createDataFrame([(0,)], "x long")
+    assert atkinson2_index(allz, "x").collect()[0].atkinson2 is None
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=10**6), min_size=2, max_size=20
+    )
+)
+def test_atkinson2_mirror_and_dominates_epsilon1(spark, xs):
+    from retail_etl_pipeline_spark.functions.stats import atkinson2_index
+
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    a2 = atkinson2_index(df, "x").collect()[0].atkinson2
+    a1 = atkinson_index(df, "x").collect()[0].atkinson
+    n = len(xs)
+    harm = n / sum(1.0 / x for x in xs)
+    mean = sum(xs) / n
+    assert abs(a2 - (1.0 - harm / mean)) < 5e-6
+    assert 0.0 <= a2 < 1.0
+    # aversion ordering: ge by the generalized-mean inequality
+    # (harmonic <= geometric), up to the rounding hops
+    assert a2 >= a1 - 2e-6
