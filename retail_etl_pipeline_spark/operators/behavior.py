@@ -499,3 +499,38 @@ def attribute_u_shaped(events: DataFrame) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+def attribute_first_touch(events: DataFrame) -> DataFrame:
+    """First-touch attribution: each purchase credited to the EARLIEST
+    qualifying touch in its lookback window — ``(attributed_to,
+    n_purchases)``, with purchases that have no qualifying touch
+    counted under 'none' (mirroring :func:`attribute_last_touch`'s
+    output contract). Completes the standard quartet
+    (first/last/linear/U-shaped). The first touch is rank 1 of the
+    same purchase-partitioned ordering the U-shaped model uses; the
+    'none' count is total purchases minus attributed ones — a 1-row
+    broadcast subtraction, no anti-join."""
+    touches = _qualifying_touches(events)
+    wp = Window.partitionBy("next_pid").orderBy("us", "event_id")
+    first = touches.withColumn("r", F.row_number().over(wp)).where(
+        F.col("r") == 1
+    )
+    attributed = first.groupBy(
+        F.col("channel").alias("attributed_to")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
+    tot = events.where(F.col("event_type") == "purchase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t")
+    )
+    s = attributed.agg(
+        F.coalesce(F.sum("n_purchases"), F.lit(0).cast("bigint")).alias("s")
+    )
+    none_row = (
+        tot.crossJoin(F.broadcast(s))
+        .select(
+            F.lit("none").alias("attributed_to"),
+            (F.col("t") - F.col("s")).cast("bigint").alias("n_purchases"),
+        )
+        .where(F.col("n_purchases") > 0)
+    )
+    return attributed.unionByName(none_row).orderBy("attributed_to")

@@ -139,3 +139,35 @@ def test_markov_power_iteration_matches_python_mirror(spark):
     # per-round loss is bounded by the number of transition edges
     assert sum(mass.values()) <= 3 * MARKOV_SCALE
     assert 3 * MARKOV_SCALE - sum(mass.values()) <= 5 * len(c)
+
+
+def test_first_touch_credit(spark):
+    from retail_etl_pipeline_spark.operators.behavior import (
+        attribute_first_touch,
+    )
+
+    got = {
+        r.attributed_to: r.n_purchases
+        for r in attribute_first_touch(_events(spark)).collect()
+    }
+    # u1 first=click, u3 signup, u4 first=click, u6 click (boundary),
+    # none: u2 (outside), u5 (no touch), u7 (1us beyond)
+    assert got == {"click": 3, "signup": 1, "none": 3}
+
+
+def test_first_and_last_touch_totals_agree(spark):
+    """Both single-touch models partition the same purchase set: their
+    n_purchases totals must be identical."""
+    from retail_etl_pipeline_spark.operators.behavior import (
+        attribute_first_touch,
+        attribute_last_touch,
+    )
+
+    ev = _events(spark)
+    first_total = sum(
+        r.n_purchases for r in attribute_first_touch(ev).collect()
+    )
+    last_total = sum(
+        r.n_purchases for r in attribute_last_touch(ev).collect()
+    )
+    assert first_total == last_total == 7
