@@ -534,3 +534,73 @@ def attribute_first_touch(events: DataFrame) -> DataFrame:
         .where(F.col("n_purchases") > 0)
     )
     return attributed.unionByName(none_row).orderBy("attributed_to")
+
+
+def basket_entropy_by_size(items: DataFrame) -> DataFrame:
+    """Basket-diversity profile: mean Shannon entropy of within-order
+    item-class composition, grouped by basket size — ``(basket_size,
+    n_orders, avg_entropy)`` from an ``(order_key, item_class)``
+    relation (one row per item). H = 0 is a single-class basket,
+    ln(k) a uniform k-class one; comparing the average against size
+    tells merchandisers whether bigger baskets are stock-ups
+    (low H) or cross-category shops (high H).
+
+    The corpus doc_token_entropy discipline, per order: each ln
+    argument is a ratio of exact small integers evaluated in double
+    (bit-identical cross-engine), the per-class contribution
+    ``n_t·ln(n/n_t)`` is decimal-rounded at 6 then summed exactly, and
+    each order's H takes the scale-6 hop into DECIMAL(38,6) BEFORE the
+    class average — so the mean is an exact decimal sum divided once.
+    Plan: one (order, class) aggregation, one order-partitioned window
+    for the basket size (real key), two bounded rollups."""
+    per = items.groupBy("order_key", "item_class").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_t")
+    )
+    w = Window.partitionBy("order_key")
+    ann = per.withColumn("n", F.sum("n_t").over(w))
+    contrib = ann.select(
+        "order_key",
+        "n",
+        (
+            F.col("n_t")
+            * F.round(
+                F.log(
+                    F.col("n").cast("double") / F.col("n_t").cast("double")
+                ).cast("decimal(38,12)"),
+                6,
+            ).cast("decimal(38,6)")
+        )
+        .cast("decimal(38,6)")
+        .alias("c"),
+    )
+    per_order = (
+        contrib.groupBy("order_key", "n")
+        .agg(F.sum("c").alias("sc"))
+        .select(
+            F.col("n").cast("bigint").alias("basket_size"),
+            F.round(
+                (
+                    F.col("sc").cast("double") / F.col("n").cast("double")
+                ).cast("decimal(30,12)"),
+                6,
+            )
+            .cast("decimal(38,6)")
+            .alias("h"),
+        )
+    )
+    return (
+        per_order.groupBy("basket_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(
+                (
+                    F.sum("h").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).cast("decimal(30,12)"),
+                6,
+            )
+            .cast("double")
+            .alias("avg_entropy"),
+        )
+        .orderBy("basket_size")
+    )

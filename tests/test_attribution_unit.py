@@ -171,3 +171,31 @@ def test_first_and_last_touch_totals_agree(spark):
         r.n_purchases for r in attribute_last_touch(ev).collect()
     )
     assert first_total == last_total == 7
+
+
+# ---------------------------------------------------------------------------
+# basket_entropy_by_size (behavior.py) — exact synthetic baskets
+# ---------------------------------------------------------------------------
+
+
+def test_basket_entropy_known_compositions(spark):
+    import math
+
+    from retail_etl_pipeline_spark.operators.behavior import (
+        basket_entropy_by_size,
+    )
+
+    rows = (
+        [(100, "x")] * 4                      # size 4, one class: H = 0
+        + [(200, "x")] * 2 + [(200, "y")] * 2  # size 4, 2+2: H = ln 2
+        + [(300, c) for c in "wxyz"]           # size 4, uniform: H = ln 4
+        + [(400, "x"), (400, "y")]             # size 2: H = ln 2
+    )
+    df = spark.createDataFrame(rows, "order_key long, item_class string")
+    got = {r.basket_size: r for r in basket_entropy_by_size(df).collect()}
+    assert set(got) == {2, 4}
+    assert got[2].n_orders == 1
+    assert abs(got[2].avg_entropy - math.log(2)) < 5e-6
+    assert got[4].n_orders == 3
+    expected4 = (0.0 + math.log(2) + math.log(4)) / 3
+    assert abs(got[4].avg_entropy - expected4) < 5e-6
