@@ -1755,3 +1755,294 @@ def purchase_attribution_u_shaped(
     40-20-40 position cases are unit-tested on synthetic journeys in
     tests/test_attribution_unit.py)."""
     return bh.attribute_u_shaped(fx.events_stream(spark, sf_dir))
+
+
+@_stage(
+    "purchase_attribution_first_touch",
+    f"""
+WITH {fx.EVENTS_STREAM_CTE.strip()},
+ann AS (
+  SELECT event_id, event_type, epoch_us(ts) AS us,
+         last_value(CASE WHEN event_type = 'purchase'
+                    THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS next_us,
+         last_value(CASE WHEN event_type = 'purchase'
+                    THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS next_pid
+  FROM events_norm
+),
+touches AS (
+  SELECT event_type AS channel, event_id, us, next_pid
+  FROM ann
+  WHERE event_type <> 'purchase'
+    AND next_us IS NOT NULL
+    AND next_us - us <= 7 * 86400 * 1000000::BIGINT
+),
+first AS (
+  SELECT channel,
+         ROW_NUMBER() OVER (PARTITION BY next_pid
+                            ORDER BY us, event_id) AS r
+  FROM touches
+),
+attributed AS (
+  SELECT channel AS attributed_to, CAST(COUNT(*) AS BIGINT) AS n_purchases
+  FROM first WHERE r = 1 GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t FROM events_norm
+  WHERE event_type = 'purchase'
+),
+s AS (
+  SELECT CAST(COALESCE(SUM(n_purchases), 0) AS BIGINT) AS s FROM attributed
+)
+SELECT attributed_to, n_purchases FROM attributed
+UNION ALL
+SELECT 'none', CAST(t - s AS BIGINT) FROM tot, s WHERE t - s > 0
+ORDER BY attributed_to
+""",
+)
+def purchase_attribution_first_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch attribution — the acquisition-credit twin of the
+    staged last-touch model (which channel STARTED the journey that
+    converted, vs which closed it): each purchase credited to the
+    earliest qualifying touch in its 7-day window, 'none' when no
+    touch qualifies. Kernel:
+    :func:`..operators.behavior.attribute_first_touch` — rank 1 of the
+    purchase-partitioned touch ordering; the 'none' count is a 1-row
+    broadcast subtraction, no anti-join (boundary and totals-agreement
+    cases unit-tested in tests/test_attribution_unit.py). Scale:
+    identical plan family to the other attribution models."""
+    return bh.attribute_first_touch(fx.events_stream(spark, sf_dir))
+
+
+@_stage(
+    "customer_spend_atkinson2",
+    f"""
+WITH {_SPEND_CTE.strip()},
+agg AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CASE WHEN cents <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz,
+         SUM(CASE WHEN cents > 0 THEN
+               CAST(round(CAST(1.0 / CAST(cents AS DOUBLE)
+                               AS DECIMAL(38,18)), 18) AS DECIMAL(38,18))
+             ELSE CAST(0 AS DECIMAL(38,18)) END) AS sr
+  FROM spend
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CASE WHEN sx <= 0 THEN NULL
+            WHEN nz > 0 THEN 1.0
+            ELSE CAST(round(CAST(
+                   1.0 - CAST(n * n AS DOUBLE)
+                         / (CAST(sr AS DOUBLE) * CAST(sx AS DOUBLE))
+                 AS DECIMAL(30,12)), 6) AS DOUBLE)
+       END AS atkinson2
+FROM agg
+""",
+)
+def customer_spend_atkinson2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson index at aversion ε=2 of customer lifetime spend — the
+    harmonic-mean sibling of the staged ε=1 query: A₂ = 1 −
+    harmonic/mean weights the smallest spenders hardest, so A₂ ≥ A₁
+    always (the generalized-mean inequality; property-tested). Kernel:
+    :func:`.functions.stats.atkinson2_index` — per-customer reciprocals
+    are doubles of exact integers decimal-rounded at 18 places (cents
+    ≥ 1 → 1/x ≤ 1) and summed exactly; one double ratio at the end
+    through the scale-6 hop. Same one-aggregation plan as ε=1."""
+    from .functions.stats import atkinson2_index
+
+    return atkinson2_index(_spend(spark, sf_dir), "cents").select(
+        F.col("n").alias("n_customers"), "atkinson2"
+    )
+
+
+@_stage(
+    "segment_km_confidence_bands",
+    """
+WITH ranked AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS dd,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+           AS rn
+  FROM orders
+),
+subj AS (
+  SELECT o_custkey,
+         MIN(CASE WHEN rn = 1 THEN dd END) AS d1,
+         MIN(CASE WHEN rn = 2 THEN dd END) AS d2
+  FROM ranked GROUP BY 1
+),
+seg AS (
+  SELECT c_mktsegment AS segment, d1, d2
+  FROM subj JOIN customer ON o_custkey = c_custkey
+),
+mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS md FROM orders),
+life AS (
+  SELECT segment,
+         CASE WHEN d2 IS NOT NULL THEN datediff('day', d1, d2)
+              ELSE datediff('day', d1, md) END AS t,
+         CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM seg, mx
+),
+per_t AS (
+  SELECT segment, t, CAST(SUM(ev) AS DECIMAL(38,0)) AS d,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+  FROM life GROUP BY 1, 2
+),
+risk AS (
+  SELECT segment, t, d, c,
+         SUM(c) OVER (PARTITION BY segment ORDER BY t DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS n
+  FROM per_t
+),
+ev AS (
+  SELECT segment, t, d, n,
+         CASE WHEN n > d THEN
+           CAST(round(CAST(ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE))
+                           AS DECIMAL(38,12)), 6) AS DECIMAL(38,6))
+         ELSE CAST(0 AS DECIMAL(38,6)) END AS lf,
+         CASE WHEN n > d THEN
+           CAST(round(CAST(CAST(d AS DOUBLE)
+                           / CAST(n * (n - d) AS DOUBLE)
+                           AS DECIMAL(38,18)), 12) AS DECIMAL(38,12))
+         ELSE CAST(0 AS DECIMAL(38,12)) END AS gw
+  FROM risk WHERE d > 0
+),
+curve AS (
+  SELECT segment, t, d, n,
+         SUM(lf) OVER (PARTITION BY segment ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(gw) OVER (PARTITION BY segment ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS gcum
+  FROM ev
+),
+km AS (
+  SELECT segment,
+         CAST(t AS BIGINT) AS t_days,
+         CAST(n AS BIGINT) AS n_at_risk,
+         CAST(d AS BIGINT) AS n_events,
+         CASE WHEN n = d THEN 0.0
+              ELSE CAST(round(CAST(exp(CAST(cum AS DOUBLE))
+                                   AS DECIMAL(30,12)), 6) AS DOUBLE)
+         END AS survival,
+         CASE WHEN n = d THEN 0.0
+              ELSE CAST(round(CAST(exp(CAST(cum AS DOUBLE))
+                                   * sqrt(CAST(gcum AS DOUBLE))
+                                   AS DECIMAL(30,12)), 6) AS DOUBLE)
+         END AS greenwood_se
+  FROM curve
+)
+SELECT segment, t_days, n_at_risk, n_events, survival, greenwood_se,
+       CAST(round(CAST(GREATEST(survival - 1.96 * greenwood_se, 0.0)
+            AS DECIMAL(30,12)), 6) AS DOUBLE) AS ci_lo,
+       CAST(round(CAST(LEAST(survival + 1.96 * greenwood_se, 1.0)
+            AS DECIMAL(30,12)), 6) AS DOUBLE) AS ci_hi
+FROM km ORDER BY segment, t_days
+""",
+)
+def segment_km_confidence_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The stratified KM curve with 95% Greenwood confidence bands —
+    segment_second_order_km plus the release-ready ci_lo/ci_hi columns
+    ("BUILDING reorders faster than MACHINERY, and the bands don't
+    overlap after day N"). Kernel:
+    :func:`.functions.stats.km_confidence_bands` — a linear clamp
+    (max/min against [0,1]) through the scale-6 hop, the literally
+    identical expression on both engines over identical S/se inputs
+    (clamp ordering and terminal-zero behavior unit-tested). Plan:
+    adds two projections to the stratified-KM plan — no new shuffle."""
+    from .functions.stats import kaplan_meier_by, km_confidence_bands
+
+    o = fx._read(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("dd"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("dd", "o_orderkey")
+    ranked = o.select("o_custkey", "dd", F.row_number().over(w).alias("rn"))
+    subj = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("dd"))).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, F.col("dd"))).alias("d2"),
+    )
+    c = fx._read(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    seg = subj.join(c, subj.o_custkey == c.c_custkey)
+    mx = o.agg(F.max("dd").alias("md"))
+    life = seg.crossJoin(F.broadcast(mx)).select(
+        "segment",
+        F.when(F.col("d2").isNotNull(), F.datediff(F.col("d2"), F.col("d1")))
+        .otherwise(F.datediff(F.col("md"), F.col("d1")))
+        .cast("bigint")
+        .alias("t"),
+        F.when(F.col("d2").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+            "ev"
+        ),
+    )
+    return km_confidence_bands(kaplan_meier_by(life, ["segment"]))
+
+
+@_stage(
+    "basket_brand_entropy",
+    """
+WITH items AS (
+  SELECT l_orderkey AS order_key, p_brand AS item_class
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+per AS (
+  SELECT order_key, item_class, CAST(COUNT(*) AS DECIMAL(38,0)) AS n_t
+  FROM items GROUP BY 1, 2
+),
+ann AS (
+  SELECT order_key, n_t,
+         SUM(n_t) OVER (PARTITION BY order_key) AS n
+  FROM per
+),
+contrib AS (
+  SELECT order_key, n,
+         CAST(n_t * CAST(round(CAST(ln(CAST(n AS DOUBLE)
+                                       / CAST(n_t AS DOUBLE))
+                                    AS DECIMAL(38,12)), 6) AS DECIMAL(38,6))
+              AS DECIMAL(38,6)) AS c
+  FROM ann
+),
+per_order AS (
+  SELECT CAST(n AS BIGINT) AS basket_size,
+         CAST(round(CAST(CAST(SUM(c) AS DOUBLE) / CAST(n AS DOUBLE)
+              AS DECIMAL(30,12)), 6) AS DECIMAL(38,6)) AS h
+  FROM contrib GROUP BY order_key, n
+)
+SELECT basket_size,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(round(CAST(CAST(SUM(h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS DECIMAL(30,12)), 6) AS DOUBLE) AS avg_entropy
+FROM per_order GROUP BY 1 ORDER BY 1
+""",
+)
+def basket_brand_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket diversity by size: mean Shannon entropy of each order's
+    brand composition, per basket size — are big baskets stock-ups
+    (entropy flat) or cross-brand shops (entropy tracking ln(size))?
+    The market-basket complement to part_pair_lift's pair view.
+    Kernel: :func:`..operators.behavior.basket_entropy_by_size` — the
+    doc_token_entropy discipline per order (exact-integer ln ratios,
+    decimal-rounded contributions, per-order H hopped to DECIMAL(38,6)
+    BEFORE the class average, so the mean is an exact sum divided
+    once; known compositions unit-tested). Scale: one (order, brand)
+    aggregation, one order-partitioned window, bounded rollups; the
+    part join shuffles on partkey."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    pt = fx._read(spark, sf_dir, "part")
+    items = li.join(pt, li.l_partkey == pt.p_partkey).select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("p_brand").alias("item_class"),
+    )
+    return bh.basket_entropy_by_size(items)
