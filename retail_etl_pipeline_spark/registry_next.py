@@ -1,17 +1,16 @@
-"""Round-6 staging registry: validated (query, oracle) pairs NOT yet
-exposed to the driver.
+"""Round-6 query surface: 24 (query, oracle) pairs built during round 5,
+REGISTERED into ``registry.QUERIES`` since round 6 via the merge at the
+end of ``registry.py`` (``_merge_round6_surface``).
 
-Why this module exists: the driver's CORRECTNESS window checks 50
-queries per round and the round-5 rotation already fronts 46
-never-checked entries (DEVNOTES "window math") — registering more now
-would push the longest-waiting queries out of the window and break the
-cumulative all-green record. These queries are therefore staged: fully
-implemented on the round-5 prep kernels (``functions/stats.py``,
+History: the driver's CORRECTNESS window checks ~50 queries per round
+and the round-5 rotation already fronted 46 never-checked entries
+(DEVNOTES "window math"), so these were staged here during round 5 —
+fully implemented on the round-5 prep kernels (``functions/stats.py``,
 ``functions/ordered.py``), oracle-paired, and parity-tested at sf0.001
-on every suite run (``tests/test_registry_next_parity.py``), but kept
-out of ``registry.QUERIES`` until round 6 moves them over (a mechanical
-cut-paste of the ``@_stage`` blocks into ``registry.py`` ``@_register``
-blocks).
+on every suite run (``tests/test_registry_next_parity.py``) — and
+merged into the driver-facing registry at round-6 start. The module
+keeps its own dicts so the parity tests and the merge guard can see
+exactly which names belong to this batch.
 
 Same alignment rules as ``registry.py`` (aliases identical on both
 sides, DECIMAL-hop money rounding, HUGEINT ``//`` for exact integer
@@ -39,7 +38,7 @@ def _stage(name: str, oracle: str):
     def deco(fn: QueryFn) -> QueryFn:
         # the round-5 gotcha: a same-name re-registration silently
         # overwrites the dict entry (DEVNOTES) — fail loudly instead.
-        # Round-6 movers must also grep registry.py for the name.
+        # registry._merge_round6_surface guards the cross-module case.
         if name in QUERIES:
             raise ValueError(f"duplicate staged query name: {name}")
         QUERIES[name] = fn

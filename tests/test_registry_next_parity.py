@@ -26,14 +26,16 @@ def test_staged_query_matches_oracle(spark, duck, sf_dir, name):
     assert not problems, f"{name}: " + " | ".join(problems)
 
 
-def test_staged_names_do_not_collide_with_registry():
-    """The round-6 move is a cut-paste into registry.py — a name that
-    already exists there would silently overwrite its dict entry (the
-    round-5 duplicate-registration gotcha). Guard it at test time."""
+def test_round6_batch_registered_by_identity():
+    """Since the round-6 merge (registry._merge_round6_surface) every
+    batch name must resolve to the SAME function object in the main
+    registry — a same-named independent registration in registry.py
+    would mean the oracle record tests a different implementation (the
+    round-5 duplicate-registration gotcha, cross-module edition)."""
     from retail_etl_pipeline_spark.registry import QUERIES as REG
 
-    overlap = set(QUERIES) & set(REG)
-    assert not overlap, f"staged names already registered: {overlap}"
+    for name, fn in QUERIES.items():
+        assert REG.get(name) is fn, name
 
 
 @pytest.mark.parametrize(

@@ -157,8 +157,8 @@ SHOW = {
     ),
 }
 
-#: round-6 STAGED queries (registry_next.py) whose plan shape is the
-#: point — shown here before registration so the claim is reviewable.
+#: round-6 batch queries (built in registry_next.py, registered into the
+#: main registry at round-6 start) whose plan shape is the point.
 SHOW_STAGED = {
     "store_revenue_cusum_breaches": (
         "Per-store CUSUM via the prefix identity C = S - min(0, "
@@ -215,7 +215,7 @@ def main() -> None:
         df = fn(spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
         lines = [ln[:160] for ln in plan.splitlines()][:60]
-        staged = " (staged, registry_next.py)" if name in STAGED_QUERIES else ""
+        staged = " (round-6 batch, registry_next.py)" if name in STAGED_QUERIES else ""
         out += [
             f"## {name}{staged}",
             "",
