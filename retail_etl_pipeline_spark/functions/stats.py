@@ -870,6 +870,15 @@ def with_cusum(
     DECIMAL(38,0) arithmetic. ``dev_col`` must already be
     DECIMAL(38,0) deviations (caller pins x − μ − k in cents/ppm);
     property-tested against the textbook recursion.
+
+    Cache footprint: each of the two ordered passes persists its own
+    range-partitioned relation (required for exactness — ordered.py
+    module doc), and neither can be unpersisted here because the
+    returned plan still reads the second one and the second one's
+    statistics pass is the last reader of the first. One CUSUM call
+    therefore leaves TWO cached partials under the ordered.py cache
+    contract — long-lived sessions must ``clearCache()`` after
+    consuming the result (bench and the test fixtures already do).
     """
     from .ordered import with_running_min, with_running_sum
 
