@@ -9589,6 +9589,228 @@ def customer_second_order_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q11/Q16/Q20 over the synthesized partsupp (sources/synthetic.py:
+# partsupp_synthetic — the public dbgen supplier-assignment formula plus
+# the repo's multiplicative-hash value columns; money in integer CENTS).
+# These were the last "remaining gaps" in the TPC-H family (DEVNOTES) —
+# excluded until round 6 only for lack of a partsupp fixture. Both engines
+# derive the SAME relation from part x supplier (row-for-row identical,
+# verified in test_operators_unit; at sf0.001's 10 suppliers the dbgen
+# step can repeat a (part, supplier) pair — identically on both engines,
+# so every aggregate stays comparable), so the oracle checks the query
+# logic, not the generator.
+# ---------------------------------------------------------------------------
+
+from .sources.synthetic import PARTSUPP_CTE_SQL, partsupp_synthetic  # noqa: E402
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return partsupp_synthetic(
+        fx._read(spark, sf_dir, "part"), fx._read(spark, sf_dir, "supplier")
+    )
+
+
+@_register(
+    "tpch_q11_important_stock",
+    f"""
+WITH {PARTSUPP_CTE_SQL},
+nat AS (
+  SELECT ps_partkey,
+         CAST(ps_supplycost_cents * ps_availqty AS HUGEINT) AS v
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_9'
+),
+pv AS (
+  SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_cents
+  FROM nat GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(v) // 1000 AS BIGINT) AS thr FROM nat)
+SELECT ps_partkey, value_cents
+FROM pv, tot
+WHERE value_cents > thr
+ORDER BY value_cents DESC, ps_partkey
+""",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification) on the synthesized
+    partsupp: per-part inventory value (supplycost_cents * availqty)
+    held by suppliers of one nation, keeping parts above 0.1% of the
+    nation's total value. The threshold is EXACT integer division of
+    the total (div 1000) — no float fraction, so the cut is
+    engine-stable at any scale. Plan: partsupp is a projection of
+    part x {{0..3}} (no shuffle to build), supplier/nation broadcast,
+    ONE hash aggregation by part, and the 1-row total broadcast back —
+    the per-part and total sums both combine map-side. Scale: output
+    bounded by |parts|; the only data-sized shuffle is the part-key
+    aggregation."""
+    ps = _partsupp(spark, sf_dir)
+    su = fx._read(spark, sf_dir, "supplier")
+    na = fx._read(spark, sf_dir, "nation")
+    nat = (
+        ps.join(
+            F.broadcast(
+                su.join(na, su.s_nationkey == na.n_nationkey)
+                .where(F.col("n_name") == "NATION_9")
+                .select("s_suppkey")
+            ),
+            ps.ps_suppkey == F.col("s_suppkey"),
+        )
+        .select(
+            "ps_partkey",
+            (
+                F.col("ps_supplycost_cents").cast("decimal(38,0)")
+                * F.col("ps_availqty")
+            ).alias("v"),
+        )
+    )
+    pv = nat.groupBy("ps_partkey").agg(
+        F.sum("v").cast("bigint").alias("value_cents")
+    )
+    tot = nat.agg(F.expr("sum(v) div 1000").cast("bigint").alias("thr"))
+    return (
+        pv.join(F.broadcast(tot))
+        .where(F.col("value_cents") > F.col("thr"))
+        .select("ps_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), F.asc("ps_partkey"))
+    )
+
+
+@_register(
+    "tpch_q16_supplier_part_counts",
+    f"""
+WITH {PARTSUPP_CTE_SQL}
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def tpch_q16_supplier_part_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship) on the synthesized
+    partsupp: distinct supplier count per (brand, type, size) for parts
+    outside one brand/type and eight sizes, excluding suppliers in bad
+    standing. Fixture adaptation: the spec's complaint-comment exclusion
+    becomes s_acctbal < 0 (the fixture has no comment columns — same
+    adaptation rule as the other TPC-H queries, DEVNOTES r1). Plan:
+    the exclusion list is a broadcast anti-join (bounded by |suppliers|);
+    the distinct-count aggregation is the only data-sized shuffle and
+    Spark's two-phase distinct rewrite keeps it partial-aggregated.
+    Scale: output bounded by brand x type x size."""
+    ps = _partsupp(spark, sf_dir)
+    pt = fx._read(spark, sf_dir, "part")
+    su = fx._read(spark, sf_dir, "supplier")
+    bad = su.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(
+            pt.where(
+                (F.col("p_brand") != "Brand#1")
+                & (F.col("p_type") != "PROMO")
+                & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+            ).select("p_partkey", "p_brand", "p_type", "p_size"),
+            ps.ps_partkey == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(bad),
+            ps.ps_suppkey == bad.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@_register(
+    "tpch_q20_excess_stock_suppliers",
+    f"""
+WITH {PARTSUPP_CTE_SQL},
+shipped AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01'
+    AND l_shipdate < DATE '1998-01-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_excess_parts
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN partsupp ON ps_suppkey = s_suppkey
+JOIN part ON ps_partkey = p_partkey
+JOIN shipped ON l_partkey = ps_partkey
+WHERE n_name = 'NATION_11'
+  AND p_name LIKE 'red%'
+  AND 2 * ps_availqty > sum_qty
+GROUP BY 1, 2
+ORDER BY s_suppkey
+""",
+)
+def tpch_q20_excess_stock_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 (potential part promotion) on the synthesized partsupp:
+    suppliers of one nation holding excess stock (availqty > half the
+    1997 shipped quantity) of 'red' parts, with the count of such
+    parts per supplier. Fixture adaptations, both documented: shipped
+    quantity aggregates per PART (lineitem's l_suppkey was generated
+    independently of the dbgen pair formula, so per-(part,supplier)
+    totals barely intersect the synthetic pairs), and the half
+    comparison is the exact integer form 2*availqty > sum_qty (the
+    spec's 0.5 factor without a float). Parts with no 1997 shipments
+    drop out via the inner join — the spec's NULL-comparison
+    semantics. Plan: one filter-pruned lineitem aggregation by part,
+    broadcast red-part and nation-supplier lists, partsupp as a
+    projection; output bounded by |suppliers|."""
+    ps = _partsupp(spark, sf_dir)
+    li = fx._read(spark, sf_dir, "lineitem")
+    pt = fx._read(spark, sf_dir, "part")
+    su = fx._read(spark, sf_dir, "supplier")
+    na = fx._read(spark, sf_dir, "nation")
+    d = F.to_date("l_shipdate")
+    shipped = (
+        li.where(
+            (d >= F.lit("1997-01-01")) & (d < F.lit("1998-01-01"))
+        )
+        .groupBy(F.col("l_partkey"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("sum_qty")
+        )
+    )
+    nat_sup = (
+        su.join(na, su.s_nationkey == na.n_nationkey)
+        .where(F.col("n_name") == "NATION_11")
+        .select("s_suppkey", "s_name")
+    )
+    red = pt.where(F.col("p_name").like("red%")).select("p_partkey")
+    return (
+        ps.join(F.broadcast(red), ps.ps_partkey == red.p_partkey)
+        .join(shipped, ps.ps_partkey == shipped.l_partkey)
+        .where(2 * F.col("ps_availqty") > F.col("sum_qty"))
+        .join(F.broadcast(nat_sup), ps.ps_suppkey == nat_sup.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("n_excess_parts"))
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Round-6 surface: the 24 queries staged in registry_next.py during round 5
 # (attribution quartet, KM/Greenwood survival family, MWU/CUSUM/KS drift,
 # Atkinson/weighted-Gini/Theil inequality, Markov steady-state, ABC

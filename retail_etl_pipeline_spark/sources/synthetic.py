@@ -126,3 +126,99 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter([_row(i) for i in range(int(start["i"]), int(end["i"]))])
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic partsupp (the missing TPC-H fixture table)
+# ---------------------------------------------------------------------------
+
+#: second multiplicative constant (32-bit golden ratio, public) so availqty
+#: and supplycost draw from independent hash streams of the same key.
+_MIX2 = 2654435769
+
+#: TPC-H spec suppliers-per-part (dbgen's SUPP_PER_PART).
+PARTSUPP_PER_PART = 4
+
+
+def partsupp_synthetic(part, supplier):
+    """Deterministic partsupp derived from the part x supplier fixtures.
+
+    The driver fixtures have no partsupp table, which excluded TPC-H
+    Q11/Q16/Q20 (DEVNOTES "remaining gaps"). Rather than proxying those
+    queries onto other tables (which changes their nature), synthesize
+    the table with the PUBLIC TPC-H dbgen supplier-assignment formula
+    (TPC-H spec 4.2.3: ps_suppkey = (ps_partkey + i*(S/4 +
+    (ps_partkey-1)/S)) % S + 1 for i in 0..3, S = |supplier|) and the
+    repo's seeded multiplicative-hash discipline for the value columns
+    (same constants/shape as the synthetic event source above and
+    corpus_split):
+
+      k                   = ps_partkey * 4 + i + 1     (unique per row)
+      ps_availqty         = (k * 2654435761) % 2^32 % 9999 + 1
+      ps_supplycost_cents = (k * 2654435769) % 2^32 % 99901 + 100
+
+    Money is kept in integer CENTS (ps_supplycost_cents, $1.00-$1000.00)
+    per the repo-wide exact-money discipline — no decimal column, so no
+    cross-engine decimal-scale drift. All arithmetic runs in
+    DECIMAL(38,0) on Spark and HUGEINT in the oracle CTE
+    (PARTSUPP_CTE_SQL renders the SAME expressions), so the relation is
+    a pure projection of part x {0..3}: identical on any engine,
+    partitioning, or scale factor.
+
+    Scale: |part| x 4 rows from a scan of part plus a 1-row broadcast
+    supplier count — embarrassingly parallel, no shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    s_cnt = supplier.agg(F.count(F.lit(1)).cast("bigint").alias("s_cnt"))
+    base = part.select(F.col("p_partkey").cast("bigint").alias("ps_partkey")).select(
+        "ps_partkey",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(PARTSUPP_PER_PART)])
+        ).alias("i"),
+    )
+    k = (
+        F.col("ps_partkey").cast("decimal(38,0)") * PARTSUPP_PER_PART
+        + F.col("i")
+        + 1
+    )
+    return base.join(F.broadcast(s_cnt)).select(
+        "ps_partkey",
+        (
+            (
+                F.col("ps_partkey")
+                + F.col("i")
+                * (
+                    F.expr("s_cnt div 4")
+                    + F.expr("(ps_partkey - 1) div s_cnt")
+                )
+            )
+            % F.col("s_cnt")
+            + 1
+        )
+        .cast("bigint")
+        .alias("ps_suppkey"),
+        ((k * _MIX) % _MOD % 9999 + 1).cast("bigint").alias("ps_availqty"),
+        ((k * _MIX2) % _MOD % 99901 + 100)
+        .cast("bigint")
+        .alias("ps_supplycost_cents"),
+    )
+
+
+#: the one SQL rendering of :func:`partsupp_synthetic` — every oracle that
+#: reads partsupp must reuse THIS fragment (the corpus_split SPLIT_CASE_SQL
+#: rule). Same expressions, HUGEINT arithmetic.
+PARTSUPP_CTE_SQL = f"""partsupp AS (
+  SELECT CAST(p_partkey AS BIGINT) AS ps_partkey,
+         CAST((p_partkey + i.i * ((s.s_cnt // 4)
+                                  + ((p_partkey - 1) // s.s_cnt)))
+              % s.s_cnt + 1 AS BIGINT) AS ps_suppkey,
+         CAST((((CAST(p_partkey AS HUGEINT) * {PARTSUPP_PER_PART} + i.i + 1)
+                * {_MIX}) % {_MOD}) % 9999 + 1 AS BIGINT) AS ps_availqty,
+         CAST((((CAST(p_partkey AS HUGEINT) * {PARTSUPP_PER_PART} + i.i + 1)
+                * {_MIX2}) % {_MOD}) % 99901 + 100 AS BIGINT)
+           AS ps_supplycost_cents
+  FROM part,
+       (VALUES (0), (1), (2), (3)) AS i(i),
+       (SELECT CAST(COUNT(*) AS BIGINT) AS s_cnt FROM supplier) AS s
+)"""

@@ -640,3 +640,35 @@ def test_jaccard_link_prediction_path_graph(spark):
         "src long, dst long",
     )
     assert jaccard_link_prediction(tri, k=10).count() == 0
+
+
+def test_partsupp_synthetic_matches_oracle_cte_rowwise(spark, duck, sf_dir):
+    """The synthesized partsupp must be ROW-IDENTICAL between the Spark
+    generator and the oracle CTE — the three TPC-H queries over it test
+    query logic only because this holds. Also pins the spec invariants:
+    4 rows per part and the value ranges. ((part, supplier) pairs are
+    unique at sf0.01+ where |supplier| = 100; at sf0.001's 10 suppliers
+    the dbgen step can wrap onto itself — duplicates are identical on
+    both engines, so every aggregate stays comparable.)"""
+    from retail_etl_pipeline_spark.operators import fixtures_adapter as fx
+    from retail_etl_pipeline_spark.sources.synthetic import (
+        PARTSUPP_CTE_SQL,
+        partsupp_synthetic,
+    )
+
+    ps = partsupp_synthetic(
+        fx._read(spark, sf_dir, "part"), fx._read(spark, sf_dir, "supplier")
+    )
+    got = sorted(map(tuple, ps.collect()))
+    want = sorted(
+        map(
+            tuple,
+            duck.sql(
+                f"WITH {PARTSUPP_CTE_SQL} SELECT * FROM partsupp"
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    n_parts = fx._read(spark, sf_dir, "part").count()
+    assert len(got) == 4 * n_parts
+    assert all(1 <= r[2] <= 9999 and 100 <= r[3] <= 100000 for r in got)
