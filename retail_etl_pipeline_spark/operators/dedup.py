@@ -221,6 +221,30 @@ def _band_key(i: int):
     return F.concat_ws("_", *[F.col(c) for c in cols])
 
 
+def band_index(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
+    """(doc_id, band_id, band_key): the LSH band-bucket index — the
+    relation both the batch self-join (:func:`minhash_lsh_candidates`)
+    and the incremental fold (``streaming/neardup.py``) build on. A
+    row means "doc_id hashes into bucket band_key of band band_id";
+    two docs are candidates iff they share a row's (band_id,
+    band_key). Factored out so the streamed state table and the batch
+    join sides are BY CONSTRUCTION the same relation."""
+    sig = minhash_signatures(docs, sh=sh)
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"), _band_key(i).alias("band_key")
+                    )
+                    for i in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+
 def minhash_lsh_candidates(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """LSH candidate pairs: docs agreeing on ALL minhashes of >=1 band.
 
@@ -228,26 +252,9 @@ def minhash_lsh_candidates(docs: DataFrame, sh: DataFrame | None = None) -> Data
     band bucket -> distinct pairs. The band join is the scale trick: only
     bucket collisions are compared, so cost tracks the number of true
     near-dups, not n^2."""
-    sig = minhash_signatures(docs, sh=sh)
     # both sides of the self-join read this relation: persist or the whole
     # shingle+16-minhash subtree evaluates twice
-    bands = (
-        sig.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band_id"), _band_key(i).alias("band_key")
-                        )
-                        for i in range(LSH_BANDS)
-                    ]
-                )
-            ).alias("band"),
-        )
-        .select("doc_id", "band.band_id", "band.band_key")
-        .persist()
-    )
+    bands = band_index(docs, sh=sh).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (

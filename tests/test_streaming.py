@@ -1043,3 +1043,55 @@ def test_streaming_cusum_from_folded_daily_state(spark, sf_dir):
     assert len(breaches(direct_daily)) > 0  # the fixture does breach
     spark.catalog.clearCache()
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_lsh_fold_equals_batch_candidates(spark, sf_dir):
+    """The incremental MinHash-LSH fold (streaming/neardup.py) must
+    converge to EXACTLY the batch minhash_lsh_candidates pair set
+    regardless of how the corpus was micro-batched — the LSH analog of
+    the incremental-HLL equivalence (VERDICT r5 item 4). Three files ->
+    three micro-batches via maxFilesPerTrigger=1; new docs hash only
+    against accumulated band buckets plus themselves."""
+    from retail_etl_pipeline_spark.operators import dedup as dd
+    from retail_etl_pipeline_spark.streaming import neardup as nd
+
+    docs = fx._read(spark, sf_dir, "documents").select("doc_id", "text")
+    base = os.path.join(TMP, "lsh_incr")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    state_dir = os.path.join(base, "state")
+    pairs_dir = os.path.join(base, "pairs")
+    ckpt = os.path.join(base, "ckpt")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        nd.stream_lsh_candidates(stream, state_dir, pairs_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        (r["doc_a"], r["doc_b"])
+        for r in nd.read_candidates(spark, pairs_dir).collect()
+    }
+    batch = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_lsh_candidates(docs).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0  # the fixture does contain near-dups
+    # state table == the batch band index (same relation by construction)
+    st_rows = spark.read.parquet(state_dir).count()
+    assert st_rows == dd.band_index(docs).count()
+    shutil.rmtree(base, ignore_errors=True)
