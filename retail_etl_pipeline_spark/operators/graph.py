@@ -126,24 +126,40 @@ def materialized_edges(spark, key: str, build) -> DataFrame:
 
     ``build`` is a zero-arg callable returning the edge DataFrame; it
     runs only on the first call for this (session, key).
+
+    The write is PATH-based parquet under the session warehouse dir,
+    not ``saveAsTable``: a managed table whose location survives from
+    an earlier PROCESS (the warehouse dir outlives sessions) makes
+    CREATE fail with LOCATION_ALREADY_EXISTS even under
+    mode("overwrite"), because the new session's catalog has no entry
+    to overwrite — path overwrite has no such split-brain.
     """
     import hashlib
 
     cache_key = (id(spark), key)
     hit = _MATERIALIZED_EDGES.get(cache_key)
     if hit is not None and hit[0] is spark:
-        return spark.table(hit[1])
-    table = "shared_edges_" + hashlib.md5(key.encode()).hexdigest()[:12]
-    build().write.mode("overwrite").saveAsTable(table)
-    _MATERIALIZED_EDGES[cache_key] = (spark, table)
-    return spark.table(table)
+        return spark.read.parquet(hit[1])
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    path = (
+        warehouse.rstrip("/")
+        + "/shared_edges_"
+        + hashlib.md5(key.encode()).hexdigest()[:12]
+    )
+    build().write.mode("overwrite").parquet(path)
+    _MATERIALIZED_EDGES[cache_key] = (spark, path)
+    return spark.read.parquet(path)
 
 
 def clear_materialized_edges(spark) -> None:
-    """Drop this session's materialized edge tables (test hygiene)."""
-    for (sid, key), (sess, table) in list(_MATERIALIZED_EDGES.items()):
+    """Remove this session's materialized edge relations (test hygiene)."""
+    import shutil
+
+    for (sid, key), (sess, path) in list(_MATERIALIZED_EDGES.items()):
         if sess is spark:
-            spark.sql(f"DROP TABLE IF EXISTS {table}")
+            shutil.rmtree(path, ignore_errors=True)
             del _MATERIALIZED_EDGES[(sid, key)]
 
 
