@@ -236,6 +236,68 @@ FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
 """
 
 
+def eval_contamination_lsh(docs: DataFrame) -> DataFrame:
+    """NEAR-duplicate decontamination: training documents that share an
+    LSH band bucket with any held-out eval document (doc_id %
+    EVAL_MOD == 0) — the fuzzy complement of :func:`eval_contamination`
+    (which needs an exact shared shingle; a lightly paraphrased eval
+    answer slips past it, but still collides on a full minhash band).
+    Returns (doc_id, n_eval_matches): the flag list a pipeline drops or
+    audits before training.
+
+    Plan: ONE band index over the corpus (:func:`..dedup.band_index` —
+    the same relation batch LSH and the streaming fold use), split into
+    train/eval sides by a pure predicate, equi-joined on (band_id,
+    band_key). Cost tracks bucket collisions against the ~1/EVAL_MOD
+    eval slice, never train x eval; at 100 TB the eval side's buckets
+    broadcast."""
+    from .dedup import band_index
+
+    bands = band_index(docs)
+    train = bands.where(F.col("doc_id") % EVAL_MOD != 0)
+    ev = (
+        bands.where(F.col("doc_id") % EVAL_MOD == 0)
+        .withColumnRenamed("doc_id", "eval_doc_id")
+    )
+    return (
+        train.join(ev, ["band_id", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.countDistinct("eval_doc_id").alias("n_eval_matches"))
+    )
+
+
+def _eval_contamination_lsh_sql() -> str:
+    from .dedup import MINHASH_BANDS_SQL, MINHASH_MINS_SQL, MINHASH_P
+
+    return f"""
+WITH {SHINGLES_CTE.strip()},
+sids AS (
+  SELECT doc_id, sh % {MINHASH_P} AS sid FROM shingles
+),
+sig AS (
+  SELECT doc_id,
+         {MINHASH_MINS_SQL}
+  FROM sids
+  GROUP BY doc_id
+),
+bands AS (
+{MINHASH_BANDS_SQL}
+)
+SELECT t.doc_id,
+       CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_eval_matches
+FROM bands t
+JOIN bands e
+  ON t.band_id = e.band_id
+ AND t.band_key = e.band_key
+WHERE t.doc_id % {EVAL_MOD} != 0
+  AND e.doc_id % {EVAL_MOD} = 0
+GROUP BY 1
+"""
+
+
+EVAL_CONTAMINATION_LSH_SQL = _eval_contamination_lsh_sql()
+
+
 # ---------------------------------------------------------------------------
 # corpus shape statistics
 # ---------------------------------------------------------------------------

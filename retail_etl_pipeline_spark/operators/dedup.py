@@ -286,6 +286,12 @@ def _minhash_sql_parts() -> tuple[str, str]:
 
 _MINS_SQL, _BANDS_SQL = _minhash_sql_parts()
 
+#: public names for oracle builders outside this module (corpus.py's
+#: LSH decontamination) — ONE rendering of the minhash/band math, per
+#: the SPLIT_CASE_SQL reuse rule.
+MINHASH_MINS_SQL = _MINS_SQL
+MINHASH_BANDS_SQL = _BANDS_SQL
+
 MINHASH_LSH_SQL = f"""
 WITH {SHINGLES_CTE.strip()},
 sids AS (
@@ -618,6 +624,88 @@ reach(a, b) AS (
 SELECT a AS doc_id, MIN(b) AS component
 FROM reach
 GROUP BY a
+"""
+
+
+def neardup_canonical_keep(docs: DataFrame) -> DataFrame:
+    """Per near-dup cluster, the document a training pipeline KEEPS:
+    the highest-quality member (quality_score desc, doc_id asc
+    tie-break — the score is decimal-rounded at 4 places on both
+    engines, so ties are real and the tie-break is load-bearing).
+    Returns (component, kept_doc, kept_quality, n_members): everything
+    else in the component is the drop list. Documents in no component
+    (no verified near-dup) keep themselves by definition and are not
+    rows here.
+
+    This is the step after :func:`neardup_components` in a real corpus
+    pipeline — dedup does not delete an arbitrary member, it keeps the
+    best one. Plan: components ⋈ per-doc quality (both |docs|-bounded),
+    ONE window partitioned by component (real key — no global sort),
+    then a component-bounded aggregate. Scale: the window state per
+    task is one cluster's members; nothing is quadratic."""
+    from pyspark.sql import Window
+
+    from .text import quality_score
+
+    comp = neardup_components(docs)
+    q = quality_score(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    ranked = (
+        comp.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    best = ranked.where(F.col("rn") == 1).select(
+        "component",
+        F.col("doc_id").alias("kept_doc"),
+        F.col("quality_score").alias("kept_quality"),
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return best.join(sizes, "component").select(
+        "component", "kept_doc", "kept_quality", "n_members"
+    )
+
+
+def neardup_canonical_keep_sql(quality_sql: str) -> str:
+    """Oracle twin of :func:`neardup_canonical_keep`; takes the
+    QUALITY_SCORE_SQL text (text.py) to avoid a circular import."""
+    return f"""
+WITH RECURSIVE pairs AS ({MINHASH_NEARDUP_SQL.strip()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(a, b) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+comp AS (
+  SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a
+),
+q AS ({quality_sql.strip()}),
+ranked AS (
+  SELECT comp.component, comp.doc_id, q.quality_score,
+         ROW_NUMBER() OVER (PARTITION BY comp.component
+                            ORDER BY q.quality_score DESC, comp.doc_id)
+           AS rn
+  FROM comp JOIN q ON comp.doc_id = q.doc_id
+),
+sizes AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM comp GROUP BY 1
+)
+SELECT ranked.component,
+       ranked.doc_id AS kept_doc,
+       ranked.quality_score AS kept_quality,
+       sizes.n_members
+FROM ranked JOIN sizes ON ranked.component = sizes.component
+WHERE ranked.rn = 1
 """
 
 

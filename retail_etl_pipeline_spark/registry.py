@@ -9589,6 +9589,155 @@ def customer_second_order_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-6 corpus-pipeline additions: quality-based downsampling, per-source
+# token budgeting, near-dup canonical selection, LSH decontamination — the
+# four selection/cleaning steps between "score the corpus" (quality_score,
+# neardup_components, eval_contamination, all registered earlier) and
+# "train on it".
+# ---------------------------------------------------------------------------
+
+_DOCS_QUALITY_TOKENS_CTE = f"""
+q AS ({{quality}}),
+d AS (
+  SELECT documents.doc_id, source,
+         CAST(len({tx.TOKENS_SQL.format(c='text')}) AS BIGINT) AS n_tokens,
+         quality_score
+  FROM documents JOIN q ON documents.doc_id = q.doc_id
+)"""
+
+
+@_register(
+    "documents_quality_downsample",
+    f"""
+WITH {_DOCS_QUALITY_TOKENS_CTE.format(quality=tx.QUALITY_SCORE_SQL.strip()).strip()},
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality_score DESC, doc_id) AS rn
+  FROM d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+       MIN(quality_score) AS min_kept_quality
+FROM ranked
+WHERE rn <= 20
+GROUP BY 1
+ORDER BY source
+""",
+)
+def documents_quality_downsample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-based downsampling: keep the top-20 documents PER SOURCE
+    by quality_score (doc_id tie-break — the score is rounded at 4
+    decimals on both engines, so ties are real), reporting per-source
+    kept counts/tokens/threshold. The standard curation step between
+    scoring and training: a fixed per-source keep depth instead of a
+    global score cutoff, so no source is silently wiped out by another
+    source's score distribution. Plan: one scan computes tokens +
+    quality (pure projections), ONE window partitioned by source (real
+    key), and Spark executes the rn <= 20 filter as WindowGroupLimit —
+    per-task state is 20 rows per source, not the source's documents.
+    Scale: output bounded by |sources|."""
+    docs = fx._read(spark, sf_dir, "documents")
+    q = tx.quality_score(docs).select("doc_id", "quality_score")
+    d = docs.select(
+        "doc_id", "source", tx.token_count(F.col("text")).alias("n_tokens")
+    ).join(q, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+            F.min("quality_score").alias("min_kept_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
+    "source_token_budget_cut",
+    f"""
+WITH {_DOCS_QUALITY_TOKENS_CTE.format(quality=tx.QUALITY_SCORE_SQL.strip()).strip()},
+ranked AS (
+  SELECT *,
+         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY quality_score DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum
+  FROM d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+FROM ranked
+WHERE cum <= 10000
+GROUP BY 1
+ORDER BY source
+""",
+)
+def source_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation: per source, take documents in quality
+    order until a 10k-token budget is spent (greedy prefix on the exact
+    integer running token sum — a source whose best document alone
+    exceeds the budget contributes no rows, deterministically on both
+    engines). The data-mix primitive behind "N tokens per source"
+    training recipes; the per-source budget would be the source-mix
+    weight at production scale. Plan: same single scan + source
+    window as documents_quality_downsample with a running SUM instead
+    of row_number; exact integer cumsum, no float drift in the cut.
+    Scale: output bounded by |sources|."""
+    docs = fx._read(spark, sf_dir, "documents")
+    q = tx.quality_score(docs).select("doc_id", "quality_score")
+    d = docs.select(
+        "doc_id", "source", tx.token_count(F.col("text")).alias("n_tokens")
+    ).join(q, "doc_id")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum", F.sum("n_tokens").over(w))
+        .where(F.col("cum") <= 10000)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
+    "neardup_canonical_keep",
+    dd.neardup_canonical_keep_sql(tx.QUALITY_SCORE_SQL),
+)
+def neardup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which document each near-dup cluster KEEPS: the highest-quality
+    member (operators/dedup.neardup_canonical_keep — dedup pipelines
+    keep the best representative, not an arbitrary one). Completes the
+    registered dedup chain: pairs (minhash_neardup) -> clusters
+    (neardup_components) -> keep/drop decision (this)."""
+    return dd.neardup_canonical_keep(fx._read(spark, sf_dir, "documents"))
+
+
+@_register("eval_contamination_lsh", cp.EVAL_CONTAMINATION_LSH_SQL)
+def eval_contamination_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate decontamination: train docs sharing an LSH band
+    bucket with any held-out eval doc (operators/corpus.
+    eval_contamination_lsh) — catches paraphrased eval leakage the
+    exact-shingle eval_contamination misses."""
+    return cp.eval_contamination_lsh(fx._read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q11/Q16/Q20 over the synthesized partsupp (sources/synthetic.py:
 # partsupp_synthetic — the public dbgen supplier-assignment formula plus
 # the repo's multiplicative-hash value columns; money in integer CENTS).
