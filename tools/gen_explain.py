@@ -48,9 +48,13 @@ SHOW = {
         "payloads."
     ),
     "part_copurchase_pagerank": (
-        "Iterative DataFrame loop: the cached edge relation feeds every "
-        "iteration (InMemoryTableScan), ranks re-shuffle once per round, "
-        "the final top-20 is TakeOrderedAndProject — never a global sort."
+        "Iterative DataFrame loop over the SHARED materialized edge "
+        "relation (r6: graph.materialized_edges writes the lineitem "
+        "self-join + distinct once per session; the plan below starts "
+        "from a parquet Scan of it, not the fact table). The cached "
+        "src-repartitioned copy feeds every iteration "
+        "(InMemoryTableScan), ranks re-shuffle once per round, the "
+        "final top-20 is TakeOrderedAndProject — never a global sort."
     ),
     "heavy_hitter_tokens": (
         "Two-pass exact heavy hitters: pass 1's Misra-Gries candidates "
@@ -82,12 +86,26 @@ SHOW = {
         "raw lines."
     ),
     "copurchase_bfs_hops": (
-        "Frontier-delta BFS (r5 rewrite): each round joins only the "
-        "previous round's newly-reached frontier against the cached "
-        "edge relation (InMemoryTableScan), distincts the neighbor set, "
-        "and anti-joins the union of checkpointed frontiers — per-round "
-        "work is frontier x degree, never rounds x |E|. One "
-        "localCheckpoint per round, on the delta only."
+        "Frontier-delta BFS (r5 rewrite) over the shared materialized "
+        "edge relation (r6): each round joins only the previous round's "
+        "newly-reached frontier against the cached edge relation "
+        "(InMemoryTableScan over the edge-table scan), distincts the "
+        "neighbor set, and anti-joins the union of checkpointed "
+        "frontiers — per-round work is frontier x degree, never "
+        "rounds x |E|. One localCheckpoint per round, on the delta only."
+    ),
+    "tpch_q11_important_stock": (
+        "Q11 over the synthesized partsupp: the partsupp relation is a "
+        "PROJECTION (Generate/explode of part x {0..3} + hash "
+        "arithmetic — no scan of any partsupp file, no shuffle to build "
+        "it); supplier/nation broadcast, one part-keyed HashAggregate, "
+        "and the 1-row integer threshold broadcast back."
+    ),
+    "documents_quality_downsample": (
+        "Quality downsampling: tokens + quality score are pure "
+        "projections in the scan stage; the rn <= 20 filter executes as "
+        "WindowGroupLimit BELOW the source exchange, so each task "
+        "forwards at most 20 rows per source before the shuffle."
     ),
     "ann_lsh_topk_multiprobe": (
         "Multi-probe LSH: the (1+bits)-bucket probe set is derived "
