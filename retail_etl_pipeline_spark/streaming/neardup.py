@@ -117,3 +117,106 @@ def read_candidates(spark: SparkSession, pairs_dir: str) -> DataFrame:
     exactly-once happy path it is a no-op by the emission argument in
     the module doc."""
     return spark.read.parquet(pairs_dir).distinct()
+
+
+# ---------------------------------------------------------------------------
+# incremental connected components: the fold AFTER the LSH fold
+# ---------------------------------------------------------------------------
+
+
+def cc_fold_batch(pairs_batch: DataFrame, labels_dir: str) -> None:
+    """Fold one micro-batch of near-dup PAIRS into a persistent
+    component-label table (doc_id, component = min reachable doc_id) —
+    the incremental twin of :func:`..operators.dedup.
+    connected_components`, so a streamed corpus keeps its dedup
+    clusters current without ever re-clustering history.
+
+    The trick is CONTRACTION: map each new edge's endpoints to their
+    current component labels (two broadcast-friendly left joins against
+    the state — a doc not yet labeled is its own label), then run
+    connected components on the CONTRACTED edge list only. That graph
+    is bounded by the BATCH (|contracted edges| <= |new pairs|), never
+    the corpus: history participates only through its labels, and only
+    the labels the batch actually touches. The resulting mapping
+    (old label -> merged min label) remaps the state with one
+    broadcast join. min is associative, so label-of-labels = min doc
+    of the merged set = exactly what the batch algorithm computes on
+    the full pair list (asserted in tests/test_streaming).
+
+    At 100 TB: per-batch cost is O(|delta| + |touched labels|); the
+    contracted CC reuses the hybrid driver/star-contraction kernel,
+    so a pathological merge-everything batch degrades to the batch
+    algorithm's own distributed path rather than failing.
+    """
+    from ..operators.dedup import connected_components
+
+    spark = pairs_batch.sparkSession
+    delta = pairs_batch.select("doc_a", "doc_b").distinct().persist()
+    try:
+        have_state = os.path.exists(os.path.join(labels_dir, "_SUCCESS"))
+        if have_state:
+            state = spark.read.parquet(labels_dir)
+            la = state.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "component", "ca"
+            )
+            lb = state.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "component", "cb"
+            )
+            contracted = (
+                delta.join(la, "doc_a", "left")
+                .join(lb, "doc_b", "left")
+                .select(
+                    F.coalesce("ca", "doc_a").alias("doc_a"),
+                    F.coalesce("cb", "doc_b").alias("doc_b"),
+                )
+            )
+        else:
+            state = None
+            contracted = delta
+        # components over the batch-bounded contracted graph: node ids
+        # here are labels (= min doc of their old component) or brand-new
+        # doc ids, so the merged component is the min over the union
+        merge = connected_components(
+            contracted.where(F.col("doc_a") != F.col("doc_b"))
+        ).withColumnsRenamed({"doc_id": "old", "component": "new"})
+        if state is not None:
+            remapped = (
+                state.join(
+                    merge, state.component == merge.old, "left"
+                )
+                .select(
+                    "doc_id",
+                    F.coalesce("new", "component").alias("component"),
+                )
+            )
+            # docs first seen in this batch: endpoints not in the state
+            fresh = (
+                delta.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(delta.select(F.col("doc_b").alias("doc_id")))
+                .distinct()
+                .join(state.select("doc_id"), "doc_id", "left_anti")
+                .join(merge, F.col("doc_id") == merge.old, "left")
+                .select(
+                    "doc_id", F.coalesce("new", "doc_id").alias("component")
+                )
+            )
+            out = remapped.unionByName(fresh)
+        else:
+            out = merge.select(
+                F.col("old").alias("doc_id"), F.col("new").alias("component")
+            )
+        # A/B write: materialize fully before replacing the state the
+        # plan itself reads (overwrite-in-place would truncate our input)
+        tmp = labels_dir + "__next"
+        out.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(labels_dir)
+    finally:
+        delta.unpersist()
+
+
+def stream_cc_labels(pairs_stream: DataFrame, labels_dir: str):
+    """writeStream.foreachBatch wiring of :func:`cc_fold_batch`."""
+    return pairs_stream.writeStream.foreachBatch(
+        lambda df, _id: cc_fold_batch(df, labels_dir)
+    )

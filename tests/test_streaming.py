@@ -1095,3 +1095,82 @@ def test_streaming_lsh_fold_equals_batch_candidates(spark, sf_dir):
     st_rows = spark.read.parquet(state_dir).count()
     assert st_rows == dd.band_index(docs).count()
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_cc_fold_equals_batch_components(spark, sf_dir):
+    """The incremental connected-components fold (streaming/neardup.py
+    cc_fold_batch) must converge to EXACTLY the batch
+    connected_components labels no matter how the pair list was
+    micro-batched — edges that only become connected through LATER
+    batches are the hard case the label-contraction step exists for."""
+    from retail_etl_pipeline_spark.operators import dedup as dd
+    from retail_etl_pipeline_spark.streaming import neardup as nd
+
+    docs = fx._read(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dd.minhash_neardup_verified(docs).select("doc_a", "doc_b")
+    base = os.path.join(TMP, "cc_incr")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    labels_dir = os.path.join(base, "labels")
+    ckpt = os.path.join(base, "ckpt")
+    # split by a hash of the PAIR (not the doc) so one component's edges
+    # scatter across batches — forcing cross-batch merges
+    for i in range(3):
+        pairs.filter((F.col("doc_a") + F.col("doc_b")) % 3 == i).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        nd.stream_cc_labels(stream, labels_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        (r["doc_id"], r["component"])
+        for r in spark.read.parquet(labels_dir).collect()
+    }
+    batch = {
+        (r["doc_id"], r["component"])
+        for r in dd.connected_components(pairs).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
+    # components must actually span batches for the test to mean much
+    n_comp = len({c for _, c in batch})
+    assert n_comp < len(batch)  # at least one non-singleton cluster
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_cc_fold_cross_batch_merges_unit(spark):
+    """Direct fold calls on a synthetic sequence where components exist
+    BEFORE the edge that merges them arrives — the contraction + label
+    remap path, exercised deterministically: {1,2} and {3,4} form in
+    fold 1, fold 2's (2,3) must collapse all four onto component 1,
+    and fold 3 must attach a brand-new doc to the merged component."""
+    from retail_etl_pipeline_spark.streaming import neardup as nd
+
+    base = os.path.join(TMP, "cc_unit")
+    shutil.rmtree(base, ignore_errors=True)
+    labels_dir = os.path.join(base, "labels")
+
+    def fold(edges):
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        nd.cc_fold_batch(df, labels_dir)
+        return {
+            (r["doc_id"], r["component"])
+            for r in spark.read.parquet(labels_dir).collect()
+        }
+
+    assert fold([(1, 2), (3, 4)]) == {(1, 1), (2, 1), (3, 3), (4, 3)}
+    assert fold([(2, 3)]) == {(1, 1), (2, 1), (3, 1), (4, 1)}
+    assert fold([(5, 4)]) == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1)}
+    shutil.rmtree(base, ignore_errors=True)
