@@ -561,3 +561,38 @@ def test_triangle_count_star_plus_rim(spark):
     edges = spark.createDataFrame(_sym(star + [(0, 1)]), "src long, dst long")
     row = gph.triangle_count(edges).collect()[0]
     assert row.n_triangles == 1
+
+
+def test_materialized_edges_lifecycle(spark, sf_dir):
+    """graph.materialized_edges: (a) second call reuses the relation
+    without re-running build, (b) a STALE directory left by an earlier
+    process (dir on disk, no cache entry) is overwritten, not fatal —
+    the saveAsTable LOCATION_ALREADY_EXISTS regression from r6, (c)
+    clear_materialized_edges removes the path and the entry."""
+    import os
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.createDataFrame(
+            [(1, 2), (2, 1)], "src long, dst long"
+        )
+
+    key = "test-lifecycle-edges"
+    df1 = gph.materialized_edges(spark, key, build)
+    assert df1.count() == 2 and calls["n"] == 1
+    df2 = gph.materialized_edges(spark, key, build)
+    assert df2.count() == 2 and calls["n"] == 1  # cache hit, no rebuild
+
+    # simulate a process restart: cache entry gone, directory remains
+    (sid_key,) = [k for k in gph._MATERIALIZED_EDGES if k[1] == key]
+    path = gph._MATERIALIZED_EDGES[sid_key][1]
+    del gph._MATERIALIZED_EDGES[sid_key]
+    assert os.path.exists(path)
+    df3 = gph.materialized_edges(spark, key, build)
+    assert df3.count() == 2 and calls["n"] == 2  # rebuilt over stale dir
+
+    gph.clear_materialized_edges(spark)
+    assert not os.path.exists(path)
+    assert not [k for k in gph._MATERIALIZED_EDGES if k[1] == key]

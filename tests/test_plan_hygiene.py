@@ -617,3 +617,60 @@ def test_round6_batch_is_registered():
         assert name in QUERIES, name
         assert QUERIES[name] is R6_QUERIES[name], name
         assert ORACLES.get(name) == R6_ORACLES[name], name
+
+
+def test_runtime_bloom_filter_injected_on_selective_shuffle_join(
+    spark, sf_dir
+):
+    """When a fact⋈selective-subset join must shuffle (broadcast off),
+    Catalyst injects a runtime bloom filter: the application side gets
+    might_contain(<bloom agg of the creation side>) BELOW its exchange,
+    pruning fact rows before they move — the 100-TB mechanism that
+    makes selective shuffle joins survive when the dim outgrows
+    broadcast. This locks the conf surface working in this Spark build
+    (thresholds relaxed to fire at fixture scale)."""
+    from pyspark.sql import functions as F
+
+    from retail_etl_pipeline_spark.operators import fixtures_adapter as fx
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = fx._read(spark, sf_dir, "lineitem")
+        o = fx._read(spark, sf_dir, "orders")
+        sel = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        j = (
+            li.join(sel, li.l_orderkey == sel.o_orderkey)
+            .groupBy()
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        opt = _optimized(j)
+        assert "might_contain" in opt, opt
+        assert "bloom_filter_agg" in opt, opt
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
