@@ -9959,6 +9959,90 @@ def tpch_q20_excess_stock_suppliers(
     )
 
 
+@_register(
+    "tpch_q2_min_cost_supplier",
+    f"""
+WITH {PARTSUPP_CTE_SQL}
+SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost_cents
+FROM part, supplier, partsupp, nation, region
+WHERE p_partkey = ps_partkey
+  AND s_suppkey = ps_suppkey
+  AND p_size = 15
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND ps_supplycost_cents = (
+    SELECT MIN(ps2.ps_supplycost_cents)
+    FROM partsupp ps2, supplier s2, nation n2, region r2
+    WHERE ps2.ps_partkey = p_partkey
+      AND s2.s_suppkey = ps2.ps_suppkey
+      AND s2.s_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier) on the synthesized partsupp —
+    the classic correlated-subquery shape: for each size-15 part, the
+    EUROPE supplier(s) quoting the region-minimum supply cost. The
+    oracle runs the TEXTBOOK correlated scalar subquery; this plan is
+    the de-correlated rewrite (the Q21 discipline): build the
+    region-filtered (part, supplier, cost) relation ONCE, take
+    MIN(cost) per part with one |parts|-bounded aggregate, and
+    join back on (part, cost) — a green row proves the rewrite.
+    Deterministic top-100: (s_acctbal DESC, n_name, s_name, p_partkey)
+    is a total order here (acctbal unique per supplier, one row per
+    (part, supplier) pair at this scale). Plan: partsupp is a
+    projection; supplier/nation/region broadcast; ONE part-keyed
+    aggregate; TakeOrdered final. Scale: everything after the
+    projection is bounded by |parts in region x suppliers-per-part|."""
+    ps = _partsupp(spark, sf_dir)
+    pt = fx._read(spark, sf_dir, "part")
+    su = fx._read(spark, sf_dir, "supplier")
+    na = fx._read(spark, sf_dir, "nation")
+    re_ = fx._read(spark, sf_dir, "region")
+    eu_sup = (
+        su.join(na, su.s_nationkey == na.n_nationkey)
+        .join(
+            re_.where(F.col("r_name") == "EUROPE"),
+            na.n_regionkey == re_.r_regionkey,
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = ps.join(F.broadcast(eu_sup), ps.ps_suppkey == eu_sup.s_suppkey)
+    # both sides derive from the same partsupp plan: rename the grouped
+    # side's key or the join-back condition is ambiguous (self-join rule)
+    min_cost = (
+        offers.groupBy("ps_partkey")
+        .agg(F.min("ps_supplycost_cents").alias("min_cost"))
+        .withColumnRenamed("ps_partkey", "mc_partkey")
+    )
+    return (
+        offers.join(
+            min_cost,
+            (offers.ps_partkey == F.col("mc_partkey"))
+            & (offers.ps_supplycost_cents == F.col("min_cost")),
+        )
+        .join(
+            F.broadcast(
+                pt.where(F.col("p_size") == 15).select("p_partkey")
+            ),
+            offers.ps_partkey == F.col("p_partkey"),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            "ps_supplycost_cents",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-6 surface: the 24 queries staged in registry_next.py during round 5
 # (attribution quartet, KM/Greenwood survival family, MWU/CUSUM/KS drift,
