@@ -46,7 +46,10 @@ from ..operators.dedup import band_index
 
 
 def lsh_fold_batch(
-    batch_df: DataFrame, state_dir: str, pairs_dir: str
+    batch_df: DataFrame,
+    state_dir: str,
+    pairs_dir: str,
+    batch_id: int | None = None,
 ) -> None:
     """Fold one micro-batch of documents into the LSH state.
 
@@ -55,6 +58,10 @@ def lsh_fold_batch(
     operations matters: pairs are computed against the state BEFORE the
     delta is appended to it, so within-batch pairs come only from the
     explicit delta self-join (no double counting).
+
+    When ``batch_id`` is given, the pair write is partitioned by it so
+    downstream folds (CC, canonical) can read exactly this batch's
+    pairs back with partition pruning (``dedup_pipeline_fold``).
     """
     spark = batch_df.sparkSession
     delta = band_index(batch_df).persist()
@@ -95,7 +102,13 @@ def lsh_fold_batch(
                 )
             )
             pairs = pairs.unionByName(cross)
-        pairs.distinct().write.mode("append").parquet(pairs_dir)
+        pairs = pairs.distinct()
+        if batch_id is None:
+            pairs.write.mode("append").parquet(pairs_dir)
+        else:
+            pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).partitionBy("batch_id").parquet(pairs_dir)
         delta.write.mode("append").parquet(state_dir)
     finally:
         delta.unpersist()
@@ -116,7 +129,9 @@ def read_candidates(spark: SparkSession, pairs_dir: str) -> DataFrame:
     micro-batches (foreachBatch is at-least-once on failure); in the
     exactly-once happy path it is a no-op by the emission argument in
     the module doc."""
-    return spark.read.parquet(pairs_dir).distinct()
+    return (
+        spark.read.parquet(pairs_dir).select("doc_a", "doc_b").distinct()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -219,4 +234,135 @@ def stream_cc_labels(pairs_stream: DataFrame, labels_dir: str):
     """writeStream.foreachBatch wiring of :func:`cc_fold_batch`."""
     return pairs_stream.writeStream.foreachBatch(
         lambda df, _id: cc_fold_batch(df, labels_dir)
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental canonical keep + the full streamed dedup pipeline
+# ---------------------------------------------------------------------------
+
+
+def canonical_fold_batch(
+    pairs_batch: DataFrame,
+    labels_dir: str,
+    quality_dir: str,
+    canon_dir: str,
+) -> None:
+    """Fold the keep-decision table (component, kept_doc, kept_quality,
+    n_members) forward after a CC fold — the incremental twin of
+    :func:`..operators.dedup.neardup_canonical_keep`.
+
+    Only AFFECTED components are recomputed: a component's membership
+    can change this batch only if it contains an endpoint of a batch
+    pair (a new member arrives via a pair; a merge happens via a pair),
+    so ``A`` = current labels of the batch's pair endpoints is the
+    complete affected set. The update is then:
+
+    - recompute (best member, size) for components in A from the labels
+      + quality state — a bounded join + one aggregate (the max+argmax
+      is the same lexicographic struct-max as the KS kernels: among
+      exact quality ties the smaller doc_id wins, matching the batch
+      operator's row_number tie-break);
+    - keep old rows whose component is not in A AND still exists as a
+      label (a component merged away this batch is no longer any row's
+      label — its members' new label is in A, so the stale row is
+      dropped by the existence semi-join).
+
+    Per-batch cost: O(|batch pairs| + |members of affected components|
+    + |components|) — never a full-corpus recompute. Must run AFTER
+    :func:`cc_fold_batch` for the same batch (it reads the updated
+    labels)."""
+    spark = pairs_batch.sparkSession
+    labels = spark.read.parquet(labels_dir)
+    touched = (
+        pairs_batch.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs_batch.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    affected = (
+        labels.join(touched, "doc_id").select("component").distinct()
+    )
+    q = spark.read.parquet(quality_dir)
+    canon_new = (
+        labels.join(F.broadcast(affected), "component")
+        .join(q, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality_score").alias("q"),
+                    (-F.col("doc_id")).alias("nd"),
+                )
+            ).alias("mx"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "component",
+            (-F.col("mx.nd")).alias("kept_doc"),
+            F.col("mx.q").alias("kept_quality"),
+            "n_members",
+        )
+    )
+    if os.path.exists(os.path.join(canon_dir, "_SUCCESS")):
+        old = spark.read.parquet(canon_dir)
+        live = labels.select("component").distinct()
+        keep_old = old.join(affected, "component", "left_anti").join(
+            live, "component", "left_semi"
+        )
+        out = keep_old.unionByName(canon_new)
+    else:
+        out = canon_new
+    tmp = canon_dir + "__next"
+    out.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(canon_dir)
+
+
+def dedup_pipeline_fold(
+    docs_batch: DataFrame, batch_id: int, base_dir: str
+) -> None:
+    """ONE micro-batch through the complete incremental dedup pipeline:
+
+    1. append the batch docs' quality scores (pure projection) to the
+       per-doc quality store;
+    2. LSH band fold (:func:`lsh_fold_batch`) — candidate pairs out,
+       band index forward;
+    3. CC fold (:func:`cc_fold_batch`) over exactly this batch's pairs
+       (partition-pruned read via batch_id);
+    4. canonical fold (:func:`canonical_fold_batch`) — the keep/drop
+       decision stays current.
+
+    After any sequence of batches, the canonical table equals the batch
+    chain ``connected_components(minhash_lsh_candidates(all docs))`` +
+    best-quality selection computed from scratch (asserted in
+    tests/test_streaming). Pairs here are LSH CANDIDATES — the exact
+    Jaccard verify stage needs historical shingles, which this fold
+    deliberately does not retain (the band index is the bounded state);
+    a deployment wanting verified clusters re-verifies candidate pairs
+    against a shingle store before the CC fold, same plumbing.
+    """
+    from ..operators.text import quality_score
+
+    spark = docs_batch.sparkSession
+    quality_dir = os.path.join(base_dir, "quality")
+    bands_dir = os.path.join(base_dir, "bands")
+    pairs_dir = os.path.join(base_dir, "pairs")
+    labels_dir = os.path.join(base_dir, "labels")
+    canon_dir = os.path.join(base_dir, "canonical")
+    quality_score(docs_batch).select(
+        "doc_id", "quality_score"
+    ).write.mode("append").parquet(quality_dir)
+    lsh_fold_batch(docs_batch, bands_dir, pairs_dir, batch_id=batch_id)
+    batch_pairs = (
+        spark.read.parquet(pairs_dir)
+        .where(F.col("batch_id") == batch_id)
+        .select("doc_a", "doc_b")
+    )
+    cc_fold_batch(batch_pairs, labels_dir)
+    canonical_fold_batch(batch_pairs, labels_dir, quality_dir, canon_dir)
+
+
+def stream_dedup_pipeline(docs_stream: DataFrame, base_dir: str):
+    """writeStream.foreachBatch wiring of :func:`dedup_pipeline_fold`."""
+    return docs_stream.writeStream.foreachBatch(
+        lambda df, bid: dedup_pipeline_fold(df, bid, base_dir)
     )

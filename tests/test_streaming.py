@@ -1174,3 +1174,75 @@ def test_cc_fold_cross_batch_merges_unit(spark):
     assert fold([(2, 3)]) == {(1, 1), (2, 1), (3, 1), (4, 1)}
     assert fold([(5, 4)]) == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1)}
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_dedup_pipeline_canonical_equals_batch(spark, sf_dir):
+    """The FULL incremental dedup pipeline (docs -> quality append ->
+    LSH band fold -> per-batch pairs -> CC fold -> canonical fold) must
+    end with a canonical table equal to the batch chain computed from
+    scratch: components over minhash_lsh_candidates + best-quality
+    member per component (quality desc, doc_id asc tie-break)."""
+    from pyspark.sql import Window
+
+    from retail_etl_pipeline_spark.operators import dedup as dd
+    from retail_etl_pipeline_spark.operators import text as tx
+    from retail_etl_pipeline_spark.streaming import neardup as nd
+
+    docs = fx._read(spark, sf_dir, "documents").select("doc_id", "text")
+    base = os.path.join(TMP, "dedup_pipe")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        nd.stream_dedup_pipeline(stream, base)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    streamed = {
+        tuple(r)
+        for r in spark.read.parquet(
+            os.path.join(base, "canonical")
+        ).collect()
+    }
+
+    # batch chain from scratch on the same (candidate-level) pair set
+    comp = dd.connected_components(
+        dd.minhash_lsh_candidates(docs).select("doc_a", "doc_b")
+    )
+    quality = tx.quality_score(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    ranked = comp.join(quality, "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    best = ranked.where(F.col("rn") == 1).select(
+        "component",
+        F.col("doc_id").alias("kept_doc"),
+        F.col("quality_score").alias("kept_quality"),
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    batch = {
+        tuple(r)
+        for r in best.join(sizes, "component")
+        .select("component", "kept_doc", "kept_quality", "n_members")
+        .collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
+    shutil.rmtree(base, ignore_errors=True)
