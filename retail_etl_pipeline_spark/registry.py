@@ -9716,6 +9716,103 @@ def source_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "source_temperature_mix_budget",
+    f"""
+WITH {_DOCS_QUALITY_TOKENS_CTE.format(quality=tx.QUALITY_SCORE_SQL.strip()).strip()},
+tot AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+  FROM d GROUP BY 1
+),
+s AS (
+  SELECT source, src_tokens,
+         CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE))) AS BIGINT) AS sq
+  FROM tot
+),
+g AS (SELECT CAST(SUM(sq) AS BIGINT) AS stot FROM s),
+budgets AS (
+  SELECT source, src_tokens,
+         CAST((60000 * CAST(sq AS HUGEINT)) // NULLIF(stot, 0) AS BIGINT)
+           AS budget_tokens
+  FROM s, g
+),
+ranked AS (
+  SELECT d.*,
+         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY quality_score DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum
+  FROM d
+)
+SELECT ranked.source,
+       budgets.budget_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+FROM ranked
+JOIN budgets ON ranked.source = budgets.source
+WHERE cum <= budget_tokens
+GROUP BY 1, 2
+ORDER BY ranked.source
+""",
+)
+def source_temperature_mix_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-flattened data mix (the multilingual-training
+    standard, target share ∝ share^0.5): each source's token budget is
+    60k x sqrt(its tokens) / Σ sqrt(tokens) — big sources are damped,
+    small sources boosted, nobody wiped out — then the greedy
+    quality-ordered prefix cut per source (source_token_budget_cut's
+    machinery under a derived budget). Engine-stable without being
+    integer-only: sqrt over a BIGINT-exact double is IEEE
+    correctly-rounded (bit-identical on both engines), FLOOR pins it to
+    an integer, and everything after is exact HUGEINT/DECIMAL
+    arithmetic — the one transcendental gets the KM/Greenwood
+    hop-immediately treatment. Plan: the per-doc relation feeds both
+    the per-source totals (one bounded agg -> 1-row broadcast) and the
+    source-partitioned running-sum window; budgets broadcast back.
+    Scale: output bounded by |sources|; one data-sized shuffle."""
+    docs = fx._read(spark, sf_dir, "documents")
+    q = tx.quality_score(docs).select("doc_id", "quality_score")
+    d = docs.select(
+        "doc_id", "source", tx.token_count(F.col("text")).alias("n_tokens")
+    ).join(q, "doc_id")
+    tot = d.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("src_tokens")
+    )
+    s = tot.select(
+        "source",
+        "src_tokens",
+        F.floor(F.sqrt(F.col("src_tokens").cast("double")))
+        .cast("bigint")
+        .alias("sq"),
+    )
+    g = s.agg(F.sum("sq").cast("bigint").alias("stot"))
+    budgets = s.join(F.broadcast(g)).select(
+        "source",
+        F.expr(
+            "CAST((60000 * cast(sq as decimal(38,0)))"
+            " div NULLIF(stot, 0) AS BIGINT)"
+        ).alias("budget_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum", F.sum("n_tokens").over(w))
+        .join(F.broadcast(budgets), "source")
+        .where(F.col("cum") <= F.col("budget_tokens"))
+        .groupBy("source", "budget_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
     "neardup_canonical_keep",
     dd.neardup_canonical_keep_sql(tx.QUALITY_SCORE_SQL),
 )
