@@ -610,18 +610,28 @@ WHERE {_ROUND6_SQL.format(x=_COS_SQL.format(a='a.v', b='b.v'))}
 CENTROID_IDS = tuple(range(1, 9))
 
 
-def _with_cells(vecs: DataFrame) -> DataFrame:
-    """Assign each vector to its max-cosine centroid cell (ties -> lowest
-    centroid id) as a single PROJECTION: centroids are tiny plan constants
-    (collected once, inlined as array literals) and the argmax is an
-    expression fold — no crossJoin, no window shuffle; at scale this is a
-    pure map over the corpus."""
+def _seed_centroids(vecs: DataFrame) -> dict[int, list[float]]:
+    """The deterministic seed centroids: bounded collect of the
+    CENTROID_IDS corpus vectors (8 rows, a plan constant)."""
     cent_rows = (
         vecs.where(F.col("vec_id").isin(*CENTROID_IDS))
         .select("vec_id", "v")
         .collect()
     )
-    cents = {r["vec_id"]: list(r["v"]) for r in cent_rows}
+    return {r["vec_id"]: list(r["v"]) for r in cent_rows}
+
+
+def _with_cells(
+    vecs: DataFrame, cents: dict[int, list[float]] | None = None
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid cell (ties -> lowest
+    centroid id) as a single PROJECTION: centroids are tiny plan constants
+    (collected once, inlined as array literals) and the argmax is an
+    expression fold — no crossJoin, no window shuffle; at scale this is a
+    pure map over the corpus. ``cents`` overrides the seed centroids
+    (the Lloyd-refined assignment passes the updated means)."""
+    if cents is None:
+        cents = _seed_centroids(vecs)
     cids = sorted(cents)
     # ONE 2-D literal + a transform keeps the expression tree tiny (vs 8
     # separate 64-literal arrays, whose codegen cost dominated first-run)
@@ -951,4 +961,164 @@ SELECT vec_id,
               ELSE CAST(floor((x - mn) / ((mx - mn) / 255.0) + 0.5)
                         AS BIGINT) END)) AS BIGINT) AS code_sum
 FROM mm
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF with one exact-decimal Lloyd refinement: the honest k-means upgrade.
+# The module-head caveat ("fp-nondeterministic training would break the
+# oracle") is about FLOAT means — per-dimension double sums depend on
+# partition/accumulation order. The refinement below sidesteps it entirely:
+# components are pinned to integer NANO-units (decimal hop, HALF_UP — the
+# money discipline), per-cell sums are exact BIGINT, the mean is exact
+# truncating integer division (Spark `div` == DuckDB `//`, both
+# toward-zero, verified on negatives), and only the final /1e9 returns to
+# double — one exact-integer-by-constant IEEE division, bit-identical on
+# both engines. So the refined centroids, the re-assignment, and the probe
+# are all engine-stable: real Lloyd, no float drift.
+# ---------------------------------------------------------------------------
+
+#: nano-unit scale for exact centroid means
+_NANO = 1_000_000_000
+
+
+def _lloyd_refined_cells(vecs: DataFrame) -> tuple[DataFrame, dict]:
+    """One Lloyd iteration over the seed assignment: returns the
+    re-assigned cells relation and the refined centroid dict.
+
+    The per-cell per-dimension mean is computed distributed (posexplode
+    -> groupBy(cell, dim) with exact BIGINT sums) and collected as
+    |cells| x dim bounded rows (8 x 64 — a plan constant, the same
+    class as the seed collect). A cell that lost every member keeps its
+    seed centroid (possible only under duplicate seed vectors; the
+    COALESCE keeps both engines aligned)."""
+    seeds = _seed_centroids(vecs)
+    cells0 = _with_cells(vecs, cents=seeds)
+    nano = F.expr(
+        f"CAST(round(CAST(comp AS DECIMAL(30,15)) * {_NANO}, 0) AS BIGINT)"
+    )
+    means = (
+        cells0.select(
+            "cell", F.posexplode(F.col("v")).alias("dim", "comp")
+        )
+        .select("cell", "dim", nano.alias("nv"))
+        .groupBy("cell", "dim")
+        .agg(
+            F.sum("nv").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "cell", "dim", F.expr("s div n").cast("bigint").alias("m")
+        )
+        .collect()
+    )
+    by_cell: dict[int, dict[int, int]] = {}
+    for r in means:
+        by_cell.setdefault(r["cell"], {})[r["dim"]] = r["m"]
+    refined = {}
+    for cid, seed in seeds.items():
+        got = by_cell.get(cid)
+        if got is None:
+            refined[cid] = list(seed)
+        else:
+            refined[cid] = [got[d] / _NANO for d in range(len(seed))]
+    return _with_cells(vecs, cents=refined), refined
+
+
+def ann_ivf_topk_lloyd(
+    emb: DataFrame, query_id: int = 0, k: int = TOP_K
+) -> DataFrame:
+    """IVF ANN top-k over Lloyd-REFINED centroids (one exact-decimal
+    k-means iteration from the seed assignment), probing the query's
+    refined cell. Same probe/rerank machinery as :func:`ann_ivf_topk`;
+    only the quantizer improved — refined cells track the corpus
+    distribution instead of 8 arbitrary members, so cell populations
+    even out and the probed fraction is closer to the ideal 1/|cells|."""
+    cells, _ = _lloyd_refined_cells(_vectors(emb))
+    qrow = (
+        cells.where(F.col("vec_id") == query_id).select("cell", "v").first()
+    )
+    qv = F.array(*[F.lit(float(x)) for x in qrow["v"]])
+    return (
+        cells.where(
+            (F.col("vec_id") != query_id)
+            & (F.col("cell") == F.lit(qrow["cell"]))
+        )
+        .select(
+            "vec_id",
+            "label",
+            _round6(cosine(F.col("v"), qv)).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_ivf_topk_lloyd_sql(query_id: int = 0, k: int = TOP_K) -> str:
+    """Oracle twin: the SAME seed assignment, exact nano-unit means
+    (HUGEINT sums, `//` toward-zero division — matches Spark `div`),
+    refined re-assignment, probe, rerank."""
+    cid_list = ", ".join(str(c) for c in CENTROID_IDS)
+    cs0 = (
+        f"{_DOT_SQL.format(a='e.v', b='cv')}"
+        f" / sqrt({_DOT_SQL.format(a='e.v', b='e.v')})"
+        f" / sqrt({_DOT_SQL.format(a='cv', b='cv')})"
+    )
+    cs1 = cs0.replace("cv", "rcv")
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, {_VEC_SQL.format(e='embedding')} AS v FROM embeddings
+),
+cents0 AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN ({cid_list})
+),
+scored0 AS (
+  SELECT e.vec_id, e.v, cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id ORDER BY {cs0} DESC, cid ASC
+         ) AS rn
+  FROM e, cents0
+),
+cells0 AS (SELECT vec_id, v, cid AS cell FROM scored0 WHERE rn = 1),
+comps AS (
+  -- parallel unnests in one SELECT zip positionally (DuckDB 1.0 has no
+  -- WITH ORDINALITY): dim i pairs with component i
+  SELECT cell,
+         unnest(range(len(v))) AS dim,
+         CAST(round(CAST(unnest(v) AS DECIMAL(30,15)) * {_NANO}, 0)
+              AS BIGINT) AS nv
+  FROM cells0
+),
+means AS (
+  SELECT cell, dim,
+         CAST(CAST(SUM(CAST(nv AS HUGEINT)) AS HUGEINT)
+              // COUNT(*) AS BIGINT) AS m
+  FROM comps GROUP BY 1, 2
+),
+cents1 AS (
+  SELECT cents0.cid,
+         COALESCE(mm.rv, cents0.cv) AS rcv
+  FROM cents0
+  LEFT JOIN (
+    SELECT cell,
+           array_agg(CAST(m AS DOUBLE) / {_NANO} ORDER BY dim) AS rv
+    FROM means GROUP BY cell
+  ) mm ON mm.cell = cents0.cid
+),
+scored1 AS (
+  SELECT e.vec_id, e.label, e.v, cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id ORDER BY {cs1} DESC, cid ASC
+         ) AS rn
+  FROM e, cents1
+),
+cells1 AS (SELECT vec_id, label, v, cid AS cell FROM scored1 WHERE rn = 1),
+q AS (SELECT cell AS qcell, v AS qv FROM cells1 WHERE vec_id = {query_id})
+SELECT vec_id,
+       label,
+       {_ROUND6_SQL.format(x=_COS_SQL.format(a='v', b='qv'))} AS cosine
+FROM cells1, q
+WHERE vec_id != {query_id} AND cell = qcell
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
 """

@@ -623,6 +623,15 @@ def ann_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_lsh_topk_multiprobe(fx._read(spark, sf_dir, "embeddings"))
 
 
+@_register("ann_ivf_topk_lloyd", sim.ann_ivf_topk_lloyd_sql())
+def ann_ivf_topk_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over centroids refined by ONE exact-decimal Lloyd
+    iteration (operators/similarity.py — nano-unit integer means, so
+    the k-means update is engine-stable; the honest clustering upgrade
+    over the seeded quantizer)."""
+    return sim.ann_ivf_topk_lloyd(fx._read(spark, sf_dir, "embeddings"))
+
+
 @_register("ann_ivf_topk_multiprobe", sim.ann_ivf_topk_multiprobe_sql())
 def ann_ivf_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF ANN: rerank inside the nprobe=2 nearest centroid

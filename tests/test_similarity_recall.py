@@ -119,3 +119,41 @@ def test_prefix_filter_equals_inverted_index(spark, sf_dir):
     }
     assert pref == full
     assert len(pref) > 0  # non-vacuous on the fixture
+
+
+def test_ivf_lloyd_refinement_properties(spark, sf_dir):
+    """The Lloyd-refined quantizer: (a) refined centroids are exact
+    nano-unit means — every component is a multiple of 1e-9 and distinct
+    from the seed corpus vectors (the update actually moved); (b) the
+    refined assignment still covers the corpus (every vector gets a
+    cell); (c) recall@k against exact brute force is computable and the
+    probed cell is non-trivial (neither empty nor the whole corpus)."""
+    from retail_etl_pipeline_spark.operators.similarity import (
+        _lloyd_refined_cells,
+        _seed_centroids,
+        _vectors,
+    )
+
+    emb = fx._read(spark, sf_dir, "embeddings")
+    vecs = _vectors(emb)
+    cells, refined = _lloyd_refined_cells(vecs)
+    seeds = _seed_centroids(vecs)
+    assert set(refined) == set(seeds)
+    moved = 0
+    for cid, rv in refined.items():
+        for x in rv:
+            # exact multiple of 1e-9 by construction
+            assert abs(x * 1e9 - round(x * 1e9)) < 1e-6
+        if any(abs(a - b) > 1e-12 for a, b in zip(rv, seeds[cid])):
+            moved += 1
+    assert moved >= 1  # the update is not a no-op on this corpus
+    n = emb.count()
+    assert cells.count() == n
+    exact = _ids(sim.cosine_topk(emb))
+    lloyd = _recall(_ids(sim.ann_ivf_topk_lloyd(emb)), exact)
+    assert 0.0 <= lloyd <= 1.0
+    probed = cells.where(
+        cells.cell
+        == cells.where(cells.vec_id == 0).select("cell").first()["cell"]
+    ).count()
+    assert 0 < probed < n
