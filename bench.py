@@ -108,10 +108,18 @@ def main() -> None:
         # full-registry record
         spark.stop()
         return
+    # the committed record (BENCH_LOCAL.json) is the sf0.1 min-of-3
+    # reference the in-suite regression gate compares against; update it
+    # ONLY when explicitly recording (SPARK_GRAFT_BENCH_RECORD=1) — the
+    # driver's per-round run and ad-hoc sf0.01/single-run sweeps used to
+    # clobber it every time (the recurring r5/r6 dirty-tree nit). All
+    # other full runs write BENCH_LAST.json (gitignored scratch).
+    recording = os.environ.get("SPARK_GRAFT_BENCH_RECORD") == "1"
+    out_name = "BENCH_LOCAL.json" if recording else "BENCH_LAST.json"
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_LOCAL.json"),
+                         out_name),
             "w",
         ) as f:
             json.dump(record, f, indent=1, sort_keys=False)

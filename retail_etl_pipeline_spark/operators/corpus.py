@@ -253,7 +253,11 @@ def eval_contamination_lsh(docs: DataFrame) -> DataFrame:
     broadcast."""
     from .dedup import band_index
 
-    bands = band_index(docs)
+    # persist: both sides of the self-join read this relation, and the
+    # shingle+16-minhash subtree is the expensive part — without the
+    # persist it evaluates twice (same discipline as
+    # minhash_lsh_candidates in dedup.py)
+    bands = band_index(docs).persist()
     train = bands.where(F.col("doc_id") % EVAL_MOD != 0)
     ev = (
         bands.where(F.col("doc_id") % EVAL_MOD == 0)

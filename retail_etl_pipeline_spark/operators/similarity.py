@@ -982,59 +982,68 @@ FROM mm
 _NANO = 1_000_000_000
 
 
-def _lloyd_refined_cells(vecs: DataFrame) -> tuple[DataFrame, dict]:
-    """One Lloyd iteration over the seed assignment: returns the
-    re-assigned cells relation and the refined centroid dict.
+def _lloyd_refined_cells(
+    vecs: DataFrame, iters: int = 1
+) -> tuple[DataFrame, dict]:
+    """``iters`` Lloyd iterations over the seed assignment: returns the
+    final re-assigned cells relation and the refined centroid dict.
 
-    The per-cell per-dimension mean is computed distributed (posexplode
-    -> groupBy(cell, dim) with exact BIGINT sums) and collected as
-    |cells| x dim bounded rows (8 x 64 — a plan constant, the same
-    class as the seed collect). A cell that lost every member keeps its
-    seed centroid (possible only under duplicate seed vectors; the
-    COALESCE keeps both engines aligned)."""
-    seeds = _seed_centroids(vecs)
-    cells0 = _with_cells(vecs, cents=seeds)
+    Each iteration's per-cell per-dimension mean is computed distributed
+    (posexplode -> groupBy(cell, dim) with exact BIGINT sums) and
+    collected as |cells| x dim bounded rows (8 x 64 — a plan constant,
+    the same class as the seed collect); the assignment feeding it is a
+    pure projection over inlined centroid literals, so the whole loop
+    is ``iters`` scan+aggregate passes, no iterative join state. A cell
+    that lost every member keeps its previous centroid (possible only
+    under duplicate seed vectors; the fallback keeps both engines
+    aligned). The exact-integer mean (nano-unit components, truncating
+    div) makes every iteration engine-stable — see the section header."""
+    cents = _seed_centroids(vecs)
     nano = F.expr(
         f"CAST(round(CAST(comp AS DECIMAL(30,15)) * {_NANO}, 0) AS BIGINT)"
     )
-    means = (
-        cells0.select(
-            "cell", F.posexplode(F.col("v")).alias("dim", "comp")
+    for _ in range(iters):
+        assigned = _with_cells(vecs, cents=cents)
+        means = (
+            assigned.select(
+                "cell", F.posexplode(F.col("v")).alias("dim", "comp")
+            )
+            .select("cell", "dim", nano.alias("nv"))
+            .groupBy("cell", "dim")
+            .agg(
+                F.sum("nv").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cell", "dim", F.expr("s div n").cast("bigint").alias("m")
+            )
+            .collect()
         )
-        .select("cell", "dim", nano.alias("nv"))
-        .groupBy("cell", "dim")
-        .agg(
-            F.sum("nv").alias("s"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            "cell", "dim", F.expr("s div n").cast("bigint").alias("m")
-        )
-        .collect()
-    )
-    by_cell: dict[int, dict[int, int]] = {}
-    for r in means:
-        by_cell.setdefault(r["cell"], {})[r["dim"]] = r["m"]
-    refined = {}
-    for cid, seed in seeds.items():
-        got = by_cell.get(cid)
-        if got is None:
-            refined[cid] = list(seed)
-        else:
-            refined[cid] = [got[d] / _NANO for d in range(len(seed))]
-    return _with_cells(vecs, cents=refined), refined
+        by_cell: dict[int, dict[int, int]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["dim"]] = r["m"]
+        refined = {}
+        for cid, prev in cents.items():
+            got = by_cell.get(cid)
+            if got is None:
+                refined[cid] = list(prev)
+            else:
+                refined[cid] = [got[d] / _NANO for d in range(len(prev))]
+        cents = refined
+    return _with_cells(vecs, cents=cents), cents
 
 
 def ann_ivf_topk_lloyd(
-    emb: DataFrame, query_id: int = 0, k: int = TOP_K
+    emb: DataFrame, query_id: int = 0, k: int = TOP_K, iters: int = 1
 ) -> DataFrame:
-    """IVF ANN top-k over Lloyd-REFINED centroids (one exact-decimal
-    k-means iteration from the seed assignment), probing the query's
-    refined cell. Same probe/rerank machinery as :func:`ann_ivf_topk`;
-    only the quantizer improved — refined cells track the corpus
-    distribution instead of 8 arbitrary members, so cell populations
-    even out and the probed fraction is closer to the ideal 1/|cells|."""
-    cells, _ = _lloyd_refined_cells(_vectors(emb))
+    """IVF ANN top-k over Lloyd-REFINED centroids (``iters``
+    exact-decimal k-means iterations from the seed assignment), probing
+    the query's refined cell. Same probe/rerank machinery as
+    :func:`ann_ivf_topk`; only the quantizer improved — refined cells
+    track the corpus distribution instead of 8 arbitrary members, so
+    cell populations even out and the probed fraction is closer to the
+    ideal 1/|cells|."""
+    cells, _ = _lloyd_refined_cells(_vectors(emb), iters=iters)
     qrow = (
         cells.where(F.col("vec_id") == query_id).select("cell", "v").first()
     )
@@ -1054,70 +1063,103 @@ def ann_ivf_topk_lloyd(
     )
 
 
-def ann_ivf_topk_lloyd_sql(query_id: int = 0, k: int = TOP_K) -> str:
+def ann_ivf_topk_lloyd_sql(
+    query_id: int = 0, k: int = TOP_K, iters: int = 1
+) -> str:
     """Oracle twin: the SAME seed assignment, exact nano-unit means
     (HUGEINT sums, `//` toward-zero division — matches Spark `div`),
-    refined re-assignment, probe, rerank."""
+    refined re-assignment per iteration, probe, rerank. The CTE chain
+    unrolls ``iters`` times — each iteration is (score vs current
+    centroids -> cells -> nano-unit component explode -> exact means ->
+    next centroids), exactly the Python loop."""
     cid_list = ", ".join(str(c) for c in CENTROID_IDS)
-    cs0 = (
-        f"{_DOT_SQL.format(a='e.v', b='cv')}"
-        f" / sqrt({_DOT_SQL.format(a='e.v', b='e.v')})"
-        f" / sqrt({_DOT_SQL.format(a='cv', b='cv')})"
+
+    def cs(cent_col: str) -> str:
+        return (
+            f"{_DOT_SQL.format(a='e.v', b=cent_col)}"
+            f" / sqrt({_DOT_SQL.format(a='e.v', b='e.v')})"
+            f" / sqrt({_DOT_SQL.format(a=cent_col, b=cent_col)})"
+        )
+
+    ctes = [
+        "e AS (\n"
+        f"  SELECT vec_id, label, {_VEC_SQL.format(e='embedding')} AS v"
+        " FROM embeddings\n)",
+        "cents0 AS (\n"
+        f"  SELECT vec_id AS cid, v AS cv0 FROM e WHERE vec_id IN"
+        f" ({cid_list})\n)",
+    ]
+    for i in range(iters):
+        cv, ncv = f"cv{i}", f"cv{i + 1}"
+        ctes.append(
+            f"scored{i} AS (\n"
+            f"  SELECT e.vec_id, e.v, cid,\n"
+            f"         row_number() OVER (\n"
+            f"           PARTITION BY e.vec_id ORDER BY {cs(cv)} DESC,"
+            f" cid ASC\n"
+            f"         ) AS rn\n"
+            f"  FROM e, cents{i}\n)"
+        )
+        ctes.append(
+            f"cells{i} AS (SELECT vec_id, v, cid AS cell FROM scored{i}"
+            " WHERE rn = 1)"
+        )
+        ctes.append(
+            f"comps{i} AS (\n"
+            "  -- parallel unnests in one SELECT zip positionally (DuckDB"
+            " 1.0 has no\n"
+            "  -- WITH ORDINALITY): dim i pairs with component i\n"
+            "  SELECT cell,\n"
+            "         unnest(range(len(v))) AS dim,\n"
+            f"         CAST(round(CAST(unnest(v) AS DECIMAL(30,15)) *"
+            f" {_NANO}, 0)\n"
+            f"              AS BIGINT) AS nv\n"
+            f"  FROM cells{i}\n)"
+        )
+        ctes.append(
+            f"means{i} AS (\n"
+            "  SELECT cell, dim,\n"
+            "         CAST(CAST(SUM(CAST(nv AS HUGEINT)) AS HUGEINT)\n"
+            "              // COUNT(*) AS BIGINT) AS m\n"
+            f"  FROM comps{i} GROUP BY 1, 2\n)"
+        )
+        ctes.append(
+            f"cents{i + 1} AS (\n"
+            f"  SELECT cents{i}.cid,\n"
+            f"         COALESCE(mm.rv, cents{i}.{cv}) AS {ncv}\n"
+            f"  FROM cents{i}\n"
+            "  LEFT JOIN (\n"
+            "    SELECT cell,\n"
+            f"           array_agg(CAST(m AS DOUBLE) / {_NANO} ORDER BY"
+            " dim) AS rv\n"
+            f"    FROM means{i} GROUP BY cell\n"
+            f"  ) mm ON mm.cell = cents{i}.cid\n)"
+        )
+    fin = f"cv{iters}"
+    ctes.append(
+        "scored_fin AS (\n"
+        "  SELECT e.vec_id, e.label, e.v, cid,\n"
+        "         row_number() OVER (\n"
+        f"           PARTITION BY e.vec_id ORDER BY {cs(fin)} DESC,"
+        " cid ASC\n"
+        "         ) AS rn\n"
+        f"  FROM e, cents{iters}\n)"
     )
-    cs1 = cs0.replace("cv", "rcv")
+    ctes.append(
+        "cells_fin AS (SELECT vec_id, label, v, cid AS cell FROM"
+        " scored_fin WHERE rn = 1)"
+    )
+    ctes.append(
+        "q AS (SELECT cell AS qcell, v AS qv FROM cells_fin WHERE"
+        f" vec_id = {query_id})"
+    )
+    body = ",\n".join(ctes)
     return f"""
-WITH e AS (
-  SELECT vec_id, label, {_VEC_SQL.format(e='embedding')} AS v FROM embeddings
-),
-cents0 AS (
-  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN ({cid_list})
-),
-scored0 AS (
-  SELECT e.vec_id, e.v, cid,
-         row_number() OVER (
-           PARTITION BY e.vec_id ORDER BY {cs0} DESC, cid ASC
-         ) AS rn
-  FROM e, cents0
-),
-cells0 AS (SELECT vec_id, v, cid AS cell FROM scored0 WHERE rn = 1),
-comps AS (
-  -- parallel unnests in one SELECT zip positionally (DuckDB 1.0 has no
-  -- WITH ORDINALITY): dim i pairs with component i
-  SELECT cell,
-         unnest(range(len(v))) AS dim,
-         CAST(round(CAST(unnest(v) AS DECIMAL(30,15)) * {_NANO}, 0)
-              AS BIGINT) AS nv
-  FROM cells0
-),
-means AS (
-  SELECT cell, dim,
-         CAST(CAST(SUM(CAST(nv AS HUGEINT)) AS HUGEINT)
-              // COUNT(*) AS BIGINT) AS m
-  FROM comps GROUP BY 1, 2
-),
-cents1 AS (
-  SELECT cents0.cid,
-         COALESCE(mm.rv, cents0.cv) AS rcv
-  FROM cents0
-  LEFT JOIN (
-    SELECT cell,
-           array_agg(CAST(m AS DOUBLE) / {_NANO} ORDER BY dim) AS rv
-    FROM means GROUP BY cell
-  ) mm ON mm.cell = cents0.cid
-),
-scored1 AS (
-  SELECT e.vec_id, e.label, e.v, cid,
-         row_number() OVER (
-           PARTITION BY e.vec_id ORDER BY {cs1} DESC, cid ASC
-         ) AS rn
-  FROM e, cents1
-),
-cells1 AS (SELECT vec_id, label, v, cid AS cell FROM scored1 WHERE rn = 1),
-q AS (SELECT cell AS qcell, v AS qv FROM cells1 WHERE vec_id = {query_id})
+WITH {body}
 SELECT vec_id,
        label,
        {_ROUND6_SQL.format(x=_COS_SQL.format(a='v', b='qv'))} AS cosine
-FROM cells1, q
+FROM cells_fin, q
 WHERE vec_id != {query_id} AND cell = qcell
 ORDER BY cosine DESC, vec_id ASC
 LIMIT {k}

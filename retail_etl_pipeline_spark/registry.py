@@ -632,6 +632,17 @@ def ann_ivf_topk_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_ivf_topk_lloyd(fx._read(spark, sf_dir, "embeddings"))
 
 
+@_register("ann_ivf_topk_lloyd2", sim.ann_ivf_topk_lloyd_sql(iters=2))
+def ann_ivf_topk_lloyd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over centroids refined by TWO exact-decimal Lloyd
+    iterations — one more unroll of the same engine-stable k-means
+    update (VERDICT r6 item 4); the measured recall@k of every ANN
+    variant against cosine_topk ground truth is recorded in SCALE.md."""
+    return sim.ann_ivf_topk_lloyd(
+        fx._read(spark, sf_dir, "embeddings"), iters=2
+    )
+
+
 @_register("ann_ivf_topk_multiprobe", sim.ann_ivf_topk_multiprobe_sql())
 def ann_ivf_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF ANN: rerank inside the nprobe=2 nearest centroid

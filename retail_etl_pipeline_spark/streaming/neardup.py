@@ -18,17 +18,38 @@ the state. This is the incremental-HLL discipline (sketch-union fold in
   arrives, every earlier doc a sharing a bucket is in the state, so
   (a, b) surfaces in b's batch and never again (within-batch pairs are
   ordered doc_a < doc_b; per-fold DISTINCT collapses multi-band hits);
-- the fold is append-only on both tables: no read-modify-write cycle,
-  so a replayed micro-batch (foreachBatch's at-least-once contract)
-  re-appends the same rows and the reader's DISTINCT absorbs them.
+- replays are idempotent (foreachBatch is at-least-once on failure):
+  every per-batch store (pairs, quality, shingle arrays, and the band
+  state when batch-scoped) is partitioned by batch_id and written with
+  DYNAMIC partition overwrite, so a replayed micro-batch replaces its
+  own partition instead of double-appending; the label and canonical
+  folds are idempotent by construction (re-folding already-folded
+  pairs contracts to self-loops, and the canonical recompute is a pure
+  function of labels + quality).
+
+The full pipeline fold (:func:`dedup_pipeline_fold`) additionally keeps
+a per-doc SHINGLE-ARRAY store so each batch's LSH candidates are
+re-verified with exact Jaccard (>= JACCARD_THRESHOLD) before entering
+the cluster state — the same two-stage contract as the batch
+:func:`..operators.dedup.minhash_neardup_verified`: band collisions
+propose, exact intersection disposes. The verify join touches only the
+batch's candidate endpoints (two equi-joins against the store), never
+re-shingles history.
 
 Equivalence: after folding any partition of the corpus into batches in
 any order, ``read_candidates`` == batch ``minhash_lsh_candidates`` on
-the full corpus (asserted in tests/test_streaming). Both sides build
-the identical :func:`..operators.dedup.band_index` relation, so the
-equivalence is structural: the batch self-join enumerates bucket pairs
-(a, b); the fold enumerates each such pair exactly when the later of
-a, b arrives.
+the full corpus, and the pipeline's canonical table == the batch chain
+``connected_components(minhash_neardup_verified(all docs))`` + best-
+quality selection (both asserted in tests/test_streaming). Both sides
+build the identical :func:`..operators.dedup.band_index` and
+:func:`..operators.dedup.shingle_arrays` relations, so the equivalence
+is structural.
+
+State-existence probes go through the Hadoop FileSystem API for the
+configured path scheme, so the folds behave identically on local
+paths, HDFS, and object stores (a driver-local ``os.path`` probe would
+silently report "no state" for any non-local URI and corrupt the
+candidate set).
 
 Reference parity note: the reference engine has no streaming near-dup;
 this extends its batch dedup surface the same way incremental HLL
@@ -37,12 +58,50 @@ extends its rollups (SURVEY.md §2.10 extension discipline).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import band_index
+
+#: explicit read schemas: a zero-row partitioned write leaves a
+#: _SUCCESS-only directory, and schema inference on it throws
+#: UNABLE_TO_INFER_SCHEMA — killing the stream on the perfectly
+#: plausible "first micro-batch had no candidate pairs" input.
+_PAIRS_SCHEMA = "doc_a long, doc_b long"
+_PAIRS_PART_SCHEMA = "doc_a long, doc_b long, batch_id int"
+_SHINGLE_STORE_SCHEMA = (
+    "doc_id long, shs array<long>, n_sh long, batch_id int"
+)
+_QUALITY_STORE_SCHEMA = "doc_id long, quality_score double, batch_id int"
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Path existence through the Hadoop FileSystem API of the path's
+    own scheme (file://, hdfs://, s3a://...) — NOT a driver-local
+    os.path probe, which is always False for remote URIs and would make
+    the folds silently treat real state as absent."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    conf = spark._jsc.hadoopConfiguration()
+    return jpath.getFileSystem(conf).exists(jpath)
+
+
+def _state_ready(spark: SparkSession, state_dir: str) -> bool:
+    """True once the state directory holds actual data (any non-hidden
+    entry: a part file or a batch_id= partition directory). A bare
+    _SUCCESS probe is wrong twice over: dynamic partition overwrite
+    commits write NO root _SUCCESS, and a zero-row commit writes ONLY
+    _SUCCESS — both would misreport."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if not name.startswith(("_", ".")):
+            return True
+    return False
 
 
 def lsh_fold_batch(
@@ -50,6 +109,7 @@ def lsh_fold_batch(
     state_dir: str,
     pairs_dir: str,
     batch_id: int | None = None,
+    sh: DataFrame | None = None,
 ) -> None:
     """Fold one micro-batch of documents into the LSH state.
 
@@ -59,13 +119,23 @@ def lsh_fold_batch(
     delta is appended to it, so within-batch pairs come only from the
     explicit delta self-join (no double counting).
 
-    When ``batch_id`` is given, the pair write is partitioned by it so
-    downstream folds (CC, canonical) can read exactly this batch's
-    pairs back with partition pruning (``dedup_pipeline_fold``).
+    When ``batch_id`` is given, both writes are partitioned by it with
+    dynamic partition overwrite: downstream folds (CC, canonical) read
+    exactly this batch's pairs back with partition pruning
+    (``dedup_pipeline_fold``), and a replayed micro-batch replaces its
+    own partition instead of duplicating rows. ``sh`` optionally
+    supplies a pre-computed (and ideally persisted) shingle relation so
+    a caller that also needs shingles (the verify stage) shingles the
+    batch once.
     """
     spark = batch_df.sparkSession
-    delta = band_index(batch_df).persist()
+    delta = band_index(batch_df, sh=sh).persist()
     try:
+        if delta.isEmpty():
+            # nothing to index and no pair can involve this batch —
+            # skip both writes so zero-row commits never poison later
+            # schema inference on the state directory
+            return
         within = (
             delta.alias("a")
             .join(
@@ -80,7 +150,7 @@ def lsh_fold_batch(
             )
         )
         pairs = within
-        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+        if _state_ready(spark, state_dir):
             old = spark.read.parquet(state_dir)
             # new docs against existing buckets; doc ids normalized so
             # the pair orientation matches the batch join's a < b
@@ -105,13 +175,26 @@ def lsh_fold_batch(
         pairs = pairs.distinct()
         if batch_id is None:
             pairs.write.mode("append").parquet(pairs_dir)
+            delta.write.mode("append").parquet(state_dir)
         else:
-            pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).partitionBy("batch_id").parquet(pairs_dir)
-        delta.write.mode("append").parquet(state_dir)
+            _write_batch_partition(pairs, pairs_dir, batch_id)
+            _write_batch_partition(delta, state_dir, batch_id)
     finally:
         delta.unpersist()
+
+
+def _write_batch_partition(
+    df: DataFrame, out_dir: str, batch_id: int
+) -> None:
+    """Append-as-overwrite: write ``df`` as the batch_id partition of
+    ``out_dir``, replacing ONLY that partition (dynamic mode). Replayed
+    micro-batches therefore rewrite their own partition — idempotent
+    where a plain append would double-append."""
+    df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "batch_id"
+    ).parquet(out_dir)
 
 
 def stream_lsh_candidates(
@@ -126,11 +209,31 @@ def stream_lsh_candidates(
 
 def read_candidates(spark: SparkSession, pairs_dir: str) -> DataFrame:
     """The accumulated candidate-pair set. DISTINCT absorbs replayed
-    micro-batches (foreachBatch is at-least-once on failure); in the
-    exactly-once happy path it is a no-op by the emission argument in
-    the module doc."""
+    micro-batches on the un-partitioned append path; an all-batches-
+    empty (or not-yet-started) directory reads as an empty relation
+    with the pair schema rather than failing inference."""
+    if not _fs_exists(spark, pairs_dir):
+        return spark.createDataFrame([], _PAIRS_SCHEMA)
+    try:
+        df = spark.read.parquet(pairs_dir)
+    except Exception:  # _SUCCESS-only directory: no files to infer from
+        return spark.createDataFrame([], _PAIRS_SCHEMA)
+    return df.select("doc_a", "doc_b").distinct()
+
+
+def _read_batch_pairs(
+    spark: SparkSession, pairs_dir: str, batch_id: int
+) -> DataFrame:
+    """Exactly one batch's pairs back from the partitioned store —
+    partition-pruned, explicit schema so a pair-less batch (no
+    partition directory at all) reads as empty."""
+    if not _state_ready(spark, pairs_dir):
+        return spark.createDataFrame([], _PAIRS_SCHEMA)
     return (
-        spark.read.parquet(pairs_dir).select("doc_a", "doc_b").distinct()
+        spark.read.schema(_PAIRS_PART_SCHEMA)
+        .parquet(pairs_dir)
+        .where(F.col("batch_id") == batch_id)
+        .select("doc_a", "doc_b")
     )
 
 
@@ -156,7 +259,9 @@ def cc_fold_batch(pairs_batch: DataFrame, labels_dir: str) -> None:
     (old label -> merged min label) remaps the state with one
     broadcast join. min is associative, so label-of-labels = min doc
     of the merged set = exactly what the batch algorithm computes on
-    the full pair list (asserted in tests/test_streaming).
+    the full pair list (asserted in tests/test_streaming). Re-folding
+    an already-folded batch contracts every edge to a self-loop and
+    changes nothing — replay-idempotent.
 
     At 100 TB: per-batch cost is O(|delta| + |touched labels|); the
     contracted CC reuses the hybrid driver/star-contraction kernel,
@@ -168,7 +273,7 @@ def cc_fold_batch(pairs_batch: DataFrame, labels_dir: str) -> None:
     spark = pairs_batch.sparkSession
     delta = pairs_batch.select("doc_a", "doc_b").distinct().persist()
     try:
-        have_state = os.path.exists(os.path.join(labels_dir, "_SUCCESS"))
+        have_state = _state_ready(spark, labels_dir)
         if have_state:
             state = spark.read.parquet(labels_dir)
             la = state.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
@@ -268,6 +373,10 @@ def canonical_fold_batch(
       label — its members' new label is in A, so the stale row is
       dropped by the existence semi-join).
 
+    The quality store is read via its per-doc projection; the store is
+    replay-idempotent by construction (per-batch partition overwrite in
+    ``dedup_pipeline_fold``), so member counts cannot inflate.
+
     Per-batch cost: O(|batch pairs| + |members of affected components|
     + |components|) — never a full-corpus recompute. Must run AFTER
     :func:`cc_fold_batch` for the same batch (it reads the updated
@@ -282,7 +391,7 @@ def canonical_fold_batch(
     affected = (
         labels.join(touched, "doc_id").select("component").distinct()
     )
-    q = spark.read.parquet(quality_dir)
+    q = spark.read.parquet(quality_dir).select("doc_id", "quality_score")
     canon_new = (
         labels.join(F.broadcast(affected), "component")
         .join(q, "doc_id")
@@ -303,7 +412,7 @@ def canonical_fold_batch(
             "n_members",
         )
     )
-    if os.path.exists(os.path.join(canon_dir, "_SUCCESS")):
+    if _state_ready(spark, canon_dir):
         old = spark.read.parquet(canon_dir)
         live = labels.select("component").distinct()
         keep_old = old.join(affected, "component", "left_anti").join(
@@ -318,51 +427,103 @@ def canonical_fold_batch(
 
 
 def dedup_pipeline_fold(
-    docs_batch: DataFrame, batch_id: int, base_dir: str
+    docs_batch: DataFrame,
+    batch_id: int,
+    base_dir: str,
+    verify: bool = True,
 ) -> None:
     """ONE micro-batch through the complete incremental dedup pipeline:
 
-    1. append the batch docs' quality scores (pure projection) to the
-       per-doc quality store;
-    2. LSH band fold (:func:`lsh_fold_batch`) — candidate pairs out,
-       band index forward;
-    3. CC fold (:func:`cc_fold_batch`) over exactly this batch's pairs
-       (partition-pruned read via batch_id);
-    4. canonical fold (:func:`canonical_fold_batch`) — the keep/drop
+    1. write the batch docs' quality scores (pure projection) and
+       shingle arrays into per-doc stores — both partitioned by
+       batch_id with dynamic overwrite, so replays are idempotent;
+    2. LSH band fold (:func:`lsh_fold_batch`, reusing the batch's
+       shingle relation) — candidate pairs out, band index forward;
+    3. VERIFY (default): exact Jaccard >= JACCARD_THRESHOLD over this
+       batch's candidate pairs, joining the shingle-array store — the
+       same propose/dispose contract as the batch
+       :func:`..operators.dedup.minhash_neardup_verified`. History is
+       never re-shingled: the store already holds every earlier doc's
+       array, and the equi-joins touch only the batch pairs' endpoints.
+       ``verify=False`` keeps the cheaper candidates-as-clusters
+       contract (band collisions straight into CC) and skips the
+       shingle store entirely;
+    4. CC fold (:func:`cc_fold_batch`) over the (verified) batch pairs;
+    5. canonical fold (:func:`canonical_fold_batch`) — the keep/drop
        decision stays current.
 
+    A pair-less batch (zero candidates, or all candidates refuted by
+    verify) updates the stores and band state, then skips the CC and
+    canonical folds — no label can change without a new pair, and a
+    singleton doc is by contract absent from the cluster tables (same
+    as the batch chain, whose components contain only paired docs).
+
     After any sequence of batches, the canonical table equals the batch
-    chain ``connected_components(minhash_lsh_candidates(all docs))`` +
-    best-quality selection computed from scratch (asserted in
-    tests/test_streaming). Pairs here are LSH CANDIDATES — the exact
-    Jaccard verify stage needs historical shingles, which this fold
-    deliberately does not retain (the band index is the bounded state);
-    a deployment wanting verified clusters re-verifies candidate pairs
-    against a shingle store before the CC fold, same plumbing.
+    chain ``connected_components(minhash_neardup_verified(all docs))``
+    + best-quality selection computed from scratch (asserted in
+    tests/test_streaming; with ``verify=False``, the same with
+    ``minhash_lsh_candidates``).
     """
+    from ..operators.dedup import (
+        JACCARD_THRESHOLD,
+        jaccard_verify_arrays,
+        shingle_arrays,
+        shingles,
+    )
     from ..operators.text import quality_score
 
     spark = docs_batch.sparkSession
-    quality_dir = os.path.join(base_dir, "quality")
-    bands_dir = os.path.join(base_dir, "bands")
-    pairs_dir = os.path.join(base_dir, "pairs")
-    labels_dir = os.path.join(base_dir, "labels")
-    canon_dir = os.path.join(base_dir, "canonical")
-    quality_score(docs_batch).select(
-        "doc_id", "quality_score"
-    ).write.mode("append").parquet(quality_dir)
-    lsh_fold_batch(docs_batch, bands_dir, pairs_dir, batch_id=batch_id)
-    batch_pairs = (
-        spark.read.parquet(pairs_dir)
-        .where(F.col("batch_id") == batch_id)
-        .select("doc_a", "doc_b")
+    quality_dir = f"{base_dir}/quality"
+    bands_dir = f"{base_dir}/bands"
+    pairs_dir = f"{base_dir}/pairs"
+    shingles_dir = f"{base_dir}/shingles"
+    labels_dir = f"{base_dir}/labels"
+    canon_dir = f"{base_dir}/canonical"
+    _write_batch_partition(
+        quality_score(docs_batch).select("doc_id", "quality_score"),
+        quality_dir,
+        batch_id,
     )
-    cc_fold_batch(batch_pairs, labels_dir)
-    canonical_fold_batch(batch_pairs, labels_dir, quality_dir, canon_dir)
+    sh = shingles(docs_batch).persist()
+    try:
+        if verify:
+            _write_batch_partition(
+                shingle_arrays(sh), shingles_dir, batch_id
+            )
+        lsh_fold_batch(
+            docs_batch, bands_dir, pairs_dir, batch_id=batch_id, sh=sh
+        )
+    finally:
+        sh.unpersist()
+    batch_pairs = _read_batch_pairs(spark, pairs_dir, batch_id)
+    if verify and not batch_pairs.isEmpty():
+        # the store necessarily holds every endpoint's array: earlier
+        # docs' arrays were written by their own batches, this batch's
+        # were written above before the LSH fold emitted any pair
+        store = (
+            spark.read.schema(_SHINGLE_STORE_SCHEMA)
+            .parquet(shingles_dir)
+            .select("doc_id", "shs", "n_sh")
+        )
+        batch_pairs = jaccard_verify_arrays(
+            store, batch_pairs, JACCARD_THRESHOLD
+        ).select("doc_a", "doc_b")
+    batch_pairs = batch_pairs.persist()
+    try:
+        if batch_pairs.isEmpty():
+            return
+        cc_fold_batch(batch_pairs, labels_dir)
+        canonical_fold_batch(
+            batch_pairs, labels_dir, quality_dir, canon_dir
+        )
+    finally:
+        batch_pairs.unpersist()
 
 
-def stream_dedup_pipeline(docs_stream: DataFrame, base_dir: str):
+def stream_dedup_pipeline(
+    docs_stream: DataFrame, base_dir: str, verify: bool = True
+):
     """writeStream.foreachBatch wiring of :func:`dedup_pipeline_fold`."""
     return docs_stream.writeStream.foreachBatch(
-        lambda df, bid: dedup_pipeline_fold(df, bid, base_dir)
+        lambda df, bid: dedup_pipeline_fold(df, bid, base_dir, verify=verify)
     )

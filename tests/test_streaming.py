@@ -1177,11 +1177,14 @@ def test_cc_fold_cross_batch_merges_unit(spark):
 
 
 def test_streaming_dedup_pipeline_canonical_equals_batch(spark, sf_dir):
-    """The FULL incremental dedup pipeline (docs -> quality append ->
-    LSH band fold -> per-batch pairs -> CC fold -> canonical fold) must
-    end with a canonical table equal to the batch chain computed from
-    scratch: components over minhash_lsh_candidates + best-quality
-    member per component (quality desc, doc_id asc tie-break)."""
+    """The FULL incremental dedup pipeline (docs -> quality/shingle
+    stores -> LSH band fold -> per-batch pairs -> exact-Jaccard verify
+    -> CC fold -> canonical fold) must end with a canonical table equal
+    to the batch chain computed from scratch: components over
+    minhash_neardup_verified + best-quality member per component
+    (quality desc, doc_id asc tie-break). This is the VERIFIED
+    contract: band collisions propose, exact intersection disposes —
+    identical on both sides."""
     from pyspark.sql import Window
 
     from retail_etl_pipeline_spark.operators import dedup as dd
@@ -1218,9 +1221,9 @@ def test_streaming_dedup_pipeline_canonical_equals_batch(spark, sf_dir):
         ).collect()
     }
 
-    # batch chain from scratch on the same (candidate-level) pair set
+    # batch chain from scratch on the same VERIFIED pair set
     comp = dd.connected_components(
-        dd.minhash_lsh_candidates(docs).select("doc_a", "doc_b")
+        dd.minhash_neardup_verified(docs).select("doc_a", "doc_b")
     )
     quality = tx.quality_score(docs).select("doc_id", "quality_score")
     w = Window.partitionBy("component").orderBy(
@@ -1245,4 +1248,137 @@ def test_streaming_dedup_pipeline_canonical_equals_batch(spark, sf_dir):
     }
     assert streamed == batch
     assert len(streamed) > 0
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_dedup_pipeline_fold_zero_pair_batch(spark):
+    """ADVICE r6 (medium): a first micro-batch that produces ZERO
+    candidate pairs used to leave a _SUCCESS-only pairs directory whose
+    schema inference crashed the stream (UNABLE_TO_INFER_SCHEMA). The
+    fold must tolerate pair-less batches at any position — stores and
+    band state advance, cluster tables appear only once a pair exists."""
+    from retail_etl_pipeline_spark.streaming import neardup as nd
+
+    base = os.path.join(TMP, "zero_pair")
+    shutil.rmtree(base, ignore_errors=True)
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    # batch 0: three documents with nothing in common -> no candidates
+    nd.dedup_pipeline_fold(
+        docs(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "one two three four five six seven"),
+                (3, "red orange yellow green blue indigo"),
+            ]
+        ),
+        0,
+        base,
+    )
+    assert not os.path.exists(os.path.join(base, "labels"))
+    # batch 1: a near-duplicate of doc 1 arrives -> cross-batch pair
+    nd.dedup_pipeline_fold(
+        docs([(4, "alpha beta gamma delta epsilon zeta eta")]), 1, base
+    )
+    labels = {
+        (r["doc_id"], r["component"])
+        for r in spark.read.parquet(os.path.join(base, "labels")).collect()
+    }
+    assert labels == {(1, 1), (4, 1)}
+    canon = spark.read.parquet(os.path.join(base, "canonical")).collect()
+    assert len(canon) == 1 and canon[0]["n_members"] == 2
+    # batch 2: another pair-less batch AFTER state exists — still fine
+    nd.dedup_pipeline_fold(
+        docs([(5, "completely different words here entirely")]), 2, base
+    )
+    assert spark.read.parquet(os.path.join(base, "labels")).count() == 2
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_dedup_pipeline_fold_replay_idempotent(spark):
+    """ADVICE r6 (medium): foreachBatch is at-least-once — re-running a
+    batch_id must leave EVERY table byte-identical in content, most
+    importantly the quality store (a plain append double-counted
+    n_members forever). The per-batch stores use dynamic partition
+    overwrite; the label/canonical folds are idempotent by
+    construction."""
+    from retail_etl_pipeline_spark.streaming import neardup as nd
+
+    base = os.path.join(TMP, "replay_idem")
+    shutil.rmtree(base, ignore_errors=True)
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta eta"),
+        (3, "one two three four five six seven"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def snapshot():
+        out = {}
+        for t in ("quality", "shingles", "pairs", "labels", "canonical"):
+            p = os.path.join(base, t)
+            if os.path.exists(p):
+                out[t] = sorted(
+                    tuple(r) for r in spark.read.parquet(p).collect()
+                )
+        return out
+
+    nd.dedup_pipeline_fold(df, 0, base)
+    first = snapshot()
+    assert "canonical" in first and len(first["canonical"]) == 1
+    # replay the SAME batch (same batch_id, same data)
+    nd.dedup_pipeline_fold(df, 0, base)
+    assert snapshot() == first
+    # quality store specifically: one row per doc, not two
+    q = spark.read.parquet(os.path.join(base, "quality"))
+    assert q.count() == 3
+    canon = spark.read.parquet(os.path.join(base, "canonical")).collect()
+    assert canon[0]["n_members"] == 2
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_dedup_pipeline_fold_verify_refutes_band_collisions(
+    spark, monkeypatch
+):
+    """The verify stage must DROP candidate pairs whose exact Jaccard is
+    below threshold even though they collide on an LSH band — the
+    difference between the verified contract and verify=False. At the
+    production threshold (0.1) a band collision below threshold is a
+    ~1e-5 event, so the refute path is forced deterministically by
+    raising the threshold above a real pair's exact Jaccard: the texts
+    below share 4 of 5 distinct shingles (J = 4/5 = 0.8) and DO collide
+    on a band under the fixed MINHASH_HASHERS (hash-deterministic, the
+    sanity asserts pin it) — refuted at 0.9, kept at 0.1."""
+    from retail_etl_pipeline_spark.operators import dedup as dd
+    from retail_etl_pipeline_spark.streaming import neardup as nd
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta eta"),
+        ],
+        "doc_id long, text string",
+    )
+    base = os.path.join(TMP, "verify_refute")
+    shutil.rmtree(base, ignore_errors=True)
+    # sanity: the pair IS an LSH candidate and IS kept at the real
+    # threshold — only the raised bar may refute it
+    assert dd.minhash_lsh_candidates(df).count() == 1
+    assert dd.minhash_neardup_verified(df).count() == 1
+
+    monkeypatch.setattr(dd, "JACCARD_THRESHOLD", 0.9)
+    nd.dedup_pipeline_fold(df, 0, os.path.join(base, "refuted"), verify=True)
+    # candidate refuted -> no cluster state at all
+    assert not os.path.exists(os.path.join(base, "refuted", "labels"))
+    # same batch with verify=False: the raw band collision clusters
+    nd.dedup_pipeline_fold(df, 0, os.path.join(base, "raw"), verify=False)
+    labels = {
+        (r["doc_id"], r["component"])
+        for r in spark.read.parquet(
+            os.path.join(base, "raw", "labels")
+        ).collect()
+    }
+    assert labels == {(1, 1), (2, 1)}
     shutil.rmtree(base, ignore_errors=True)

@@ -55,6 +55,34 @@ def _load(path: str) -> dict:
     raise ValueError(f"no JSON object found in {path}")
 
 
+#: queries whose timing is known-noisy on this VM beyond what the
+#: additive slack absorbs (documented in BENCH_DIFF_r{N}.md triage);
+#: empty today — add a name ONLY with an isolated re-measure on record
+NOISE_ALLOWLIST: frozenset[str] = frozenset()
+
+
+def regressions(
+    old: dict[str, float],
+    new: dict[str, float],
+    ratio: float = 3.0,
+    slack_sec: float = 4.0,
+) -> list[tuple[str, float, float]]:
+    """Structural per-query regressions between two bench runs: queries
+    where new > max(ratio*old, old + slack_sec). The two-sided gate is
+    deliberately generous — this VM shows multi-second scheduler stalls
+    (BENCH_DIFF_r06.md: 1-3 s additive inflations on sub-second
+    queries), so the additive slack absorbs stalls while the ratio term
+    still catches real plan blowups on multi-second queries (e.g. the
+    pre-r6 KS kernel recomputing its subtree 3x). Used by
+    tests/test_bench_regression.py as the in-suite CI gate."""
+    out = []
+    for name in sorted(set(old) & set(new) - NOISE_ALLOWLIST):
+        a, b = old[name], new[name]
+        if b > max(ratio * a, a + slack_sec):
+            out.append((name, a, b))
+    return sorted(out, key=lambda t: -(t[2] / max(t[1], 1e-9)))
+
+
 def main(argv: list[str]) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("old")
