@@ -16,7 +16,11 @@ rotation's business, not this gate's.
 Set SPARK_GRAFT_SKIP_BENCH_CI=1 to skip during tight iteration loops
 (the round-close suite run must NOT set it). The subprocess runs a
 single-pass sweep (SPARK_GRAFT_BENCH_RUNS=1) — min-of-3 would triple
-the suite cost; the generous gate is sized for single-run noise.
+the suite cost. Because this VM's scheduler stalls reach ~7 s on a
+single pass (past any sane additive slack), first-pass flags are not
+failures yet: the flagged queries are RE-MEASURED in isolation
+(SPARK_GRAFT_BENCH_ONLY, min-of-3 — the same triage loop
+BENCH_DIFF_r{N}.md documents) and only a reproduced regression fails.
 """
 
 from __future__ import annotations
@@ -47,27 +51,52 @@ def test_bench_no_structural_regressions():
     old = record.get("queries", {})
     assert old, "record has no per-query timings"
 
-    env = dict(os.environ)
-    env["SPARK_GRAFT_SF_DIR"] = os.environ.get(
-        "SPARK_GRAFT_SF_DIR", f"/root/testdata/sf{record.get('sf', 0.1)}"
+    # the record must be the committed full-scale reference, not a
+    # stray ad-hoc overwrite (bench.py only writes it under
+    # SPARK_GRAFT_BENCH_RECORD=1 now, but belt-and-braces)
+    assert record.get("sf") == 0.1 and len(old) > 200, (
+        "BENCH_LOCAL.json is not the committed sf0.1 full-registry "
+        "record — restore it (git checkout BENCH_LOCAL.json)"
     )
-    env["SPARK_GRAFT_BENCH_RUNS"] = "1"
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True,
-        text=True,
-        cwd=REPO,
-        env=env,
-        timeout=3600,
-    )
-    assert proc.returncode == 0, proc.stderr[-2000:]
-    line = [
-        ln for ln in proc.stdout.splitlines() if ln.strip().startswith("{")
-    ][-1]
-    new = json.loads(line)
-    nq = new["queries"]
+
+    def run_bench(extra_env):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_SF_DIR"] = os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        )
+        env.update(extra_env)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            env=env,
+            timeout=3600,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        line = [
+            ln
+            for ln in proc.stdout.splitlines()
+            if ln.strip().startswith("{")
+        ][-1]
+        return json.loads(line)["queries"]
+
+    nq = run_bench({"SPARK_GRAFT_BENCH_RUNS": "1"})
 
     bad = regressions(old, nq)
+    if bad:
+        # isolated min-of-3 re-measure of ONLY the flagged queries —
+        # single-pass scheduler stalls on this VM reach ~7 s and must
+        # not fail the suite; a structural regression reproduces here
+        iso = run_bench(
+            {
+                "SPARK_GRAFT_BENCH_RUNS": "3",
+                "SPARK_GRAFT_BENCH_ONLY": ",".join(n for n, _, _ in bad),
+            }
+        )
+        bad = regressions(
+            {n: old[n] for n, _, _ in bad}, iso
+        )
     assert not bad, "structural bench regressions vs BENCH_LOCAL.json: " + (
         ", ".join(f"{n}: {a:.2f}s -> {b:.2f}s" for n, a, b in bad)
     )
