@@ -727,6 +727,124 @@ WHERE ranked.rn = 1
 """
 
 
+def neardup_rate_by_source(docs: DataFrame) -> DataFrame:
+    """Per-source dedup health table: how much of each source is
+    near-duplicate mass — the number a corpus pipeline tracks per
+    ingestion source to catch a feed that started re-crawling itself.
+
+    Returns (source, n_docs, n_clustered, n_dropped, drop_ppm):
+    n_clustered = docs in any verified near-dup component, n_dropped =
+    clustered docs that are NOT their component's best-quality keeper
+    (the canonical-keep decision, so a cluster spanning sources charges
+    the drop to the source of the dropped member, not the keeper's),
+    drop_ppm = exact integer 1e6 * n_dropped / n_docs.
+
+    Plan: the verified component relation (LSH candidates -> exact
+    Jaccard -> CC) joined to per-doc quality, ONE window partitioned by
+    component for the keep decision, then three |sources|-bounded
+    aggregates left-joined. Scale: inherits the bucketed near-dup
+    design; everything after the components is bounded by |docs in
+    clusters| << corpus."""
+    from pyspark.sql import Window
+
+    from .text import quality_score
+
+    comp = neardup_components(docs)
+    q = quality_score(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    ranked = comp.join(q, "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    src = docs.select("doc_id", "source")
+    per = src.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    clustered = (
+        comp.join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_clustered"))
+    )
+    dropped = (
+        ranked.where(F.col("rn") > 1)
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return (
+        per.join(clustered, "source", "left")
+        .join(dropped, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_clustered", F.lit(0))
+            .cast("bigint")
+            .alias("n_clustered"),
+            F.coalesce("n_dropped", F.lit(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+        .withColumn(
+            "drop_ppm",
+            F.expr("(n_dropped * 1000000) div n_docs").cast("bigint"),
+        )
+        .orderBy("source")
+    )
+
+
+def neardup_rate_by_source_sql(quality_sql: str) -> str:
+    """Oracle twin of :func:`neardup_rate_by_source` (quality SQL passed
+    in to avoid the text.py circular import, same as canonical keep)."""
+    return f"""
+WITH RECURSIVE pairs AS ({MINHASH_NEARDUP_SQL.strip()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(a, b) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+comp AS (
+  SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY a
+),
+q AS ({quality_sql.strip()}),
+ranked AS (
+  SELECT comp.component, comp.doc_id, q.quality_score,
+         ROW_NUMBER() OVER (PARTITION BY comp.component
+                            ORDER BY q.quality_score DESC, comp.doc_id)
+           AS rn
+  FROM comp JOIN q ON comp.doc_id = q.doc_id
+),
+docsrc AS (SELECT doc_id, source FROM documents),
+per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM docsrc GROUP BY 1
+),
+clustered AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_clustered
+  FROM comp JOIN docsrc USING (doc_id) GROUP BY 1
+),
+dropped AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dropped
+  FROM ranked JOIN docsrc USING (doc_id)
+  WHERE rn > 1 GROUP BY 1
+)
+SELECT per.source,
+       per.n_docs,
+       CAST(COALESCE(clustered.n_clustered, 0) AS BIGINT) AS n_clustered,
+       CAST(COALESCE(dropped.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST((COALESCE(dropped.n_dropped, 0) * 1000000) // per.n_docs
+            AS BIGINT) AS drop_ppm
+FROM per
+LEFT JOIN clustered ON per.source = clustered.source
+LEFT JOIN dropped ON per.source = dropped.source
+ORDER BY per.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup: pigeonhole block join over the 60-bit signatures
 # ---------------------------------------------------------------------------

@@ -1063,8 +1063,63 @@ def ann_ivf_topk_lloyd(
     )
 
 
+def ann_ivf_topk_lloyd_multiprobe(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = TOP_K,
+    iters: int = 1,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Multi-probe IVF over Lloyd-refined centroids: the two quantizer
+    upgrades composed — refined cells track the corpus distribution,
+    nprobe=2 recovers boundary queries' runner-up-cell neighbors.
+    Candidates are a superset of ``ann_ivf_topk_lloyd``'s, so recall@k
+    can only improve, at ~nprobe/|cells| of the corpus scanned.
+
+    The probe ranking runs driver-side over the refined centroid dict
+    with the same strict sequential dot (:func:`_seq_dot`) the SQL
+    twin's relational ranking evaluates — the refined components are
+    exact nano-unit quotients, identical doubles on both engines, so
+    the probe-cell list agrees bit-for-bit."""
+    import math
+
+    vecs = _vectors(emb)
+    cells, cents = _lloyd_refined_cells(vecs, iters=iters)
+    qrow = vecs.where(F.col("vec_id") == query_id).select("v").first()
+    qv_list = [float(x) for x in qrow["v"]]
+    qnorm = math.sqrt(_seq_dot(qv_list, qv_list))
+    ranked = sorted(
+        (
+            (
+                -(
+                    _seq_dot(qv_list, cv)
+                    / qnorm
+                    / math.sqrt(_seq_dot(cv, cv))
+                ),
+                cid,
+            )
+            for cid, cv in cents.items()
+        )
+    )
+    probe_cells = [cid for _, cid in ranked[:nprobe]]
+    qv = F.array(*[F.lit(x) for x in qv_list])
+    return (
+        cells.where(
+            (F.col("vec_id") != query_id)
+            & (F.col("cell").isin(*probe_cells))
+        )
+        .select(
+            "vec_id",
+            "label",
+            _round6(cosine(F.col("v"), qv)).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def ann_ivf_topk_lloyd_sql(
-    query_id: int = 0, k: int = TOP_K, iters: int = 1
+    query_id: int = 0, k: int = TOP_K, iters: int = 1, nprobe: int = 1
 ) -> str:
     """Oracle twin: the SAME seed assignment, exact nano-unit means
     (HUGEINT sums, `//` toward-zero division — matches Spark `div`),
@@ -1149,18 +1204,38 @@ def ann_ivf_topk_lloyd_sql(
         "cells_fin AS (SELECT vec_id, label, v, cid AS cell FROM"
         " scored_fin WHERE rn = 1)"
     )
-    ctes.append(
-        "q AS (SELECT cell AS qcell, v AS qv FROM cells_fin WHERE"
-        f" vec_id = {query_id})"
-    )
-    body = ",\n".join(ctes)
-    return f"""
+    if nprobe <= 1:
+        ctes.append(
+            "q AS (SELECT cell AS qcell, v AS qv FROM cells_fin WHERE"
+            f" vec_id = {query_id})"
+        )
+        body = ",\n".join(ctes)
+        return f"""
 WITH {body}
 SELECT vec_id,
        label,
        {_ROUND6_SQL.format(x=_COS_SQL.format(a='v', b='qv'))} AS cosine
 FROM cells_fin, q
 WHERE vec_id != {query_id} AND cell = qcell
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+"""
+    # multi-probe tail: the query's nprobe nearest refined cells come
+    # straight from the final assignment ranking (rn <= nprobe), the
+    # same relational form as ann_ivf_topk_multiprobe_sql
+    ctes.append(
+        "qcells AS (SELECT cid AS cell FROM scored_fin WHERE"
+        f" vec_id = {query_id} AND rn <= {nprobe})"
+    )
+    ctes.append(f"q AS (SELECT v AS qv FROM e WHERE vec_id = {query_id})")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT c.vec_id,
+       c.label,
+       {_ROUND6_SQL.format(x=_COS_SQL.format(a='c.v', b='qv'))} AS cosine
+FROM cells_fin c JOIN qcells USING (cell), q
+WHERE c.vec_id != {query_id}
 ORDER BY cosine DESC, vec_id ASC
 LIMIT {k}
 """

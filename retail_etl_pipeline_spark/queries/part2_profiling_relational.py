@@ -971,3 +971,22 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data dedup pipeline. The DuckDB oracle computes the same
     components with a recursive transitive-closure CTE."""
     return dd.neardup_components(fx._read(spark, sf_dir, "documents"))
+
+
+def _quality_score_sql() -> str:
+    from ..operators import text as _tx
+
+    return _tx.QUALITY_SCORE_SQL
+
+
+@_register(
+    "neardup_rate_by_source", dd.neardup_rate_by_source_sql(_quality_score_sql())
+)
+def neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup health: docs / clustered / dropped counts and the
+    exact-ppm drop rate per ingestion source (operators/dedup.
+    neardup_rate_by_source) — the table a corpus pipeline watches to
+    catch a feed that started re-crawling itself. Drops are charged to
+    the DROPPED member's source (canonical-keep decision), not the
+    keeper's."""
+    return dd.neardup_rate_by_source(fx._read(spark, sf_dir, "documents"))

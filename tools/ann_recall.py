@@ -62,6 +62,7 @@ def main(argv: list[str]) -> int:
         "ann_ivf_topk_lloyd2": lambda e, query_id, k: sim.ann_ivf_topk_lloyd(
             e, query_id=query_id, k=k, iters=2
         ),
+        "ann_ivf_topk_lloyd_multiprobe": sim.ann_ivf_topk_lloyd_multiprobe,
     }
 
     # candidate-set size per variant (probe selectivity): how many
@@ -148,6 +149,9 @@ def main(argv: list[str]) -> int:
         ),
         "ann_ivf_topk_lloyd": _ivf_mean_cands(s1, q1, cents_l1, 1),
         "ann_ivf_topk_lloyd2": _ivf_mean_cands(s2, q2, cents_l2, 1),
+        "ann_ivf_topk_lloyd_multiprobe": _ivf_mean_cands(
+            s1, q1, cents_l1, sim.IVF_NPROBE
+        ),
     }
 
     print(f"# recall@{args.k} over {len(qids)} queries, corpus n={n}")
