@@ -1239,3 +1239,207 @@ WHERE c.vec_id != {query_id}
 ORDER BY cosine DESC, vec_id ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the ANN memory-compression path. A 64-dim
+# double vector (512 bytes) becomes one packed BIGINT of 8x 3-bit codes —
+# ~64x smaller — and queries scan CODES with a per-query distance lookup
+# table (asymmetric distance computation, ADC) instead of raw vectors.
+# At 100 TB of embeddings this is the difference between scanning vectors
+# and scanning a codes column that fits in a fraction of the page cache.
+# Codebooks are deterministic (the CENTROID_IDS seed vectors' subspace
+# slices), and every distance is the dot-product expansion
+# |a-b|^2 = <a,a> - 2<a,b> + <b,b> — the exact form whose Spark fold /
+# DuckDB list_dot_product agreement the IVF cell assignment already
+# proves, so codes and ADC rankings are engine-stable.
+# ---------------------------------------------------------------------------
+
+#: PQ layout: PQ_M subspaces of PQ_DIMS dims each (PQ_M x PQ_DIMS = 64);
+#: one code indexes the 8 seed sub-centroids -> 3 bits per subspace
+PQ_M = 8
+PQ_DIMS = 8
+
+
+def _pq_codebooks(vecs: DataFrame) -> dict[int, dict[int, list[float]]]:
+    """codebooks[s][cid] = the cid seed vector's dims [s*PQ_DIMS,
+    (s+1)*PQ_DIMS) — bounded collect of 8 rows, a plan constant."""
+    seeds = _seed_centroids(vecs)
+    return {
+        s: {
+            cid: [float(x) for x in v[s * PQ_DIMS : (s + 1) * PQ_DIMS]]
+            for cid, v in seeds.items()
+        }
+        for s in range(PQ_M)
+    }
+
+
+def embedding_pq_codes(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, pq_code): each vector's packed product-quantizer
+    code — per subspace, the index (0..7, by CENTROID_IDS order) of the
+    L2-nearest sub-centroid, packed little-endian at 3 bits/subspace.
+
+    Pure PROJECTION: sub-codebooks are inlined literals, each subspace's
+    argmin is an expression fold over 8 candidate distances (ties ->
+    lowest centroid id, same contract as the IVF cell assignment), and
+    the pack is integer shifts. No shuffle at any scale — quantizing
+    100 TB is one map pass."""
+    vecs = _vectors(emb)
+    books = _pq_codebooks(vecs)
+    cids = sorted(books[0])
+    def _sub_code(s: int) -> Column:
+        vs = F.slice(F.col("v"), s * PQ_DIMS + 1, PQ_DIMS)
+        cent_mat = F.array(
+            *[
+                F.array(*[F.lit(x) for x in books[s][cid]])
+                for cid in cids
+            ]
+        )
+        # the lambda must take exactly ONE parameter — F.transform binds
+        # a 2-parameter callable as (element, index); `vs` is captured
+        # by closure (safe: transform builds the expression eagerly)
+        dists = F.transform(
+            cent_mat,
+            lambda cs: dot(vs, vs) - 2 * dot(vs, cs) + dot(cs, cs),
+        )
+        idx = F.array_position(dists, F.array_min(dists))  # 1-based
+        return F.shiftleft((idx - 1).cast("bigint"), 3 * s)
+
+    code_expr = F.lit(0).cast("bigint")
+    for s in range(PQ_M):
+        code_expr = code_expr + _sub_code(s)
+    return vecs.select("vec_id", "label", code_expr.alias("pq_code"))
+
+
+def _pq_codes_cte(query_id: int | None = None) -> str:
+    """Shared oracle CTE chain producing codes(vec_id, label, pq_code):
+    the relational twin of the projection — per (vec, subspace),
+    row_number over (L2^2 ASC, cid ASC) picks the sub-centroid, SUM of
+    shifted indexes packs the code."""
+    cid_list = ", ".join(str(c) for c in CENTROID_IDS)
+    d = PQ_DIMS
+    sub = "v[{lo}:{hi}]"
+    # per-subspace slices as a UNION-free lateral: unnest the subspace
+    # index and slice with list indexing (DuckDB slices are 1-based
+    # inclusive)
+    return f"""
+e AS (
+  SELECT vec_id, label, {_VEC_SQL.format(e='embedding')} AS v FROM embeddings
+),
+subs AS (
+  SELECT vec_id, label, s,
+         v[s * {d} + 1 : s * {d} + {d}] AS vs
+  FROM e, unnest(range({PQ_M})) AS r(s)
+),
+csubs AS (
+  SELECT vec_id AS cid, s, v[s * {d} + 1 : s * {d} + {d}] AS cs
+  FROM e, unnest(range({PQ_M})) AS r(s)
+  WHERE vec_id IN ({cid_list})
+),
+scored AS (
+  SELECT subs.vec_id, subs.label, subs.s, csubs.cid,
+         row_number() OVER (
+           PARTITION BY subs.vec_id, subs.s
+           ORDER BY {_DOT_SQL.format(a='vs', b='vs')}
+                    - 2 * {_DOT_SQL.format(a='vs', b='cs')}
+                    + {_DOT_SQL.format(a='cs', b='cs')} ASC,
+                    csubs.cid ASC
+         ) AS rn
+  FROM subs JOIN csubs ON subs.s = csubs.s
+),
+codes AS (
+  SELECT vec_id,
+         ANY_VALUE(label) AS label,
+         CAST(SUM((cid - {min(CENTROID_IDS)}) << (3 * s)) AS BIGINT)
+           AS pq_code
+  FROM scored WHERE rn = 1
+  GROUP BY vec_id
+)"""
+
+
+EMBEDDING_PQ_CODES_SQL = f"""
+WITH {_pq_codes_cte().strip()}
+SELECT vec_id, label, pq_code FROM codes
+"""
+
+
+def ann_pq_adc_topk(
+    emb: DataFrame, query_id: int = 0, k: int = TOP_K
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance computation: the
+    query's RAW vector builds a 8x8 lookup table (LUT[s][j] = exact
+    L2^2 of the query's subspace s slice to sub-centroid j — 64 plan
+    constants, computed driver-side with the same sequential dot the
+    relational form evaluates), and every corpus vector's approximate
+    distance is the sum of 8 LUT lookups indexed by its code — the scan
+    touches ONLY the packed code column, never raw vectors.
+
+    Returned distance is the raw ADC value (rounded at 6 decimals on
+    both sides); ordering is (adc ASC, vec_id ASC). Recall is bounded
+    by quantization distortion — this is the memory-bound scan path;
+    compose with IVF cells for the full IVF-PQ shape."""
+    vecs = _vectors(emb)
+    books = _pq_codebooks(vecs)
+    cids = sorted(books[0])
+    qrow = vecs.where(F.col("vec_id") == query_id).select("v").first()
+    qv = [float(x) for x in qrow["v"]]
+    lut = []
+    for s in range(PQ_M):
+        qs = qv[s * PQ_DIMS : (s + 1) * PQ_DIMS]
+        qq = _seq_dot(qs, qs)
+        row = []
+        for cid in cids:
+            cs = books[s][cid]
+            row.append(qq - 2 * _seq_dot(qs, cs) + _seq_dot(cs, cs))
+        lut.append(row)
+    codes = embedding_pq_codes(emb)
+    adc = F.lit(0.0)
+    for s in range(PQ_M):
+        lut_arr = F.array(*[F.lit(x) for x in lut[s]])
+        idx = (
+            F.shiftrightunsigned(F.col("pq_code"), 3 * s)
+            .bitwiseAND(F.lit(7))
+            .cast("int")
+        )
+        adc = adc + F.element_at(lut_arr, idx + 1)
+    return (
+        codes.where(F.col("vec_id") != query_id)
+        .select("vec_id", "label", _round6(adc).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_pq_adc_topk_sql(query_id: int = 0, k: int = TOP_K) -> str:
+    """Oracle twin: the same codes CTE, the LUT computed relationally
+    (query slices x sub-centroids), ADC as a SUM over the 8 unpacked
+    code indexes joined against the LUT."""
+    d = PQ_DIMS
+    return f"""
+WITH {_pq_codes_cte().strip()},
+lut AS (
+  SELECT csubs.s,
+         csubs.cid - {min(CENTROID_IDS)} AS j,
+         {_DOT_SQL.format(a='qs.vs', b='qs.vs')}
+           - 2 * {_DOT_SQL.format(a='qs.vs', b='csubs.cs')}
+           + {_DOT_SQL.format(a='csubs.cs', b='csubs.cs')} AS dist
+  FROM csubs
+  JOIN (SELECT s, vs FROM subs WHERE vec_id = {query_id}) qs
+    ON qs.s = csubs.s
+),
+unpacked AS (
+  SELECT codes.vec_id, codes.label, r.s,
+         (codes.pq_code >> (3 * r.s)) & 7 AS j
+  FROM codes, unnest(range({PQ_M})) AS r(s)
+  WHERE codes.vec_id != {query_id}
+),
+adcs AS (
+  SELECT vec_id, ANY_VALUE(label) AS label, SUM(lut.dist) AS adc
+  FROM unpacked JOIN lut ON unpacked.s = lut.s AND unpacked.j = lut.j
+  GROUP BY vec_id
+)
+SELECT vec_id, label, {_ROUND6_SQL.format(x='adc')} AS adc
+FROM adcs
+ORDER BY adc ASC, vec_id ASC
+LIMIT {k}
+"""

@@ -626,6 +626,27 @@ def ann_ivf_topk_lloyd_multiprobe(
     )
 
 
+@_register("embedding_pq_codes", sim.EMBEDDING_PQ_CODES_SQL)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantizer codes: each 64-dim vector packed into ONE
+    bigint of 8x 3-bit sub-centroid indexes (~64x smaller than raw
+    doubles) — the ANN memory-compression path at 100 TB. Pure
+    projection over inlined deterministic codebooks; the oracle derives
+    the same codes relationally (row_number argmin per subspace)."""
+    return sim.embedding_pq_codes(fx._read(spark, sf_dir, "embeddings"))
+
+
+@_register("ann_pq_adc_topk", sim.ann_pq_adc_topk_sql())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k: the query's raw vector builds a
+    64-entry exact-L2 lookup table (driver-side plan constants); every
+    corpus vector's approximate distance is 8 LUT lookups indexed by
+    its packed code — the scan reads ONLY the codes column, never raw
+    vectors. The memory-bound ANN scan path (compose with IVF cells
+    for full IVF-PQ)."""
+    return sim.ann_pq_adc_topk(fx._read(spark, sf_dir, "embeddings"))
+
+
 @_register("embedding_neardup", sim.EMBEDDING_NEARDUP_SQL)
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: brute-force baseline over a

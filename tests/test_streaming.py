@@ -1382,3 +1382,52 @@ def test_dedup_pipeline_fold_verify_refutes_band_collisions(
     }
     assert labels == {(1, 1), (2, 1)}
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_contamination_fold_equals_batch(spark, sf_dir):
+    """The incremental contamination fold (streaming/contamination.py)
+    must converge to EXACTLY the batch eval_contamination_lsh output no
+    matter how the corpus was micro-batched — including the retroactive
+    case (an eval doc arriving AFTER training docs it collides with),
+    which the doc_id%3 batch split guarantees exercises since eval ids
+    (doc_id%20==0) scatter across all three batches."""
+    from retail_etl_pipeline_spark.operators import corpus as cpx
+    from retail_etl_pipeline_spark.streaming import contamination as ct
+
+    docs = fx._read(spark, sf_dir, "documents").select("doc_id", "text")
+    base = os.path.join(TMP, "contam_incr")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        ct.stream_contamination(
+            stream, os.path.join(base, "state"), os.path.join(base, "hits")
+        )
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        tuple(r)
+        for r in ct.read_contamination(
+            spark, os.path.join(base, "hits")
+        ).collect()
+    }
+    batch = {
+        tuple(r) for r in cpx.eval_contamination_lsh(docs).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
+    spark.catalog.clearCache()  # eval_contamination_lsh persists bands
+    shutil.rmtree(base, ignore_errors=True)
