@@ -1118,15 +1118,11 @@ def ann_ivf_topk_lloyd_multiprobe(
     )
 
 
-def ann_ivf_topk_lloyd_sql(
-    query_id: int = 0, k: int = TOP_K, iters: int = 1, nprobe: int = 1
-) -> str:
-    """Oracle twin: the SAME seed assignment, exact nano-unit means
-    (HUGEINT sums, `//` toward-zero division — matches Spark `div`),
-    refined re-assignment per iteration, probe, rerank. The CTE chain
-    unrolls ``iters`` times — each iteration is (score vs current
-    centroids -> cells -> nano-unit component explode -> exact means ->
-    next centroids), exactly the Python loop."""
+def _lloyd_cells_ctes(iters: int) -> list[str]:
+    """The shared CTE chain e -> cents0 -> (scored/cells/comps/means/
+    cents)+ -> scored_fin -> cells_fin: the relational Lloyd assignment
+    every lloyd-flavored oracle builds on (single/multi-probe rerank,
+    IVF-PQ)."""
     cid_list = ", ".join(str(c) for c in CENTROID_IDS)
 
     def cs(cent_col: str) -> str:
@@ -1204,6 +1200,19 @@ def ann_ivf_topk_lloyd_sql(
         "cells_fin AS (SELECT vec_id, label, v, cid AS cell FROM"
         " scored_fin WHERE rn = 1)"
     )
+    return ctes
+
+
+def ann_ivf_topk_lloyd_sql(
+    query_id: int = 0, k: int = TOP_K, iters: int = 1, nprobe: int = 1
+) -> str:
+    """Oracle twin: the SAME seed assignment, exact nano-unit means
+    (HUGEINT sums, `//` toward-zero division — matches Spark `div`),
+    refined re-assignment per iteration, probe, rerank. The CTE chain
+    unrolls ``iters`` times — each iteration is (score vs current
+    centroids -> cells -> nano-unit component explode -> exact means ->
+    next centroids), exactly the Python loop."""
+    ctes = _lloyd_cells_ctes(iters)
     if nprobe <= 1:
         ctes.append(
             "q AS (SELECT cell AS qcell, v AS qv FROM cells_fin WHERE"
@@ -1311,21 +1320,23 @@ def embedding_pq_codes(emb: DataFrame) -> DataFrame:
     return vecs.select("vec_id", "label", code_expr.alias("pq_code"))
 
 
-def _pq_codes_cte(query_id: int | None = None) -> str:
+def _pq_codes_cte(include_e: bool = True) -> str:
     """Shared oracle CTE chain producing codes(vec_id, label, pq_code):
     the relational twin of the projection — per (vec, subspace),
     row_number over (L2^2 ASC, cid ASC) picks the sub-centroid, SUM of
-    shifted indexes packs the code."""
+    shifted indexes packs the code. ``include_e=False`` drops the
+    leading ``e`` CTE so the chain composes with another chain (the
+    lloyd cells) that already defines it."""
     cid_list = ", ".join(str(c) for c in CENTROID_IDS)
     d = PQ_DIMS
-    sub = "v[{lo}:{hi}]"
     # per-subspace slices as a UNION-free lateral: unnest the subspace
     # index and slice with list indexing (DuckDB slices are 1-based
     # inclusive)
-    return f"""
+    e_cte = f"""
 e AS (
   SELECT vec_id, label, {_VEC_SQL.format(e='embedding')} AS v FROM embeddings
-),
+),"""
+    return f"""{e_cte if include_e else ""}
 subs AS (
   SELECT vec_id, label, s,
          v[s * {d} + 1 : s * {d} + {d}] AS vs
@@ -1432,6 +1443,132 @@ unpacked AS (
          (codes.pq_code >> (3 * r.s)) & 7 AS j
   FROM codes, unnest(range({PQ_M})) AS r(s)
   WHERE codes.vec_id != {query_id}
+),
+adcs AS (
+  SELECT vec_id, ANY_VALUE(label) AS label, SUM(lut.dist) AS adc
+  FROM unpacked JOIN lut ON unpacked.s = lut.s AND unpacked.j = lut.j
+  GROUP BY vec_id
+)
+SELECT vec_id, label, {_ROUND6_SQL.format(x='adc')} AS adc
+FROM adcs
+ORDER BY adc ASC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def ann_ivfpq_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = TOP_K,
+    iters: int = 1,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Full IVF-PQ: probe the query's ``nprobe`` nearest Lloyd-refined
+    cells, rank candidates by PQ asymmetric distance — the standard
+    billion-scale ANN architecture (FAISS IVFADC shape) with both
+    state components deterministic and engine-stable.
+
+    At 100 TB: the scan is doubly reduced — the cell filter prunes to
+    ~nprobe/|cells| of the corpus, and what remains is scanned as
+    packed CODES (one bigint/vector) against a 64-entry LUT of plan
+    constants. Raw vectors are touched only to assign cells/codes (one
+    projection pass each at ingest) and for the single query row."""
+    import math
+
+    vecs = _vectors(emb)
+    cells, cents = _lloyd_refined_cells(vecs, iters=iters)
+    qrow = vecs.where(F.col("vec_id") == query_id).select("v").first()
+    qv = [float(x) for x in qrow["v"]]
+    qnorm = math.sqrt(_seq_dot(qv, qv))
+    ranked = sorted(
+        (
+            (
+                -(
+                    _seq_dot(qv, cv)
+                    / qnorm
+                    / math.sqrt(_seq_dot(cv, cv))
+                ),
+                cid,
+            )
+            for cid, cv in cents.items()
+        )
+    )
+    probe_cells = [cid for _, cid in ranked[:nprobe]]
+    books = _pq_codebooks(vecs)
+    cids = sorted(books[0])
+    lut = []
+    for s in range(PQ_M):
+        qs = qv[s * PQ_DIMS : (s + 1) * PQ_DIMS]
+        qq = _seq_dot(qs, qs)
+        lut.append(
+            [
+                qq - 2 * _seq_dot(qs, books[s][cid]) + _seq_dot(
+                    books[s][cid], books[s][cid]
+                )
+                for cid in cids
+            ]
+        )
+    codes = embedding_pq_codes(emb)
+    adc = F.lit(0.0)
+    for s in range(PQ_M):
+        lut_arr = F.array(*[F.lit(x) for x in lut[s]])
+        idx = (
+            F.shiftrightunsigned(F.col("pq_code"), 3 * s)
+            .bitwiseAND(F.lit(7))
+            .cast("int")
+        )
+        adc = adc + F.element_at(lut_arr, idx + 1)
+    return (
+        cells.select("vec_id", "cell")
+        .join(codes, "vec_id")
+        .where(
+            (F.col("vec_id") != query_id)
+            & (F.col("cell").isin(*probe_cells))
+        )
+        .select("vec_id", "label", _round6(adc).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_ivfpq_topk_sql(
+    query_id: int = 0,
+    k: int = TOP_K,
+    iters: int = 1,
+    nprobe: int = IVF_NPROBE,
+) -> str:
+    """Oracle twin: the lloyd cells chain + the PQ codes chain composed
+    (one shared ``e``), probe cells from the final assignment ranking,
+    LUT relational, ADC summed over unpacked code indexes."""
+    ctes = _lloyd_cells_ctes(iters)
+    ctes.append(
+        "qcells AS (SELECT cid AS cell FROM scored_fin WHERE"
+        f" vec_id = {query_id} AND rn <= {nprobe})"
+    )
+    body = ",\n".join(ctes) + ",\n" + _pq_codes_cte(include_e=False).strip()
+    return f"""
+WITH {body},
+lut AS (
+  SELECT csubs.s,
+         csubs.cid - {min(CENTROID_IDS)} AS j,
+         {_DOT_SQL.format(a='qs.vs', b='qs.vs')}
+           - 2 * {_DOT_SQL.format(a='qs.vs', b='csubs.cs')}
+           + {_DOT_SQL.format(a='csubs.cs', b='csubs.cs')} AS dist
+  FROM csubs
+  JOIN (SELECT s, vs FROM subs WHERE vec_id = {query_id}) qs
+    ON qs.s = csubs.s
+),
+cands AS (
+  SELECT cf.vec_id
+  FROM cells_fin cf JOIN qcells USING (cell)
+  WHERE cf.vec_id != {query_id}
+),
+unpacked AS (
+  SELECT codes.vec_id, codes.label, r.s,
+         (codes.pq_code >> (3 * r.s)) & 7 AS j
+  FROM codes
+  JOIN cands ON codes.vec_id = cands.vec_id,
+  unnest(range({PQ_M})) AS r(s)
 ),
 adcs AS (
   SELECT vec_id, ANY_VALUE(label) AS label, SUM(lut.dist) AS adc

@@ -647,6 +647,15 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_pq_adc_topk(fx._read(spark, sf_dir, "embeddings"))
 
 
+@_register("ann_ivfpq_topk", sim.ann_ivfpq_topk_sql())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ (the FAISS IVFADC architecture, deterministic): probe
+    the nprobe=2 nearest Lloyd-refined cells, rank candidates by PQ
+    asymmetric distance over packed codes — the scan is doubly reduced
+    (cell pruning x code compression), the billion-scale ANN shape."""
+    return sim.ann_ivfpq_topk(fx._read(spark, sf_dir, "embeddings"))
+
+
 @_register("embedding_neardup", sim.EMBEDDING_NEARDUP_SQL)
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: brute-force baseline over a
