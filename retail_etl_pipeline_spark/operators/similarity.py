@@ -1283,41 +1283,121 @@ def _pq_codebooks(vecs: DataFrame) -> dict[int, dict[int, list[float]]]:
     }
 
 
-def embedding_pq_codes(emb: DataFrame) -> DataFrame:
+def _sub_dists(vs: Column, cent_mat: Column) -> Column:
+    """Per-candidate L2^2 of subvector ``vs`` against every row of the
+    inlined sub-codebook matrix, via the dot-product expansion. The
+    lambda must take exactly ONE parameter — F.transform binds a
+    2-parameter callable as (element, index); ``vs`` is captured by
+    closure (safe: transform builds the expression eagerly)."""
+    return F.transform(
+        cent_mat,
+        lambda cs: dot(vs, vs) - 2 * dot(vs, cs) + dot(cs, cs),
+    )
+
+
+def _sub_code_idx(s: int, books: dict) -> Column:
+    """0-based sub-centroid index (argmin L2^2, ties -> lowest codebook
+    position) of subspace ``s`` — the shared assignment expression of
+    code packing AND codebook training."""
+    cids = sorted(books[s])
+    vs = F.slice(F.col("v"), s * PQ_DIMS + 1, PQ_DIMS)
+    cent_mat = F.array(
+        *[F.array(*[F.lit(x) for x in books[s][cid]]) for cid in cids]
+    )
+    dists = _sub_dists(vs, cent_mat)
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _pq_lloyd_codebooks(
+    vecs: DataFrame, iters: int = 1
+) -> dict[int, dict[int, list[float]]]:
+    """``iters`` exact-decimal Lloyd iterations over the PQ
+    sub-codebooks: assign every vector's subvector to its nearest
+    sub-centroid, recompute each (subspace, code) centroid as the exact
+    nano-unit integer mean of its members — the SAME engine-stable
+    k-means update as ``_lloyd_refined_cells``, run in the 8 subspaces
+    independently (FAISS-style PQ training, determinized).
+
+    Per iteration: one projection pass (assignment is inlined
+    literals), one explode to (subspace, code, dim, nano-component),
+    one bounded aggregate collected as <= PQ_M x |codes| x PQ_DIMS =
+    512 rows — plan constants at any corpus size. A code that lost all
+    members keeps its previous centroid."""
+    books = _pq_codebooks(vecs)
+    nano = F.expr(
+        f"CAST(round(CAST(comp AS DECIMAL(30,15)) * {_NANO}, 0) AS BIGINT)"
+    )
+    for _ in range(iters):
+        assigned = [
+            F.struct(
+                F.lit(s).alias("s"),
+                _sub_code_idx(s, books).alias("j"),
+                F.slice(F.col("v"), s * PQ_DIMS + 1, PQ_DIMS).alias("vs"),
+            )
+            for s in range(PQ_M)
+        ]
+        means = (
+            vecs.select(F.explode(F.array(*assigned)).alias("a"))
+            .select(
+                F.col("a.s").alias("s"),
+                F.col("a.j").alias("j"),
+                F.posexplode(F.col("a.vs")).alias("dim", "comp"),
+            )
+            .select("s", "j", "dim", nano.alias("nv"))
+            .groupBy("s", "j", "dim")
+            .agg(F.sum("nv").alias("sm"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "s", "j", "dim",
+                F.expr("sm div n").cast("bigint").alias("m"),
+            )
+            .collect()
+        )
+        got: dict[tuple[int, int], dict[int, int]] = {}
+        for r in means:
+            got.setdefault((r["s"], r["j"]), {})[r["dim"]] = r["m"]
+        books = {
+            s: {
+                cid: (
+                    [got[(s, j)][d] / _NANO for d in range(PQ_DIMS)]
+                    if (s, j) in got
+                    else list(books[s][cid])
+                )
+                for j, cid in enumerate(sorted(books[s]))
+            }
+            for s in range(PQ_M)
+        }
+    return books
+
+
+def _pq_pack_codes(vecs: DataFrame, books: dict) -> DataFrame:
+    code_expr = F.lit(0).cast("bigint")
+    for s in range(PQ_M):
+        code_expr = code_expr + F.shiftleft(
+            _sub_code_idx(s, books).cast("bigint"), 3 * s
+        )
+    return vecs.select("vec_id", "label", code_expr.alias("pq_code"))
+
+
+def embedding_pq_codes(emb: DataFrame, train_iters: int = 0) -> DataFrame:
     """(vec_id, label, pq_code): each vector's packed product-quantizer
     code — per subspace, the index (0..7, by CENTROID_IDS order) of the
     L2-nearest sub-centroid, packed little-endian at 3 bits/subspace.
+    ``train_iters > 0`` first refines the sub-codebooks with that many
+    exact-decimal Lloyd iterations (:func:`_pq_lloyd_codebooks`).
 
     Pure PROJECTION: sub-codebooks are inlined literals, each subspace's
     argmin is an expression fold over 8 candidate distances (ties ->
     lowest centroid id, same contract as the IVF cell assignment), and
     the pack is integer shifts. No shuffle at any scale — quantizing
-    100 TB is one map pass."""
+    100 TB is one map pass (plus ``train_iters`` bounded-aggregate
+    training passes)."""
     vecs = _vectors(emb)
-    books = _pq_codebooks(vecs)
-    cids = sorted(books[0])
-    def _sub_code(s: int) -> Column:
-        vs = F.slice(F.col("v"), s * PQ_DIMS + 1, PQ_DIMS)
-        cent_mat = F.array(
-            *[
-                F.array(*[F.lit(x) for x in books[s][cid]])
-                for cid in cids
-            ]
-        )
-        # the lambda must take exactly ONE parameter — F.transform binds
-        # a 2-parameter callable as (element, index); `vs` is captured
-        # by closure (safe: transform builds the expression eagerly)
-        dists = F.transform(
-            cent_mat,
-            lambda cs: dot(vs, vs) - 2 * dot(vs, cs) + dot(cs, cs),
-        )
-        idx = F.array_position(dists, F.array_min(dists))  # 1-based
-        return F.shiftleft((idx - 1).cast("bigint"), 3 * s)
-
-    code_expr = F.lit(0).cast("bigint")
-    for s in range(PQ_M):
-        code_expr = code_expr + _sub_code(s)
-    return vecs.select("vec_id", "label", code_expr.alias("pq_code"))
+    books = (
+        _pq_codebooks(vecs)
+        if train_iters == 0
+        else _pq_lloyd_codebooks(vecs, train_iters)
+    )
+    return _pq_pack_codes(vecs, books)
 
 
 def _pq_codes_cte(include_e: bool = True) -> str:
@@ -1375,7 +1455,7 @@ SELECT vec_id, label, pq_code FROM codes
 
 
 def ann_pq_adc_topk(
-    emb: DataFrame, query_id: int = 0, k: int = TOP_K
+    emb: DataFrame, query_id: int = 0, k: int = TOP_K, train_iters: int = 0
 ) -> DataFrame:
     """Approximate top-k by PQ asymmetric distance computation: the
     query's RAW vector builds a 8x8 lookup table (LUT[s][j] = exact
@@ -1388,9 +1468,15 @@ def ann_pq_adc_topk(
     Returned distance is the raw ADC value (rounded at 6 decimals on
     both sides); ordering is (adc ASC, vec_id ASC). Recall is bounded
     by quantization distortion — this is the memory-bound scan path;
-    compose with IVF cells for the full IVF-PQ shape."""
+    compose with IVF cells for the full IVF-PQ shape. ``train_iters``
+    selects Lloyd-trained sub-codebooks (codes AND the LUT use the same
+    books — the quantizer and the query-side table must agree)."""
     vecs = _vectors(emb)
-    books = _pq_codebooks(vecs)
+    books = (
+        _pq_codebooks(vecs)
+        if train_iters == 0
+        else _pq_lloyd_codebooks(vecs, train_iters)
+    )
     cids = sorted(books[0])
     qrow = vecs.where(F.col("vec_id") == query_id).select("v").first()
     qv = [float(x) for x in qrow["v"]]
@@ -1403,7 +1489,7 @@ def ann_pq_adc_topk(
             cs = books[s][cid]
             row.append(qq - 2 * _seq_dot(qs, cs) + _seq_dot(cs, cs))
         lut.append(row)
-    codes = embedding_pq_codes(emb)
+    codes = _pq_pack_codes(vecs, books)
     adc = F.lit(0.0)
     for s in range(PQ_M):
         lut_arr = F.array(*[F.lit(x) for x in lut[s]])
@@ -1569,6 +1655,138 @@ unpacked AS (
   FROM codes
   JOIN cands ON codes.vec_id = cands.vec_id,
   unnest(range({PQ_M})) AS r(s)
+),
+adcs AS (
+  SELECT vec_id, ANY_VALUE(label) AS label, SUM(lut.dist) AS adc
+  FROM unpacked JOIN lut ON unpacked.s = lut.s AND unpacked.j = lut.j
+  GROUP BY vec_id
+)
+SELECT vec_id, label, {_ROUND6_SQL.format(x='adc')} AS adc
+FROM adcs
+ORDER BY adc ASC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def _pq_trained_ctes(iters: int) -> tuple[list[str], str]:
+    """CTE chain for Lloyd-TRAINED PQ: returns (ctes, final_csubs_name).
+    Each iteration is (assign subvectors to current sub-codebooks ->
+    nano-unit exact means per (subspace, code, dim) -> next codebooks),
+    the relational mirror of :func:`_pq_lloyd_codebooks`; the chain ends
+    with ``codes`` built from the final codebooks."""
+    cid_list = ", ".join(str(c) for c in CENTROID_IDS)
+    d = PQ_DIMS
+    ctes = [
+        "e AS (\n"
+        f"  SELECT vec_id, label, {_VEC_SQL.format(e='embedding')} AS v"
+        " FROM embeddings\n)",
+        "subs AS (\n"
+        "  SELECT vec_id, label, s,\n"
+        f"         v[s * {d} + 1 : s * {d} + {d}] AS vs\n"
+        f"  FROM e, unnest(range({PQ_M})) AS r(s)\n)",
+        "csubs0 AS (\n"
+        f"  SELECT s, vec_id AS cid, vec_id - {min(CENTROID_IDS)} AS j,\n"
+        f"         v[s * {d} + 1 : s * {d} + {d}] AS cs\n"
+        f"  FROM e, unnest(range({PQ_M})) AS r(s)\n"
+        f"  WHERE vec_id IN ({cid_list})\n)",
+    ]
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"{_DOT_SQL.format(a=a, b=a)} - 2 * {_DOT_SQL.format(a=a, b=b)}"
+            f" + {_DOT_SQL.format(a=b, b=b)}"
+        )
+
+    for i in range(iters):
+        ctes.append(
+            f"assign{i} AS (\n"
+            "  SELECT subs.vec_id, subs.s, c.j, subs.vs,\n"
+            "         row_number() OVER (\n"
+            "           PARTITION BY subs.vec_id, subs.s\n"
+            f"           ORDER BY {dist('subs.vs', 'c.cs')} ASC, c.j ASC\n"
+            "         ) AS rn\n"
+            f"  FROM subs JOIN csubs{i} c ON subs.s = c.s\n)"
+        )
+        ctes.append(
+            f"pm{i} AS (\n"
+            "  SELECT s, j,\n"
+            "         unnest(range(len(vs))) AS dim,\n"
+            f"         CAST(round(CAST(unnest(vs) AS DECIMAL(30,15)) *"
+            f" {_NANO}, 0)\n"
+            "              AS BIGINT) AS nv\n"
+            f"  FROM assign{i} WHERE rn = 1\n)"
+        )
+        ctes.append(
+            f"mn{i} AS (\n"
+            "  SELECT s, j, dim,\n"
+            "         CAST(CAST(SUM(CAST(nv AS HUGEINT)) AS HUGEINT)\n"
+            "              // COUNT(*) AS BIGINT) AS m\n"
+            f"  FROM pm{i} GROUP BY 1, 2, 3\n)"
+        )
+        ctes.append(
+            f"csubs{i + 1} AS (\n"
+            "  SELECT c.s, c.cid, c.j, COALESCE(mm.rv, c.cs) AS cs\n"
+            f"  FROM csubs{i} c\n"
+            "  LEFT JOIN (\n"
+            "    SELECT s, j,\n"
+            f"           array_agg(CAST(m AS DOUBLE) / {_NANO} ORDER BY"
+            " dim) AS rv\n"
+            f"    FROM mn{i} GROUP BY 1, 2\n"
+            "  ) mm ON mm.s = c.s AND mm.j = c.j\n)"
+        )
+    fin = f"csubs{iters}"
+    ctes.append(
+        "codes AS (\n"
+        "  SELECT a.vec_id, ANY_VALUE(subs.label) AS label,\n"
+        "         CAST(SUM(a.j << (3 * a.s)) AS BIGINT) AS pq_code\n"
+        "  FROM (\n"
+        "    SELECT subs.vec_id, subs.s, c.j,\n"
+        "           row_number() OVER (\n"
+        "             PARTITION BY subs.vec_id, subs.s\n"
+        f"             ORDER BY {dist('subs.vs', 'c.cs')} ASC, c.j ASC\n"
+        "           ) AS rn\n"
+        f"    FROM subs JOIN {fin} c ON subs.s = c.s\n"
+        "  ) a\n"
+        "  JOIN subs ON subs.vec_id = a.vec_id AND subs.s = a.s\n"
+        "  WHERE a.rn = 1\n"
+        "  GROUP BY a.vec_id\n)"
+    )
+    return ctes, fin
+
+
+def embedding_pq_codes_lloyd_sql(train_iters: int = 1) -> str:
+    ctes, _ = _pq_trained_ctes(train_iters)
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT vec_id, label, pq_code FROM codes
+"""
+
+
+def ann_pq_adc_topk_lloyd_sql(
+    query_id: int = 0, k: int = TOP_K, train_iters: int = 1
+) -> str:
+    """Oracle twin of the trained-codebook ADC scan: LUT from the FINAL
+    codebooks relation, codes from the same — quantizer and query-side
+    table agree by construction."""
+    ctes, fin = _pq_trained_ctes(train_iters)
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+lut AS (
+  SELECT c.s, c.j,
+         {_DOT_SQL.format(a='qs.vs', b='qs.vs')}
+           - 2 * {_DOT_SQL.format(a='qs.vs', b='c.cs')}
+           + {_DOT_SQL.format(a='c.cs', b='c.cs')} AS dist
+  FROM {fin} c
+  JOIN (SELECT s, vs FROM subs WHERE vec_id = {query_id}) qs
+    ON qs.s = c.s
+),
+unpacked AS (
+  SELECT codes.vec_id, codes.label, r.s,
+         (codes.pq_code >> (3 * r.s)) & 7 AS j
+  FROM codes, unnest(range({PQ_M})) AS r(s)
+  WHERE codes.vec_id != {query_id}
 ),
 adcs AS (
   SELECT vec_id, ANY_VALUE(label) AS label, SUM(lut.dist) AS adc

@@ -647,6 +647,19 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_pq_adc_topk(fx._read(spark, sf_dir, "embeddings"))
 
 
+@_register(
+    "ann_pq_adc_topk_lloyd", sim.ann_pq_adc_topk_lloyd_sql(train_iters=1)
+)
+def ann_pq_adc_topk_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k over TRAINED sub-codebooks: one exact-decimal Lloyd
+    iteration per subspace (the FAISS PQ training step, determinized —
+    same nano-unit integer-mean kernel as the IVF lloyd family) before
+    quantizing; codes and the query LUT share the refined books."""
+    return sim.ann_pq_adc_topk(
+        fx._read(spark, sf_dir, "embeddings"), train_iters=1
+    )
+
+
 @_register("ann_ivfpq_topk", sim.ann_ivfpq_topk_sql())
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF-PQ (the FAISS IVFADC architecture, deterministic): probe

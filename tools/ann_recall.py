@@ -171,6 +171,46 @@ def main(argv: list[str]) -> int:
         print(
             f"| {name} | {recall:.3f} | {mean_c:.0f} | {mean_c / n:.3f} |"
         )
+
+    # PQ variants rank by L2 ADC, so their ground truth is exact L2
+    # top-k (cosine truth would conflate metric mismatch with
+    # quantization distortion). Exact L2 truth via numpy on the
+    # collected corpus — a measurement-side oracle, not engine output.
+    import numpy as np
+
+    rows = vecs.select("vec_id", "v").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([list(r["v"]) for r in rows])
+    print()
+    print(
+        f"# PQ variants: recall@{args.k} vs exact-L2 ground truth "
+        f"(ADC is an L2 quantizer)"
+    )
+    print(f"| variant | recall@{args.k} | bytes/vector |")
+    print("|---|---|---|")
+    l2_truth = {}
+    for q in qids:
+        qv = mat[ids == q][0]
+        d2 = ((mat - qv) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d2))
+        top = [int(ids[i]) for i in order if ids[i] != q][: args.k]
+        l2_truth[q] = set(top)
+    pq_variants = {
+        "ann_pq_adc_topk": sim.ann_pq_adc_topk,
+        "ann_pq_adc_topk_lloyd": lambda e, query_id, k: sim.ann_pq_adc_topk(
+            e, query_id=query_id, k=k, train_iters=1
+        ),
+        "ann_ivfpq_topk": sim.ann_ivfpq_topk,
+    }
+    for name, fn in pq_variants.items():
+        hits = 0
+        for q in qids:
+            got = {
+                r["vec_id"] for r in fn(emb, query_id=q, k=args.k).collect()
+            }
+            hits += len(got & l2_truth[q])
+        recall = hits / (len(qids) * args.k)
+        print(f"| {name} | {recall:.3f} | 8 (vs 512 raw) |")
     return 0
 
 
