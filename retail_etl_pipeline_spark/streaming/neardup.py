@@ -527,3 +527,73 @@ def stream_dedup_pipeline(
     return docs_stream.writeStream.foreachBatch(
         lambda df, bid: dedup_pipeline_fold(df, bid, base_dir, verify=verify)
     )
+
+
+# ---------------------------------------------------------------------------
+# store compaction: the small-files countermeasure for long-running folds
+# ---------------------------------------------------------------------------
+
+#: reserved batch_id partition holding compacted history
+COMPACTED_BATCH_ID = -1
+
+
+def compact_batches(
+    spark: SparkSession, store_dir: str, up_to_batch: int
+) -> int:
+    """Compact a batch-partitioned fold store: rewrite every partition
+    with batch_id <= ``up_to_batch`` (plus any previous compaction) into
+    the single reserved ``batch_id=-1`` partition and delete the
+    originals. Returns the number of partitions removed.
+
+    Why: a fold writing one partition per micro-batch accumulates
+    thousands of small files over a long-running stream — the classic
+    small-files problem; listing and footer overhead eventually dominate
+    the delta joins. Compaction is safe for any store whose readers are
+    insensitive to row multiplicity across partitions (the BANDS state —
+    join keys only — and the PAIRS store — DISTINCT-absorbed). Only
+    compact batches strictly below the stream's current watermark:
+    foreachBatch replays at most the LAST uncommitted batch, so a
+    replayed batch's partition must still exist to be overwritten
+    (compacting it away would re-append instead). The quality/shingle
+    stores satisfy the same contract but their n_members/verify readers
+    assume per-doc uniqueness — compact them only at stream quiesce.
+
+    Write-then-delete ordering: the compacted partition commits before
+    originals are removed, so a crash mid-delete leaves duplicate rows
+    (absorbed by the DISTINCT readers), never lost rows."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return 0
+    victims = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        bid = int(name.split("=", 1)[1])
+        if bid == COMPACTED_BATCH_ID or bid <= up_to_batch:
+            victims.append((bid, status.getPath()))
+    real = [b for b, _ in victims if b != COMPACTED_BATCH_ID]
+    if not real:
+        return 0
+    df = spark.read.parquet(store_dir).where(
+        (F.col("batch_id") <= up_to_batch)
+        | (F.col("batch_id") == COMPACTED_BATCH_ID)
+    )
+    # A/B through a sibling temp dir: the compacted write reads the very
+    # partitions it replaces
+    tmp = store_dir.rstrip("/") + "__compact"
+    df.drop("batch_id").coalesce(1).write.mode("overwrite").parquet(tmp)
+    _write_batch_partition(
+        spark.read.parquet(tmp), store_dir, COMPACTED_BATCH_ID
+    )
+    removed = 0
+    for bid, path in victims:
+        if bid == COMPACTED_BATCH_ID:
+            continue  # replaced in-place by the dynamic overwrite
+        fs.delete(path, True)
+        removed += 1
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    return removed

@@ -1431,3 +1431,85 @@ def test_streaming_contamination_fold_equals_batch(spark, sf_dir):
     assert len(streamed) > 0
     spark.catalog.clearCache()  # eval_contamination_lsh persists bands
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_compact_batches_preserves_fold_semantics(spark):
+    """Compacting the batch-partitioned bands/pairs stores into the
+    reserved batch_id=-1 partition must change NOTHING the readers see:
+    same candidate set, same band rows, and later folds still join new
+    docs against the compacted state (the small-files countermeasure
+    for long-running folds). Includes a second compaction that absorbs
+    the previous batch_id=-1 partition."""
+    from retail_etl_pipeline_spark.streaming import neardup as nd
+
+    base = os.path.join(TMP, "compact")
+    shutil.rmtree(base, ignore_errors=True)
+    bands = os.path.join(base, "bands")
+    pairs = os.path.join(base, "pairs")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    nd.lsh_fold_batch(
+        docs(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "alpha beta gamma delta epsilon zeta eta"),
+            ]
+        ),
+        bands,
+        pairs,
+        batch_id=0,
+    )
+    nd.lsh_fold_batch(
+        docs([(3, "one two three four five six seven")]),
+        bands,
+        pairs,
+        batch_id=1,
+    )
+    cands_before = {
+        tuple(r) for r in nd.read_candidates(spark, pairs).collect()
+    }
+    bands_before = {
+        tuple(r)
+        for r in spark.read.parquet(bands)
+        .select("doc_id", "band_id", "band_key")
+        .collect()
+    }
+    assert cands_before == {(1, 2)}
+
+    assert nd.compact_batches(spark, bands, up_to_batch=1) == 2
+    # batch 1 produced zero pairs -> no batch_id=1 partition to remove
+    assert nd.compact_batches(spark, pairs, up_to_batch=1) == 1
+    # only the reserved partition remains
+    parts = {
+        p for p in os.listdir(bands) if p.startswith("batch_id=")
+    }
+    assert parts == {"batch_id=-1"}
+    assert {
+        tuple(r) for r in nd.read_candidates(spark, pairs).collect()
+    } == cands_before
+    assert {
+        tuple(r)
+        for r in spark.read.parquet(bands)
+        .select("doc_id", "band_id", "band_key")
+        .collect()
+    } == bands_before
+
+    # a later fold still finds cross-batch pairs against compacted state
+    nd.lsh_fold_batch(
+        docs([(4, "alpha beta gamma delta epsilon zeta theta")]),
+        bands,
+        pairs,
+        batch_id=2,
+    )
+    cands = {tuple(r) for r in nd.read_candidates(spark, pairs).collect()}
+    assert (1, 4) in cands and (2, 4) in cands and (1, 2) in cands
+
+    # second compaction absorbs the previous -1 partition + batch 2
+    assert nd.compact_batches(spark, bands, up_to_batch=2) == 1
+    assert nd.compact_batches(spark, pairs, up_to_batch=2) == 1
+    assert {
+        tuple(r) for r in nd.read_candidates(spark, pairs).collect()
+    } == cands
+    shutil.rmtree(base, ignore_errors=True)
