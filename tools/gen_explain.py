@@ -10,6 +10,18 @@ from __future__ import annotations
 import sys
 
 SHOW = {
+    "embedding_pq_codes": (
+        "Product quantization as a PURE PROJECTION: sub-codebooks are "
+        "inlined literals, every subspace argmin is an expression fold, "
+        "the pack is integer shifts — one map pass over the corpus, no "
+        "exchange anywhere (quantizing 100 TB never shuffles)."
+    ),
+    "ann_ivfpq_topk": (
+        "Full IVF-PQ: the candidate scan is a cell-pruned filter over "
+        "the codes projection, ADC is 8 literal-array lookups, top-k is "
+        "TakeOrderedAndProject — the only join attaches codes to cells, "
+        "both projections of the same scan."
+    ),
     "weekly_summary": (
         "The flagship: 13 metrics in ONE logical aggregation over the "
         "merged frame — no self-joins (the reference's 8-way assembly). "
