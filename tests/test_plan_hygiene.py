@@ -674,3 +674,24 @@ def test_runtime_bloom_filter_injected_on_selective_shuffle_join(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pq_codes_is_pure_projection(spark, sf_dir):
+    """Product quantization must never shuffle: sub-codebooks are
+    inlined literals and the per-subspace argmin is an expression fold,
+    so the whole quantization plan is projections over ONE scan —
+    quantizing 100 TB is a map pass (SCALE.md PQ row)."""
+    plan = _physical(QUERIES["embedding_pq_codes"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert len(re.findall(r"FileScan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_pq_adc_scan_has_no_join(spark, sf_dir):
+    """The ADC top-k scans the codes projection with literal-array
+    lookups and takes top-k via TakeOrderedAndProject — no join, no
+    global sort (the LUT is plan constants, not a relation)."""
+    plan = _physical(QUERIES["ann_pq_adc_topk"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
