@@ -704,3 +704,228 @@ def bigram_pmi(
         .orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
         .limit(top_k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-rule battery (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", App. A1.1 — the
+# published MassiveText filter rules, adapted word-based for this corpus)
+# ---------------------------------------------------------------------------
+
+#: published thresholds (word-count band, mean-word-length band, minimum
+#: alphabetic-word fraction, minimum distinct stopwords, maximum
+#: duplicate-2-gram fraction, maximum top-2-gram share)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3
+GOPHER_MAX_MEAN_LEN = 10
+GOPHER_MIN_ALPHA_NUM = 4  # alpha_frac >= 4/5
+GOPHER_MIN_ALPHA_DEN = 5
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_DUP2_NUM = 1  # dup_bigram_frac <= 1/5
+GOPHER_DUP2_DEN = 5
+GOPHER_TOP2_NUM = 1  # top_bigram_frac <= 1/5
+GOPHER_TOP2_DEN = 5
+
+
+def gopher_quality_flags(docs: DataFrame) -> DataFrame:
+    """Per-document Gopher/MassiveText quality rules: the measured
+    signals, one boolean per rule, and the conjunction ``keep`` — the
+    published pretraining filter battery as ONE relational pass.
+
+    Every rule flag is decided by exact-INTEGER cross-multiplication
+    (e.g. ``mean_word_len >= 3``  ⟺  ``sum_len >= 3 * n_tokens``), so
+    the booleans are engine-stable with zero float involvement; the
+    reported fractional columns are display-only round6 quotients of
+    the same exact integers.
+
+    Plan: one token explode feeding (a) a per-doc token aggregate
+    (counts, character sum, alphabetic count, distinct stopwords) and
+    (b) a bigram count -> per-doc bigram aggregate (total, distinct,
+    max count) via the lead() window the shingle machinery uses; the
+    two |docs|-bounded relations join on doc_id. Raw text never
+    shuffles — only compact (doc, gram, count) rows."""
+    from pyspark.sql import Window
+
+    from ..functions.stats import round6
+
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    per_tok = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.length("tok")).cast("bigint").alias("sum_len"),
+        F.sum(
+            F.when(F.col("tok").rlike("[a-zA-Z]"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.count_distinct(
+            F.when(F.col("tok").isin(*STOPWORDS), F.col("tok"))
+        )
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w)).alias(
+                "bg"
+            ),
+            F.lead("tok", 1).over(w).alias("_nxt"),
+        )
+        .where(F.col("_nxt").isNotNull())
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_bg = bigrams.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_bigrams"),
+        F.max("cnt").cast("bigint").alias("max_bigram_cnt"),
+    )
+    j = per_tok.join(per_bg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "sum_len",
+        "n_alpha",
+        "n_stop",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("n_distinct_bigrams", F.lit(0)).alias(
+            "n_distinct_bigrams"
+        ),
+        F.coalesce("max_bigram_cnt", F.lit(0)).alias("max_bigram_cnt"),
+    )
+    dup = F.col("n_bigrams") - F.col("n_distinct_bigrams")
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        round6(
+            F.col("sum_len").cast("double") / F.col("n_tokens")
+        ).alias("mean_word_len"),
+        round6(
+            F.col("n_alpha").cast("double") / F.col("n_tokens")
+        ).alias("alpha_frac"),
+        F.col("n_stop").alias("n_stopwords"),
+        round6(
+            dup.cast("double") / F.nullif(F.col("n_bigrams"), F.lit(0))
+        ).alias("dup_bigram_frac"),
+        round6(
+            F.col("max_bigram_cnt").cast("double")
+            / F.nullif(F.col("n_bigrams"), F.lit(0))
+        ).alias("top_bigram_frac"),
+        (
+            (F.col("n_tokens") >= GOPHER_MIN_WORDS)
+            & (F.col("n_tokens") <= GOPHER_MAX_WORDS)
+        ).alias("pass_word_count"),
+        (
+            (F.col("sum_len") >= GOPHER_MIN_MEAN_LEN * F.col("n_tokens"))
+            & (F.col("sum_len") <= GOPHER_MAX_MEAN_LEN * F.col("n_tokens"))
+        ).alias("pass_mean_len"),
+        (
+            GOPHER_MIN_ALPHA_DEN * F.col("n_alpha")
+            >= GOPHER_MIN_ALPHA_NUM * F.col("n_tokens")
+        ).alias("pass_alpha"),
+        (F.col("n_stop") >= GOPHER_MIN_STOPWORDS).alias("pass_stopwords"),
+        (GOPHER_DUP2_DEN * dup <= GOPHER_DUP2_NUM * F.col("n_bigrams")).alias(
+            "pass_dup_bigram"
+        ),
+        (
+            GOPHER_TOP2_DEN * F.col("max_bigram_cnt")
+            <= GOPHER_TOP2_NUM * F.col("n_bigrams")
+        ).alias("pass_top_bigram"),
+        (
+            (F.col("n_tokens") >= GOPHER_MIN_WORDS)
+            & (F.col("n_tokens") <= GOPHER_MAX_WORDS)
+            & (F.col("sum_len") >= GOPHER_MIN_MEAN_LEN * F.col("n_tokens"))
+            & (F.col("sum_len") <= GOPHER_MAX_MEAN_LEN * F.col("n_tokens"))
+            & (
+                GOPHER_MIN_ALPHA_DEN * F.col("n_alpha")
+                >= GOPHER_MIN_ALPHA_NUM * F.col("n_tokens")
+            )
+            & (F.col("n_stop") >= GOPHER_MIN_STOPWORDS)
+            & (GOPHER_DUP2_DEN * dup <= GOPHER_DUP2_NUM * F.col("n_bigrams"))
+            & (
+                GOPHER_TOP2_DEN * F.col("max_bigram_cnt")
+                <= GOPHER_TOP2_NUM * F.col("n_bigrams")
+            )
+        ).alias("keep"),
+    )
+
+
+GOPHER_QUALITY_SQL = f"""
+WITH toks AS (
+  -- parallel unnests zip positionally (the comps-CTE pattern)
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(len(ts))) AS pos
+  FROM (
+    SELECT doc_id, {TOKENS_SQL.format(c='text')} AS ts FROM documents
+  ) d
+),
+per_tok AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(length(tok)) AS BIGINT) AS sum_len,
+         CAST(SUM(CASE WHEN regexp_matches(tok, '[a-zA-Z]') THEN 1
+                  ELSE 0 END) AS BIGINT) AS n_alpha,
+         CAST(COUNT(DISTINCT CASE WHEN list_contains(
+             {_sql_list(STOPWORDS)}, tok) THEN tok END) AS BIGINT)
+           AS n_stop
+  FROM toks GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+           AS bg
+  FROM toks
+),
+bgc AS (
+  SELECT doc_id, bg, COUNT(*) AS cnt
+  FROM bg WHERE bg.bg IS NOT NULL
+  GROUP BY doc_id, bg
+),
+per_bg AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+         CAST(MAX(cnt) AS BIGINT) AS max_bigram_cnt
+  FROM bgc GROUP BY doc_id
+)
+SELECT per_tok.doc_id,
+       n_tokens,
+       CAST(round(CAST(CAST(sum_len AS DOUBLE) / n_tokens
+                       AS DECIMAL(20,9)), 6) AS DOUBLE) AS mean_word_len,
+       CAST(round(CAST(CAST(n_alpha AS DOUBLE) / n_tokens
+                       AS DECIMAL(20,9)), 6) AS DOUBLE) AS alpha_frac,
+       n_stop AS n_stopwords,
+       CAST(round(CAST(CAST(COALESCE(n_bigrams, 0)
+                            - COALESCE(n_distinct_bigrams, 0) AS DOUBLE)
+                       / NULLIF(n_bigrams, 0)
+                       AS DECIMAL(20,9)), 6) AS DOUBLE) AS dup_bigram_frac,
+       CAST(round(CAST(CAST(COALESCE(max_bigram_cnt, 0) AS DOUBLE)
+                       / NULLIF(n_bigrams, 0)
+                       AS DECIMAL(20,9)), 6) AS DOUBLE) AS top_bigram_frac,
+       n_tokens >= {GOPHER_MIN_WORDS} AND n_tokens <= {GOPHER_MAX_WORDS}
+         AS pass_word_count,
+       sum_len >= {GOPHER_MIN_MEAN_LEN} * n_tokens
+         AND sum_len <= {GOPHER_MAX_MEAN_LEN} * n_tokens AS pass_mean_len,
+       {GOPHER_MIN_ALPHA_DEN} * n_alpha
+         >= {GOPHER_MIN_ALPHA_NUM} * n_tokens AS pass_alpha,
+       n_stop >= {GOPHER_MIN_STOPWORDS} AS pass_stopwords,
+       {GOPHER_DUP2_DEN} * (COALESCE(n_bigrams, 0)
+                            - COALESCE(n_distinct_bigrams, 0))
+         <= {GOPHER_DUP2_NUM} * COALESCE(n_bigrams, 0) AS pass_dup_bigram,
+       {GOPHER_TOP2_DEN} * COALESCE(max_bigram_cnt, 0)
+         <= {GOPHER_TOP2_NUM} * COALESCE(n_bigrams, 0) AS pass_top_bigram,
+       (n_tokens >= {GOPHER_MIN_WORDS} AND n_tokens <= {GOPHER_MAX_WORDS}
+        AND sum_len >= {GOPHER_MIN_MEAN_LEN} * n_tokens
+        AND sum_len <= {GOPHER_MAX_MEAN_LEN} * n_tokens
+        AND {GOPHER_MIN_ALPHA_DEN} * n_alpha
+              >= {GOPHER_MIN_ALPHA_NUM} * n_tokens
+        AND n_stop >= {GOPHER_MIN_STOPWORDS}
+        AND {GOPHER_DUP2_DEN} * (COALESCE(n_bigrams, 0)
+                                 - COALESCE(n_distinct_bigrams, 0))
+              <= {GOPHER_DUP2_NUM} * COALESCE(n_bigrams, 0)
+        AND {GOPHER_TOP2_DEN} * COALESCE(max_bigram_cnt, 0)
+              <= {GOPHER_TOP2_NUM} * COALESCE(n_bigrams, 0)) AS keep
+FROM per_tok LEFT JOIN per_bg ON per_tok.doc_id = per_bg.doc_id
+"""

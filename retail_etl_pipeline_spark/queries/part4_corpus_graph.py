@@ -74,6 +74,16 @@ def word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.word_repetition(fx._read(spark, sf_dir, "documents"))
 
 
+@_register("gopher_quality_flags", tx.GOPHER_QUALITY_SQL)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher/MassiveText quality-rule battery (Rae et al.
+    2021 App. A1.1, word-adapted) in ONE relational pass: per-doc
+    measured signals + one boolean per rule + the keep conjunction.
+    Every flag decided by exact-integer cross-multiplication — zero
+    float at the thresholds (operators/text.gopher_quality_flags)."""
+    return tx.gopher_quality_flags(fx._read(spark, sf_dir, "documents"))
+
+
 @_register("eval_contamination", cp.EVAL_CONTAMINATION_SQL)
 def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram contamination of a held-out eval split vs the training
