@@ -1054,3 +1054,100 @@ def atkinson2_index(df: DataFrame, value_col: str) -> DataFrame:
         )
         .alias("atkinson2"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """One-row exact-rank Kruskal–Wallis H across ALL groups — the
+    k-sample generalization of :func:`mann_whitney_u2` (is ANY group's
+    distribution shifted?), with the tie-corrected variant beside it.
+
+    Exactness discipline (the MWU/KS doubling trick): tied-average
+    ranks are half-integers, so DOUBLED rank sums stay exact integers —
+    at pooled value v with count cv and cumulative-below C, the doubled
+    average rank is ``2C + cv + 1``, and per group
+    ``R2_g = Σ_v c_{g,v} · (2C_v + cv_v + 1) = 2·R_g`` accumulates in
+    DECIMAL. With S = Σ_g R_g²/n_g = Σ_g R2_g²/(4·n_g):
+
+        H = 12/(N(N+1))·S − 3(N+1)  =  3/(N(N+1))·Σ_g R2_g²/n_g − 3(N+1)
+
+    The only non-integer step is the final formula: the per-group terms
+    are folded SEQUENTIALLY over a group-key-ORDERED array (Spark
+    ``aggregate`` fold == DuckDB ``list_reduce`` — same IEEE ops in the
+    same order, bit-identical), never a partition-order-dependent SUM
+    of doubles. Tie correction divides by ``1 − Σ(t³−t)/(N³−N)`` with
+    both sums exact DECIMAL integers hopped to double once.
+
+    Plan: one (group, value) count aggregation, one pooled per-value
+    aggregation + exact prefix sum (:func:`..functions.ordered.
+    with_running_sum` — no one-task window), one |groups|-bounded
+    rollup collected into a single ordered array row. Scale: bounded by
+    groups × distinct values after the first aggregation.
+    Returns (n_groups, n_total, h, h_tie_corrected)."""
+    from .ordered import with_running_sum
+
+    cnt = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+    perv = cnt.groupBy("v").agg(
+        F.sum("c").cast("decimal(38,0)").alias("cv")
+    )
+    run, _tot = with_running_sum(
+        perv, [F.col("v")], "cv", running_col="cumv"
+    )
+    ranked = cnt.join(run.select("v", "cv", "cumv"), "v").select(
+        "g",
+        "c",
+        (
+            (2 * (F.col("cumv") - F.col("cv")) + F.col("cv") + 1)
+            * F.col("c")
+        )
+        .cast("decimal(38,0)")
+        .alias("r2part"),
+    )
+    per_g = ranked.groupBy("g").agg(
+        F.sum("c").cast("decimal(38,0)").alias("n_g"),
+        F.sum("r2part").cast("decimal(38,0)").alias("r2"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    gl = per_g.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("g"), F.col("n_g"), F.col("r2")))
+        ).alias("gs"),
+        F.coalesce(F.sum("n_g"), zero).alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    ties = run.agg(
+        F.coalesce(
+            F.sum(F.expr("CAST(cv*cv*cv - cv AS DECIMAL(38,0))")), zero
+        ).alias("stie")
+    )
+    j = gl.crossJoin(ties)
+    # R2 and n_g are exact integers < 2^53 at any realistic N — the
+    # double hop is exact; squaring/dividing are single IEEE ops
+    s_fold = F.aggregate(
+        F.col("gs"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (
+            x["r2"].cast("double")
+            * x["r2"].cast("double")
+            / x["n_g"].cast("double")
+        ),
+    )
+    nd = F.col("n").cast("double")
+    h = (F.lit(3.0) / (nd * (nd + 1))) * s_fold - 3 * (nd + 1)
+    corr = F.lit(1.0) - F.col("stie").cast("double") / F.expr(
+        "CAST(n*n*n - n AS DECIMAL(38,0))"
+    ).cast("double")
+    return j.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").cast("bigint").alias("n_total"),
+        F.when(F.col("n") > 1, round6(h))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("h"),
+        F.when((F.col("n") > 1) & (corr > 0), round6(h / corr))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("h_tie_corrected"),
+    )

@@ -1215,3 +1215,110 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-7: k-sample rank test — Kruskal-Wallis across all nations
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "nation_revenue_kruskal",
+    """
+WITH vals AS (
+  SELECT n_name AS g,
+         CAST(round(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)),
+                    2) * 100 AS BIGINT) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+),
+cnt AS (
+  SELECT g, v, CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+  FROM vals GROUP BY 1, 2
+),
+perv AS (
+  SELECT v, CAST(SUM(c) AS DECIMAL(38,0)) AS cv FROM cnt GROUP BY 1
+),
+run AS (
+  SELECT v, cv,
+         SUM(cv) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumv
+  FROM perv
+),
+ranked AS (
+  SELECT g, c,
+         CAST((2 * (cumv - cv) + cv + 1) * c AS DECIMAL(38,0)) AS r2part
+  FROM cnt JOIN run USING (v)
+),
+per_g AS (
+  SELECT g,
+         CAST(SUM(c) AS DECIMAL(38,0)) AS n_g,
+         CAST(SUM(r2part) AS DECIMAL(38,0)) AS r2
+  FROM ranked GROUP BY 1
+),
+gl AS (
+  SELECT list(struct_pack(g := g, n_g := n_g, r2 := r2) ORDER BY g) AS gs,
+         CAST(SUM(n_g) AS DECIMAL(38,0)) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM per_g
+),
+t AS (
+  SELECT CAST(COALESCE(SUM(cv*cv*cv - cv), 0) AS DECIMAL(38,0)) AS stie
+  FROM perv
+),
+calc AS (
+  SELECT k, n, stie,
+         (3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)))
+           * list_reduce(
+               list_transform(gs, x ->
+                 CAST(x.r2 AS DOUBLE) * CAST(x.r2 AS DOUBLE)
+                   / CAST(x.n_g AS DOUBLE)),
+               (a, b) -> a + b)
+           - 3 * (CAST(n AS DOUBLE) + 1) AS h,
+         1.0 - CAST(stie AS DOUBLE)
+             / CAST(CAST(n*n*n - n AS DECIMAL(38,0)) AS DOUBLE) AS corr
+  FROM gl, t
+)
+SELECT k AS n_groups,
+       CAST(n AS BIGINT) AS n_total,
+       CASE WHEN n > 1
+            THEN CAST(round(CAST(h AS DECIMAL(20,9)), 6) AS DOUBLE) END
+         AS h,
+       CASE WHEN n > 1 AND corr > 0
+            THEN CAST(round(CAST(h / corr AS DECIMAL(20,9)), 6) AS DOUBLE)
+            END AS h_tie_corrected
+FROM calc
+""",
+)
+def nation_revenue_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-sample rank drift: exact-rank Kruskal-Wallis H of per-line
+    revenue (integer cents) across ALL supplier nations at once — "is
+    ANY nation's revenue distribution shifted?", the one-test companion
+    to the pairwise nation_revenue_ks/mwu family on the same
+    stratification. Kernel: functions/stats.kruskal_wallis — doubled
+    tie-average ranks stay exact integers; the single cross-group
+    double formula folds SEQUENTIALLY over a nation-ordered array
+    (Spark aggregate == DuckDB list_reduce, bit-identical)."""
+    from ..functions.stats import kruskal_wallis
+
+    li = fx._read(spark, sf_dir, "lineitem")
+    su = fx._read(spark, sf_dir, "supplier")
+    na = fx._read(spark, sf_dir, "nation")
+    vals = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .select(
+            F.col("n_name").alias("g"),
+            (
+                F.round(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(30,6)"),
+                    2,
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("v"),
+        )
+    )
+    return kruskal_wallis(vals, "v", "g")

@@ -169,3 +169,50 @@ def test_lorenz_buckets_match_exact_python_oracle(spark, xs, buckets):
         exp_cum.append(cum * 1_000_000 // total)
     assert [r.cum_share_ppm for r in out] == exp_cum
     assert out[-1].cum_share_ppm == 1_000_000
+
+
+def test_kruskal_wallis_textbook_and_properties(spark):
+    """H on the no-tie textbook partition {1-3},{4-6},{7-9} is exactly
+    7.2 (12/90*(12+75+192)-30); a two-group KW must agree with the
+    normal-equivalent identity H = z² asymptotically — here checked
+    against the exact MWU doubling instead: for k=2 with no ties,
+    H = (u2/2 - n1*n2/2)² * 12 / (n1*n2*(N+1)) ... verified numerically
+    via the package's own mann_whitney_u2. Ties: duplicating every
+    value halves nothing silently — corrected H > raw H."""
+    from retail_etl_pipeline_spark.functions.stats import (
+        kruskal_wallis,
+        mann_whitney_u2,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5), ("b", 6),
+         ("c", 7), ("c", 8), ("c", 9)],
+        "g string, v long",
+    )
+    row = kruskal_wallis(df, "v", "g").first()
+    assert row["n_groups"] == 3 and row["n_total"] == 9
+    assert abs(row["h"] - 7.2) < 1e-9
+    assert row["h_tie_corrected"] == row["h"]  # no ties
+
+    # k=2: H equals the normalized-U statistic squared (no ties)
+    two = spark.createDataFrame(
+        [("a", 10), ("a", 30), ("a", 50), ("b", 20), ("b", 40),
+         ("b", 60), ("b", 70)],
+        "g string, v long",
+    )
+    h2 = kruskal_wallis(two, "v", "g").first()["h"]
+    u = mann_whitney_u2(
+        two.select("v", (F.col("g") == "a").alias("f")), "v", "f"
+    ).first()
+    n1, n2 = u["n_a"], u["n_b"]
+    n = n1 + n2
+    z2 = ((u["u2_a"] / 2 - n1 * n2 / 2) ** 2) * 12 / (n1 * n2 * (n + 1))
+    assert abs(h2 - z2) < 1e-6
+
+    # ties raise the corrected H above the raw H
+    tied = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 2), ("b", 3), ("b", 3)],
+        "g string, v long",
+    )
+    t = kruskal_wallis(tied, "v", "g").first()
+    assert t["h_tie_corrected"] > t["h"]
