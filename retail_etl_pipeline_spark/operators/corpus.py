@@ -164,17 +164,20 @@ QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok ASC) = 1
 EVAL_MOD = 20
 
 
-def eval_contamination(docs: DataFrame) -> DataFrame:
+def eval_contamination(docs: DataFrame, n: int | None = None) -> DataFrame:
     """N-gram contamination of a held-out eval split against the training
     corpus: for each eval document (doc_id % EVAL_MOD == 0), how many of
     its shingles also occur in any training document, and how many
-    training documents share at least one shingle.
+    training documents share at least one shingle. ``n`` overrides the
+    shingle width (default SHINGLE_N=3; the GPT-3 appendix-C published
+    method uses 13-grams — longer grams trade recall for precision:
+    a 13-gram collision is near-certain leakage).
 
     The join key is the 60-bit shingle fingerprint (never text), so the
     contamination check is one equi-join however large the corpus; the
     eval side is 1/EVAL_MOD of the data and AQE broadcasts it when small.
     """
-    sh = shingles(docs)
+    sh = shingles(docs) if n is None else shingles(docs, n=n)
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     eval_sh = sh.where(is_eval)
     train_sh = sh.where(~is_eval).withColumnRenamed("doc_id", "train_doc_id")
@@ -209,8 +212,14 @@ def eval_contamination(docs: DataFrame) -> DataFrame:
     )
 
 
-EVAL_CONTAMINATION_SQL = f"""
-WITH {SHINGLES_CTE.strip()},
+def eval_contamination_sql(n: int | None = None) -> str:
+    """Oracle builder for :func:`eval_contamination` at shingle width
+    ``n`` (None = the default SHINGLE_N CTE)."""
+    from .dedup import shingles_cte_sql
+
+    cte = SHINGLES_CTE if n is None else shingles_cte_sql(n)
+    return f"""
+WITH {cte.strip()},
 eval_sh AS (SELECT * FROM shingles WHERE doc_id % {EVAL_MOD} = 0),
 train_sh AS (SELECT doc_id AS train_doc_id, sh FROM shingles
              WHERE doc_id % {EVAL_MOD} != 0),
@@ -234,6 +243,9 @@ SELECT totals.doc_id,
          AS contamination_rate
 FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
 """
+
+
+EVAL_CONTAMINATION_SQL = eval_contamination_sql()
 
 
 def eval_contamination_lsh(docs: DataFrame) -> DataFrame:

@@ -66,8 +66,9 @@ LSH_ROWS = 4
 # building blocks
 # ---------------------------------------------------------------------------
 
-def shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh) — distinct 60-bit ids of word SHINGLE_N-grams.
+def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, sh) — distinct 60-bit ids of word ``n``-grams (default
+    SHINGLE_N; contamination checks pass the published 13).
 
     Built with posexplode + lead() windows rather than a
     transform/sequence/element_at lambda: higher-order-function lambdas are
@@ -81,7 +82,7 @@ def shingles(docs: DataFrame) -> DataFrame:
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    tail = [F.lead("tok", j).over(w) for j in range(1, SHINGLE_N)]
+    tail = [F.lead("tok", j).over(w) for j in range(1, n)]
     grams = toks.select(
         "doc_id",
         F.concat_ws(" ", F.col("tok"), *tail).alias("gram"),
@@ -92,15 +93,21 @@ def shingles(docs: DataFrame) -> DataFrame:
     ).distinct()
 
 
-#: matching CTE: documents -> (doc_id, sh); 1-indexed list access in DuckDB
-_GRAM_SQL = " || ' ' || ".join(f"t[i+{j}]" for j in range(SHINGLE_N))
-SHINGLES_CTE = f"""
+def shingles_cte_sql(n: int = SHINGLE_N) -> str:
+    """Matching CTE: documents -> (doc_id, sh) for word ``n``-grams;
+    1-indexed list access in DuckDB."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
 shingles AS (
-  SELECT DISTINCT doc_id, {fingerprint64_sql(f"({_GRAM_SQL})")} AS sh
+  SELECT DISTINCT doc_id, {fingerprint64_sql(f"({gram})")} AS sh
   FROM (
     SELECT doc_id, {TOKENS_SQL.format(c='text')} AS t FROM documents
-  ) AS d, unnest(range(1, len(t) - {SHINGLE_N - 2})) AS r(i)
+  ) AS d, unnest(range(1, len(t) - {n - 2})) AS r(i)
 )"""
+
+
+_GRAM_SQL = " || ' ' || ".join(f"t[i+{j}]" for j in range(SHINGLE_N))
+SHINGLES_CTE = shingles_cte_sql(SHINGLE_N)
 
 
 # ---------------------------------------------------------------------------

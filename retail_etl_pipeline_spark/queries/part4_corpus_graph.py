@@ -93,6 +93,20 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.eval_contamination(fx._read(spark, sf_dir, "documents"))
 
 
+@_register("eval_contamination_13gram", cp.eval_contamination_sql(13))
+def eval_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GPT-3 published decontamination width (Brown et al. 2020
+    App. C: 13-gram overlap): same fingerprint equi-join as
+    eval_contamination at n=13 — long grams trade recall for precision;
+    a 13-gram collision is near-certain verbatim leakage, so this is
+    the REMOVAL criterion while the 3-gram form is the audit signal.
+    Same one-equi-join plan; the shingle relation is larger per doc but
+    still 8-byte keys."""
+    return cp.eval_contamination(
+        fx._read(spark, sf_dir, "documents"), n=13
+    )
+
+
 @_register("token_length_histogram", cp.TOKEN_LENGTH_HISTOGRAM_SQL)
 def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-length histogram by language — bounded-key (lang × bucket)
