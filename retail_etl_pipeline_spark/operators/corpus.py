@@ -268,18 +268,26 @@ def eval_contamination_lsh(docs: DataFrame) -> DataFrame:
     # persist: both sides of the self-join read this relation, and the
     # shingle+16-minhash subtree is the expensive part — without the
     # persist it evaluates twice (same discipline as
-    # minhash_lsh_candidates in dedup.py)
+    # minhash_lsh_candidates in dedup.py). The flag list itself is small
+    # (<= contaminated-train-doc count), so it is materialized eagerly
+    # via localCheckpoint and the band cache released in the same call —
+    # a long-lived driver running the registry doesn't accumulate leaked
+    # cache entries.
     bands = band_index(docs).persist()
-    train = bands.where(F.col("doc_id") % EVAL_MOD != 0)
-    ev = (
-        bands.where(F.col("doc_id") % EVAL_MOD == 0)
-        .withColumnRenamed("doc_id", "eval_doc_id")
-    )
-    return (
-        train.join(ev, ["band_id", "band_key"])
-        .groupBy("doc_id")
-        .agg(F.countDistinct("eval_doc_id").alias("n_eval_matches"))
-    )
+    try:
+        train = bands.where(F.col("doc_id") % EVAL_MOD != 0)
+        ev = (
+            bands.where(F.col("doc_id") % EVAL_MOD == 0)
+            .withColumnRenamed("doc_id", "eval_doc_id")
+        )
+        return (
+            train.join(ev, ["band_id", "band_key"])
+            .groupBy("doc_id")
+            .agg(F.countDistinct("eval_doc_id").alias("n_eval_matches"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        bands.unpersist()
 
 
 def _eval_contamination_lsh_sql() -> str:

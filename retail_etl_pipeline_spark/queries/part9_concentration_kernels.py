@@ -1256,8 +1256,10 @@ per_g AS (
   FROM ranked GROUP BY 1
 ),
 gl AS (
+  -- COALESCE: zero input rows must yield n=0 (matching the Spark
+  -- kernel's zero-coalesced count), not NULL
   SELECT list(struct_pack(g := g, n_g := n_g, r2 := r2) ORDER BY g) AS gs,
-         CAST(SUM(n_g) AS DECIMAL(38,0)) AS n,
+         CAST(COALESCE(SUM(n_g), 0) AS DECIMAL(38,0)) AS n,
          CAST(COUNT(*) AS BIGINT) AS k
   FROM per_g
 ),

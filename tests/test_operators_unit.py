@@ -672,3 +672,27 @@ def test_partsupp_synthetic_matches_oracle_cte_rowwise(spark, duck, sf_dir):
     n_parts = fx._read(spark, sf_dir, "part").count()
     assert len(got) == 4 * n_parts
     assert all(1 <= r[2] <= 9999 and 100 <= r[3] <= 100000 for r in got)
+
+
+def test_query_index_first_sentence_skips_abbreviations():
+    """The QUERIES.md summary extractor must not split on the period of
+    'et al.' / 'App.' style abbreviations (r8 ADVICE: two generated
+    descriptions were truncated mid-citation)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), os.pardir, "tools")
+    )
+    from gen_query_index import first_sentence
+
+    doc = (
+        "The GPT-3 width (Brown et al. 2020 App. C: 13-gram overlap):"
+        " the removal criterion. Second sentence."
+    )
+    assert first_sentence(doc) == (
+        "The GPT-3 width (Brown et al. 2020 App. C: 13-gram overlap):"
+        " the removal criterion."
+    )
+    assert first_sentence("Plain lead. Tail.") == "Plain lead."
+    assert first_sentence(None) == "(no docstring)"

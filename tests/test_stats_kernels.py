@@ -216,3 +216,34 @@ def test_kruskal_wallis_textbook_and_properties(spark):
     )
     t = kruskal_wallis(tied, "v", "g").first()
     assert t["h_tie_corrected"] > t["h"]
+
+
+def test_kruskal_wallis_empty_input_matches_oracle(spark):
+    """Degenerate-input parity (r8 ADVICE): zero rows must yield
+    (n_groups=0, n_total=0, h=NULL, h_tie_corrected=NULL) from BOTH the
+    Spark kernel and the DuckDB oracle — the oracle's SUM over zero
+    rows previously left n_total NULL where the kernel coalesces to 0."""
+    import duckdb
+
+    from retail_etl_pipeline_spark.functions.stats import kruskal_wallis
+
+    empty = spark.createDataFrame([], "g string, v long")
+    row = kruskal_wallis(empty, "v", "g").first()
+    assert (
+        row["n_groups"],
+        row["n_total"],
+        row["h"],
+        row["h_tie_corrected"],
+    ) == (0, 0, None, None)
+
+    from __spark_entry__ import oracle_sql
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in ("lineitem", "supplier", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{sf}/{t}.parquet') WHERE false"
+        )
+    (orow,) = con.execute(oracle_sql()["nation_revenue_kruskal"]).fetchall()
+    assert orow == (0, 0, None, None)
