@@ -1798,3 +1798,570 @@ FROM adcs
 ORDER BY adc ASC, vec_id ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# PQ8: product quantization with the FAISS-STANDARD 256-entry sub-codebooks
+# (8 bits/subspace -> 8-byte codes at 64x compression). The 3-bit family
+# above is the architecture demo; its measured recall@10 (0.07-0.13,
+# SCALE.md) is what 8-entry codebooks buy. PQ8 is the production constant:
+# k*=256 per subspace, the default of faiss.IndexPQ(d, 8, 8) — same
+# machinery, two changes that matter at this size:
+#
+# 1. Codebooks are FLAT string literals split+cast to array<double>
+#    (constant-folded by Catalyst; F.lit on the same 2048 values costs
+#    ~1.8 s/subspace of py4j roundtrips, and eager DataFrame analysis of
+#    a 16k-literal tree another ~2.7 s — both measured) and the
+#    assignment argmin uses the MONOTONE form |cs|^2 - 2<vs,cs> (the
+#    |vs|^2 term is constant across candidates, so dropping it preserves
+#    the argmin) with |cs|^2 pre-computed driver-side — one interpreted
+#    fold per candidate instead of three. The ORACLE ranks by the same
+#    2-term expression with the same left-to-right accumulation, so
+#    near-ties stay bit-identical across engines (the proven
+#    Spark-fold == list_dot_product agreement).
+# 2. Packing 8x 8-bit codes fills all 64 bits: subspace 7 can set the sign
+#    bit. Spark's shiftleft/sum wraps two's-complement natively (disjoint
+#    bit ranges make sum == bitwise OR); the oracle packs in HUGEINT and
+#    applies the explicit wrap  p >= 2^63 ? p - 2^64 : p  so both engines
+#    emit the same signed BIGINT.
+#
+# Training still fits the bounded-aggregation contract: one Lloyd
+# iteration collects <= PQ_M x 256 x PQ_DIMS = 16384 exact nano-unit means
+# — the codebook ITSELF (128 KB, the same artifact faiss.train ships to
+# every query node), independent of corpus size.
+# ---------------------------------------------------------------------------
+
+#: PQ8 layout: 256 sub-centroids (8 bits) per subspace; seeds are corpus
+#: vec_ids 1..256 (j = vec_id - 1), the same fixed-seed determinism as
+#: CENTROID_IDS
+PQ8_K = 256
+PQ8_BITS = 8
+PQ8_SEED_LO, PQ8_SEED_HI = 1, 256
+
+_TWO63 = 9223372036854775808
+_TWO64 = 18446744073709551616
+
+
+def _pq8_books(
+    vecs: DataFrame, m: int = PQ_M, d: int = PQ_DIMS
+) -> dict[int, dict[int, list[float]]]:
+    """books[s][j] = seed vector (j+1)'s dims [s*d, (s+1)*d) — bounded
+    collect of 256 rows (the untrained codebook, a plan constant like
+    the 8-row CENTROID_IDS collect). ``m`` subspaces of ``d`` dims
+    (m*d = 64): (8, 8) is the PQ8 layout, (16, 4) the PQ16 one."""
+    rows = (
+        vecs.where(F.col("vec_id").between(PQ8_SEED_LO, PQ8_SEED_HI))
+        .select("vec_id", "v")
+        .collect()
+    )
+    full = {r["vec_id"] - PQ8_SEED_LO: [float(x) for x in r["v"]] for r in rows}
+    return {
+        s: {j: v[s * d : (s + 1) * d] for j, v in full.items()}
+        for s in range(m)
+    }
+
+
+def _pq8_sliced(
+    vecs: DataFrame, m: int = PQ_M, d: int = PQ_DIMS
+) -> DataFrame:
+    """Materialize the ``m`` subspace slices as real columns once — the
+    argmin lambdas then reference attributes instead of re-slicing per
+    candidate. Repartitioned to the session's parallelism AFTER the
+    slice projection: quantization is pure map work, and the toy corpus
+    files arrive as a single input split that would otherwise serialize
+    2048 folds/row on one core (at real scale the input is already
+    partitioned and the tiny exchange is noise). Order matters —
+    ``repartition().select()`` lets the optimizer evaluate the
+    downstream distance projection below the exchange, back on the one
+    input partition (measured 10x slower); slicing first pins the
+    exchange under the heavy projection."""
+    n = vecs.sparkSession.sparkContext.defaultParallelism
+    return vecs.select(
+        "vec_id",
+        "label",
+        *[
+            F.slice("v", s * d + 1, d).alias(f"_vs{s}")
+            for s in range(m)
+        ],
+    ).repartition(n)
+
+
+def _dbl_arr_lit(values: list[float]) -> Column:
+    """Bounded double-array literal as ONE string literal + split +
+    cast, which Catalyst constant-folds to an array literal before
+    execution. F.lit on a 2048-element nested list costs ~1.8 s of
+    element-wise py4j roundtrips per subspace (measured), and the
+    F.expr text form pays a same-size ANTLR parse; this is three calls
+    total. repr roundtrips each double and the string->double cast is
+    a correctly-rounded parse, so the folded literal is bit-identical
+    to the Python values."""
+    return F.split(
+        F.lit(",".join(repr(float(x)) for x in values)), ","
+    ).cast("array<double>")
+
+
+def _pq8_dists_col(s: int, books: dict) -> Column:
+    """256-entry distance array of subspace ``s``: the monotone 2-term
+    form |cs_j|^2 - 2<vs, cs_j> (the |vs|^2 term is constant across
+    candidates, so dropping it preserves the argmin; the oracle ranks
+    by the same 2-term expression). The codebook is a FLAT folded
+    literal indexed as flat[j*d + dd]; the inner fold accumulates
+    acc + vs[dd]*cs[dd] strictly left-to-right — the same op order as
+    DuckDB's list_dot_product, so near-ties break identically."""
+    js = sorted(books[s])
+    d = len(books[s][js[0]])
+    flat = _dbl_arr_lit([x for j in js for x in books[s][j]])
+    cn = _dbl_arr_lit([_seq_dot(books[s][j], books[s][j]) for j in js])
+    vs = F.col(f"_vs{s}")
+
+    def dist(j: Column) -> Column:
+        inner = F.aggregate(
+            F.sequence(F.lit(1), F.lit(d)),
+            F.lit(0.0),
+            lambda acc, dd: acc
+            + F.element_at(vs, dd.cast("int"))
+            * F.element_at(flat, (j * d + dd).cast("int")),
+        )
+        return F.element_at(cn, (j + 1).cast("int")) - 2 * inner
+
+    return F.transform(F.sequence(F.lit(0), F.lit(len(js) - 1)), dist)
+
+
+def _pq8_with_dists(sliced: DataFrame, books: dict) -> DataFrame:
+    """One projection adding the per-subspace distance arrays — built
+    once so downstream argmin consumers (pack AND training) reference
+    columns instead of re-evaluating 2048 folds per use. A single
+    select keeps eager analysis to one pass."""
+    m = len(books)
+    return sliced.select(
+        "vec_id",
+        "label",
+        *[F.col(f"_vs{s}") for s in range(m)],
+        *[_pq8_dists_col(s, books).alias(f"_d{s}") for s in range(m)],
+    )
+
+
+def _pq8_idx(s: int) -> Column:
+    """0-based argmin over the ``_d{s}`` distance array (ties -> lowest
+    j via array_position's first-match, matching the oracle's
+    (dist ASC, j ASC) row_number)."""
+    d = F.col(f"_d{s}")
+    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+
+def _pq8_pack(sliced: DataFrame, books: dict) -> DataFrame:
+    with_d = _pq8_with_dists(sliced, books)
+    code = F.lit(0).cast("bigint")
+    for s in range(PQ_M):
+        code = code + F.shiftleft(_pq8_idx(s).cast("bigint"), PQ8_BITS * s)
+    return with_d.select("vec_id", "label", code.alias("pq_code"))
+
+
+def _pq8_lloyd_books(
+    vecs: DataFrame, iters: int = 1, m: int = PQ_M, d: int = PQ_DIMS
+) -> dict[int, dict[int, list[float]]]:
+    """Exact-decimal Lloyd training of the 256-entry sub-codebooks —
+    the same nano-unit integer-mean kernel as :func:`_pq_lloyd_codebooks`
+    at the FAISS-standard codebook size. Per iteration: one assignment
+    projection, one explode to (s, j, dim, nano), one bounded aggregate
+    collected as <= m x 256 x d = 16384 rows (the codebook itself;
+    corpus-size independent). A code that lost all members keeps its
+    centroid."""
+    books = _pq8_books(vecs, m=m, d=d)
+    sliced = _pq8_sliced(vecs, m=m, d=d)
+    nano = F.expr(
+        f"CAST(round(CAST(comp AS DECIMAL(30,15)) * {_NANO}, 0) AS BIGINT)"
+    )
+    for _ in range(iters):
+        assigned = [
+            F.struct(
+                F.lit(s).alias("s"),
+                _pq8_idx(s).alias("j"),
+                F.col(f"_vs{s}").alias("vs"),
+            )
+            for s in range(m)
+        ]
+        means = (
+            _pq8_with_dists(sliced, books)
+            .select(F.explode(F.array(*assigned)).alias("a"))
+            .select(
+                F.col("a.s").alias("s"),
+                F.col("a.j").alias("j"),
+                F.posexplode(F.col("a.vs")).alias("dim", "comp"),
+            )
+            .select("s", "j", "dim", nano.alias("nv"))
+            .groupBy("s", "j", "dim")
+            .agg(F.sum("nv").alias("sm"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "s", "j", "dim",
+                F.expr("sm div n").cast("bigint").alias("m"),
+            )
+            .collect()
+        )
+        got: dict[tuple[int, int], dict[int, int]] = {}
+        for r in means:
+            got.setdefault((r["s"], r["j"]), {})[r["dim"]] = r["m"]
+        books = {
+            s: {
+                j: (
+                    [got[(s, j)][dd] / _NANO for dd in range(d)]
+                    if (s, j) in got
+                    else list(books[s][j])
+                )
+                for j in range(PQ8_K)
+            }
+            for s in range(m)
+        }
+    return books
+
+
+def embedding_pq8_codes(emb: DataFrame, train_iters: int = 0) -> DataFrame:
+    """(vec_id, label, pq_code): 8-bit-per-subspace product-quantizer
+    codes — the FAISS-standard 256-entry sub-codebooks, one signed
+    BIGINT per vector (8 bytes vs 512 raw: 64x). Pure projection (one
+    folded flat-literal codebook per subspace, monotone 2-term argmin,
+    shift pack); quantizing 100 TB is one map pass. ``train_iters > 0``
+    first runs that many exact-decimal Lloyd iterations per subspace."""
+    vecs = _vectors(emb)
+    books = (
+        _pq8_books(vecs)
+        if train_iters == 0
+        else _pq8_lloyd_books(vecs, train_iters)
+    )
+    return _pq8_pack(_pq8_sliced(vecs), books)
+
+
+def ann_pq8_adc_topk(
+    emb: DataFrame, query_id: int = 0, k: int = TOP_K, train_iters: int = 0
+) -> DataFrame:
+    """Approximate top-k by 8-bit PQ asymmetric distance: the query's
+    raw vector builds an 8x256 exact-L2 lookup table driver-side (2048
+    plan constants — the same per-query artifact FAISS keeps in L1),
+    and each corpus vector's distance is 8 LUT lookups indexed from its
+    packed code. The scan reads ONLY the 8-byte code column. Distances
+    use the full 3-term expansion (the VALUE must be the true quantized
+    L2^2, unlike the assignment argmin where the query term cancels).
+    ``train_iters`` selects Lloyd-trained books; codes and LUT always
+    share one book set."""
+    vecs = _vectors(emb)
+    books = (
+        _pq8_books(vecs)
+        if train_iters == 0
+        else _pq8_lloyd_books(vecs, train_iters)
+    )
+    qrow = vecs.where(F.col("vec_id") == query_id).select("v").first()
+    qv = [float(x) for x in qrow["v"]]
+    lut = []
+    for s in range(PQ_M):
+        qs = qv[s * PQ_DIMS : (s + 1) * PQ_DIMS]
+        qq = _seq_dot(qs, qs)
+        lut.append(
+            [
+                qq - 2 * _seq_dot(qs, books[s][j]) + _seq_dot(
+                    books[s][j], books[s][j]
+                )
+                for j in sorted(books[s])
+            ]
+        )
+    codes = _pq8_pack(_pq8_sliced(vecs), books)
+    adc = F.lit(0.0)
+    for s in range(PQ_M):
+        idx = (
+            F.shiftrightunsigned(F.col("pq_code"), PQ8_BITS * s)
+            .bitwiseAND(F.lit(PQ8_K - 1))
+            .cast("int")
+        )
+        adc = adc + F.element_at(_dbl_arr_lit(lut[s]), idx + 1)
+    return (
+        codes.where(F.col("vec_id") != query_id)
+        .select("vec_id", "label", _round6(adc).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _pq8_dist2(a: str, b: str) -> str:
+    """The monotone 2-term assignment distance, textually fixed so the
+    oracle's op order matches the Spark lambda's exactly."""
+    return f"{_DOT_SQL.format(a=b, b=b)} - 2 * {_DOT_SQL.format(a=a, b=b)}"
+
+
+def _pq_word_cols(m: int) -> list[str]:
+    """Packed-code column names: one signed bigint per 8 subspaces —
+    ``pq_code`` for the 8-byte PQ8 layout, ``pq_lo``/``pq_hi`` for the
+    16-byte PQ16 one."""
+    words = (m + 7) // 8
+    return ["pq_code"] if words == 1 else ["pq_lo", "pq_hi"]
+
+
+def _pq8_ctes(
+    train_iters: int, m: int = PQ_M, d: int = PQ_DIMS
+) -> tuple[list[str], str]:
+    """Oracle CTE chain ending in ``codes`` (vec_id, label, <word
+    cols>) + the final codebook relation name. csubs{i}(s, j, cs);
+    packing goes through HUGEINT with the explicit two's-complement
+    wrap, one output word per 8 subspaces (the mults relation carries
+    (s, mult, w): multiplier 256^(s%8) into word s//8)."""
+    words = (m + 7) // 8
+    wcols = _pq_word_cols(m)
+    mult_rows = ", ".join(
+        f"({s}, CAST({(1 << (PQ8_BITS * (s % 8)))} AS HUGEINT), {s // 8})"
+        for s in range(m)
+    )
+    ctes = [
+        "e AS (\n"
+        f"  SELECT vec_id, label, {_VEC_SQL.format(e='embedding')} AS v"
+        " FROM embeddings\n)",
+        f"mults AS (SELECT * FROM (VALUES {mult_rows}) AS t(s, mult, w))",
+        "subs AS (\n"
+        "  SELECT vec_id, label, s,\n"
+        f"         v[s * {d} + 1 : s * {d} + {d}] AS vs\n"
+        f"  FROM e, unnest(range({m})) AS r(s)\n)",
+        "csubs0 AS (\n"
+        f"  SELECT s, vec_id - {PQ8_SEED_LO} AS j,\n"
+        f"         v[s * {d} + 1 : s * {d} + {d}] AS cs\n"
+        f"  FROM e, unnest(range({m})) AS r(s)\n"
+        f"  WHERE vec_id BETWEEN {PQ8_SEED_LO} AND {PQ8_SEED_HI}\n)",
+    ]
+    for i in range(train_iters):
+        ctes.append(
+            f"assign{i} AS (\n"
+            "  SELECT subs.vec_id, subs.s, c.j, subs.vs,\n"
+            "         row_number() OVER (\n"
+            "           PARTITION BY subs.vec_id, subs.s\n"
+            f"           ORDER BY {_pq8_dist2('subs.vs', 'c.cs')} ASC,"
+            " c.j ASC\n"
+            "         ) AS rn\n"
+            f"  FROM subs JOIN csubs{i} c ON subs.s = c.s\n)"
+        )
+        ctes.append(
+            f"pm{i} AS (\n"
+            "  SELECT s, j,\n"
+            "         unnest(range(len(vs))) AS dim,\n"
+            f"         CAST(round(CAST(unnest(vs) AS DECIMAL(30,15)) *"
+            f" {_NANO}, 0)\n"
+            "              AS BIGINT) AS nv\n"
+            f"  FROM assign{i} WHERE rn = 1\n)"
+        )
+        ctes.append(
+            f"mn{i} AS (\n"
+            "  SELECT s, j, dim,\n"
+            "         CAST(CAST(SUM(CAST(nv AS HUGEINT)) AS HUGEINT)\n"
+            "              // COUNT(*) AS BIGINT) AS m\n"
+            f"  FROM pm{i} GROUP BY 1, 2, 3\n)"
+        )
+        ctes.append(
+            f"csubs{i + 1} AS (\n"
+            "  SELECT c.s, c.j, COALESCE(mm.rv, c.cs) AS cs\n"
+            f"  FROM csubs{i} c\n"
+            "  LEFT JOIN (\n"
+            "    SELECT s, j,\n"
+            f"           array_agg(CAST(m AS DOUBLE) / {_NANO} ORDER BY"
+            " dim) AS rv\n"
+            f"    FROM mn{i} GROUP BY 1, 2\n"
+            "  ) mm ON mm.s = c.s AND mm.j = c.j\n)"
+        )
+    fin = f"csubs{train_iters}"
+    word_sums = ",\n".join(
+        f"         SUM(CASE WHEN m.w = {w} THEN CAST(a.j AS HUGEINT)"
+        f" * m.mult ELSE CAST(0 AS HUGEINT) END) AS p{w}"
+        for w in range(words)
+    )
+    ctes.append(
+        "packed AS (\n"
+        "  SELECT a.vec_id,\n"
+        f"{word_sums}\n"
+        "  FROM (\n"
+        "    SELECT subs.vec_id, subs.s, c.j,\n"
+        "           row_number() OVER (\n"
+        "             PARTITION BY subs.vec_id, subs.s\n"
+        f"             ORDER BY {_pq8_dist2('subs.vs', 'c.cs')} ASC,"
+        " c.j ASC\n"
+        "           ) AS rn\n"
+        f"    FROM subs JOIN {fin} c ON subs.s = c.s\n"
+        "  ) a JOIN mults m ON a.s = m.s\n"
+        "  WHERE a.rn = 1\n"
+        "  GROUP BY a.vec_id\n)"
+    )
+    word_wraps = ",\n".join(
+        f"         CAST(CASE WHEN p{w} >= {_TWO63} THEN p{w} - {_TWO64}\n"
+        f"              ELSE p{w} END AS BIGINT) AS {wcols[w]}"
+        for w in range(words)
+    )
+    ctes.append(
+        "codes AS (\n"
+        "  SELECT e.vec_id, e.label,\n"
+        f"{word_wraps}\n"
+        "  FROM packed JOIN e ON e.vec_id = packed.vec_id\n)"
+    )
+    return ctes, fin
+
+
+def embedding_pq8_codes_sql(
+    train_iters: int = 0, m: int = PQ_M, d: int = PQ_DIMS
+) -> str:
+    ctes, _ = _pq8_ctes(train_iters, m=m, d=d)
+    body = ",\n".join(ctes)
+    cols = ", ".join(_pq_word_cols(m))
+    return f"""
+WITH {body}
+SELECT vec_id, label, {cols} FROM codes
+"""
+
+
+def ann_pq8_adc_topk_sql(
+    query_id: int = 0,
+    k: int = TOP_K,
+    train_iters: int = 0,
+    m: int = PQ_M,
+    d: int = PQ_DIMS,
+) -> str:
+    """Oracle twin: codes + LUT from the same final codebook relation;
+    code words unpacked through the HUGEINT un-wrap, 3-term LUT
+    distances."""
+    ctes, fin = _pq8_ctes(train_iters, m=m, d=d)
+    body = ",\n".join(ctes)
+    wcols = _pq_word_cols(m)
+    unwraps = ",\n".join(
+        f"         CASE WHEN {c} < 0 THEN CAST({c} AS HUGEINT) + {_TWO64}"
+        f"\n              ELSE CAST({c} AS HUGEINT) END AS up{w}"
+        for w, c in enumerate(wcols)
+    )
+    word_pick = (
+        "u.up0"
+        if len(wcols) == 1
+        else "CASE m.w WHEN 0 THEN u.up0 ELSE u.up1 END"
+    )
+    return f"""
+WITH {body},
+lut AS (
+  SELECT c.s, c.j,
+         {_DOT_SQL.format(a='qs.vs', b='qs.vs')}
+           - 2 * {_DOT_SQL.format(a='qs.vs', b='c.cs')}
+           + {_DOT_SQL.format(a='c.cs', b='c.cs')} AS dist
+  FROM {fin} c
+  JOIN (SELECT s, vs FROM subs WHERE vec_id = {query_id}) qs
+    ON qs.s = c.s
+),
+unwrapped AS (
+  SELECT vec_id, label,
+{unwraps}
+  FROM codes WHERE vec_id != {query_id}
+),
+unpacked AS (
+  SELECT u.vec_id, u.label, m.s,
+         CAST((({word_pick}) // m.mult) % {PQ8_K} AS BIGINT) AS j
+  FROM unwrapped u CROSS JOIN mults m
+),
+adcs AS (
+  SELECT vec_id, ANY_VALUE(label) AS label, SUM(lut.dist) AS adc
+  FROM unpacked JOIN lut ON unpacked.s = lut.s AND unpacked.j = lut.j
+  GROUP BY vec_id
+)
+SELECT vec_id, label, {_ROUND6_SQL.format(x='adc')} AS adc
+FROM adcs
+ORDER BY adc ASC, vec_id ASC
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# PQ16: 16 subspaces x 4 dims x 8 bits = 16-byte codes (32x compression).
+# More, narrower subspaces cut per-subspace quantization distortion — the
+# standard FAISS recall knob once k*=256 is maxed. Measured at sf0.1
+# (SCALE.md): recall@10 0.513 untrained / 0.580 Lloyd-trained — above the
+# IVF multiprobe family at a scan that reads 16 bytes/vector. Same
+# machinery as PQ8 with (m, d) = (16, 4); the code spans TWO signed
+# bigints (subspaces 0-7 -> pq_lo, 8-15 -> pq_hi).
+# ---------------------------------------------------------------------------
+
+PQ16_M = 16
+PQ16_DIMS = 4
+
+
+def _pq16_pack(sliced: DataFrame, books: dict) -> DataFrame:
+    with_d = _pq8_with_dists(sliced, books)
+    lo = F.lit(0).cast("bigint")
+    hi = F.lit(0).cast("bigint")
+    for s in range(8):
+        lo = lo + F.shiftleft(_pq8_idx(s).cast("bigint"), PQ8_BITS * s)
+    for s in range(8, PQ16_M):
+        hi = hi + F.shiftleft(
+            _pq8_idx(s).cast("bigint"), PQ8_BITS * (s - 8)
+        )
+    return with_d.select(
+        "vec_id", "label", lo.alias("pq_lo"), hi.alias("pq_hi")
+    )
+
+
+def embedding_pq16_codes(emb: DataFrame, train_iters: int = 0) -> DataFrame:
+    """(vec_id, label, pq_lo, pq_hi): 16-subspace product-quantizer
+    codes — 16 bytes/vector at 32x compression, the recall-over-memory
+    point of the PQ family (4-dim subspaces quantize far tighter than
+    8-dim ones at the same 256-entry codebooks). Same single-map-pass
+    plan as PQ8; two packed words because 16 x 8 bits outgrows one
+    bigint."""
+    vecs = _vectors(emb)
+    books = (
+        _pq8_books(vecs, m=PQ16_M, d=PQ16_DIMS)
+        if train_iters == 0
+        else _pq8_lloyd_books(vecs, train_iters, m=PQ16_M, d=PQ16_DIMS)
+    )
+    return _pq16_pack(_pq8_sliced(vecs, m=PQ16_M, d=PQ16_DIMS), books)
+
+
+def ann_pq16_adc_topk(
+    emb: DataFrame, query_id: int = 0, k: int = TOP_K, train_iters: int = 0
+) -> DataFrame:
+    """16-subspace PQ asymmetric-distance top-k: a 16x256 exact-L2 LUT
+    (4096 folded plan constants), 16 lookups per vector unpacked from
+    the two code words. The highest-recall memory-bound scan in the
+    family (SCALE.md table)."""
+    vecs = _vectors(emb)
+    books = (
+        _pq8_books(vecs, m=PQ16_M, d=PQ16_DIMS)
+        if train_iters == 0
+        else _pq8_lloyd_books(vecs, train_iters, m=PQ16_M, d=PQ16_DIMS)
+    )
+    qrow = vecs.where(F.col("vec_id") == query_id).select("v").first()
+    qv = [float(x) for x in qrow["v"]]
+    lut = []
+    for s in range(PQ16_M):
+        qs = qv[s * PQ16_DIMS : (s + 1) * PQ16_DIMS]
+        qq = _seq_dot(qs, qs)
+        lut.append(
+            [
+                qq - 2 * _seq_dot(qs, books[s][j]) + _seq_dot(
+                    books[s][j], books[s][j]
+                )
+                for j in sorted(books[s])
+            ]
+        )
+    codes = _pq16_pack(_pq8_sliced(vecs, m=PQ16_M, d=PQ16_DIMS), books)
+    adc = F.lit(0.0)
+    for s in range(PQ16_M):
+        word = F.col("pq_lo") if s < 8 else F.col("pq_hi")
+        idx = (
+            F.shiftrightunsigned(word, PQ8_BITS * (s % 8))
+            .bitwiseAND(F.lit(PQ8_K - 1))
+            .cast("int")
+        )
+        adc = adc + F.element_at(_dbl_arr_lit(lut[s]), idx + 1)
+    return (
+        codes.where(F.col("vec_id") != query_id)
+        .select("vec_id", "label", _round6(adc).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def embedding_pq16_codes_sql(train_iters: int = 0) -> str:
+    return embedding_pq8_codes_sql(train_iters, m=PQ16_M, d=PQ16_DIMS)
+
+
+def ann_pq16_adc_topk_sql(
+    query_id: int = 0, k: int = TOP_K, train_iters: int = 0
+) -> str:
+    return ann_pq8_adc_topk_sql(
+        query_id, k, train_iters, m=PQ16_M, d=PQ16_DIMS
+    )

@@ -669,6 +669,75 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_ivfpq_topk(fx._read(spark, sf_dir, "embeddings"))
 
 
+@_register("embedding_pq8_codes", sim.embedding_pq8_codes_sql())
+def embedding_pq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantizer codes at the FAISS-STANDARD size: 256-entry
+    sub-codebooks (8 bits x 8 subspaces = one signed bigint/vector,
+    still 64x smaller than raw doubles) — what faiss.IndexPQ(d, 8, 8)
+    builds, determinized. Still a pure map pass (folded flat-literal
+    codebooks, monotone 2-term argmin); the oracle packs the same
+    indexes through HUGEINT with an explicit two's-complement wrap
+    because subspace 7 can set the sign bit."""
+    return sim.embedding_pq8_codes(fx._read(spark, sf_dir, "embeddings"))
+
+
+@_register("ann_pq8_adc_topk", sim.ann_pq8_adc_topk_sql())
+def ann_pq8_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit PQ asymmetric-distance top-k: an 8x256 exact-L2 LUT from
+    the query's raw vector (2048 folded plan constants), each corpus
+    vector scored by 8 LUT lookups unpacked from its 8-byte code — the
+    production-recall variant of ann_pq_adc_topk (256-entry codebooks
+    vs 8; measured recall table in SCALE.md)."""
+    return sim.ann_pq8_adc_topk(fx._read(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "ann_pq8_adc_topk_lloyd", sim.ann_pq8_adc_topk_sql(train_iters=1)
+)
+def ann_pq8_adc_topk_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit PQ ADC top-k over TRAINED sub-codebooks: one exact-decimal
+    Lloyd iteration per subspace at the 256-entry size (the standard
+    FAISS train step; the bounded aggregate collects <= 16384 nano-unit
+    means — the codebook itself, corpus-size independent). Codes and
+    the query LUT share the refined books."""
+    return sim.ann_pq8_adc_topk(
+        fx._read(spark, sf_dir, "embeddings"), train_iters=1
+    )
+
+
+@_register("embedding_pq16_codes", sim.embedding_pq16_codes_sql())
+def embedding_pq16_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-subspace product-quantizer codes (16 x 4-dim x 256 entries):
+    TWO packed bigints per vector — 16 bytes at 32x compression, the
+    recall-over-memory point of the PQ family (narrower subspaces
+    quantize tighter at the same codebook size). Same one-map-pass
+    plan; the oracle packs per 8-subspace word through the HUGEINT
+    two's-complement wrap."""
+    return sim.embedding_pq16_codes(fx._read(spark, sf_dir, "embeddings"))
+
+
+@_register("ann_pq16_adc_topk", sim.ann_pq16_adc_topk_sql())
+def ann_pq16_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-subspace PQ asymmetric-distance top-k: 16x256 exact-L2 LUT,
+    16 lookups per vector unpacked from the two code words — measured
+    recall@10 0.513 at sf0.1, above the IVF multiprobe family, from a
+    scan that reads 16 bytes/vector (SCALE.md)."""
+    return sim.ann_pq16_adc_topk(fx._read(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "ann_pq16_adc_topk_lloyd", sim.ann_pq16_adc_topk_sql(train_iters=1)
+)
+def ann_pq16_adc_topk_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-subspace PQ ADC top-k over Lloyd-TRAINED sub-codebooks — the
+    family's best measured recall@10 (0.580 at sf0.1, SCALE.md) at 32x
+    compression; training is the same bounded nano-mean aggregate at
+    (m, d) = (16, 4)."""
+    return sim.ann_pq16_adc_topk(
+        fx._read(spark, sf_dir, "embeddings"), train_iters=1
+    )
+
+
 @_register("embedding_neardup", sim.EMBEDDING_NEARDUP_SQL)
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: brute-force baseline over a

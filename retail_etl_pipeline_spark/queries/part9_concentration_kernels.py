@@ -1324,3 +1324,124 @@ def nation_revenue_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return kruskal_wallis(vals, "v", "g")
+
+
+# ---------------------------------------------------------------------------
+# round-8: k-sample median test — Mood's chi-square across all nations
+# ---------------------------------------------------------------------------
+
+_MEDIAN_TERM_SQL = (
+    "((CAST(x.le_g AS DOUBLE)"
+    " - CAST(x.n_g AS DOUBLE) * CAST(le AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (CAST(x.le_g AS DOUBLE)"
+    " - CAST(x.n_g AS DOUBLE) * CAST(le AS DOUBLE) / CAST(n AS DOUBLE)))"
+    " / (CAST(x.n_g AS DOUBLE) * CAST(le AS DOUBLE) / CAST(n AS DOUBLE))"
+    " + ((CAST(x.n_g - x.le_g AS DOUBLE)"
+    " - CAST(x.n_g AS DOUBLE) * CAST(n - le AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (CAST(x.n_g - x.le_g AS DOUBLE)"
+    " - CAST(x.n_g AS DOUBLE) * CAST(n - le AS DOUBLE) / CAST(n AS DOUBLE)))"
+    " / (CAST(x.n_g AS DOUBLE) * CAST(n - le AS DOUBLE) / CAST(n AS DOUBLE))"
+)
+
+
+@_register(
+    "nation_revenue_median_test",
+    f"""
+WITH vals AS (
+  SELECT n_name AS g,
+         CAST(round(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)),
+                    2) * 100 AS BIGINT) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+),
+cnt AS (
+  SELECT g, v, CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+  FROM vals GROUP BY 1, 2
+),
+perv AS (
+  SELECT v, CAST(SUM(c) AS DECIMAL(38,0)) AS cv FROM cnt GROUP BY 1
+),
+run AS (
+  SELECT v, cv,
+         SUM(cv) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumv
+  FROM perv
+),
+nn AS (
+  SELECT CAST(COALESCE(SUM(cv), 0) AS DECIMAL(38,0)) AS nt FROM perv
+),
+-- pooled LOWER median: the ((n+1) div 2)-th smallest pooled value;
+-- HUGEINT division (DECIMAL // routes through double in DuckDB)
+med AS (
+  SELECT MIN(v) AS med
+  FROM run, nn
+  WHERE cumv >= (CAST(nt AS HUGEINT) + 1) // 2
+),
+per_g AS (
+  SELECT g,
+         CAST(SUM(c) AS DECIMAL(38,0)) AS n_g,
+         CAST(COALESCE(SUM(CASE WHEN v <= med THEN c END), 0)
+              AS DECIMAL(38,0)) AS le_g
+  FROM cnt, med GROUP BY 1
+),
+gl AS (
+  SELECT list(struct_pack(g := g, n_g := n_g, le_g := le_g) ORDER BY g)
+           AS gs,
+         CAST(COALESCE(SUM(n_g), 0) AS DECIMAL(38,0)) AS n,
+         CAST(COALESCE(SUM(le_g), 0) AS DECIMAL(38,0)) AS le,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM per_g
+),
+calc AS (
+  SELECT k, n, le,
+         list_reduce(
+           list_transform(gs, x -> {_MEDIAN_TERM_SQL}),
+           (a, b) -> a + b) AS chi2
+  FROM gl
+)
+SELECT k AS n_groups,
+       CAST(n AS BIGINT) AS n_total,
+       CAST(med AS BIGINT) AS pooled_median,
+       CASE WHEN k > 0 THEN k - 1 END AS dof,
+       CASE WHEN n > 0 AND le > 0 AND n - le > 0
+            THEN CAST(round(CAST(chi2 AS DECIMAL(20,9)), 6) AS DOUBLE) END
+         AS chi2
+FROM calc, med
+""",
+)
+def nation_revenue_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-sample MEDIAN drift: Mood's chi-square of per-line revenue
+    (integer cents) across ALL supplier nations — the robust companion
+    to nation_revenue_kruskal on the same stratification (only counts
+    above/below the pooled median move it, so one wild outlier shifts
+    the statistic by at most one cell count). Kernel:
+    functions/stats.mood_median_test — the pooled lower median resolves
+    from the SAME exact decimal prefix sum KW uses, every contingency
+    cell is an exact integer, and the chi-square terms fold over a
+    nation-ordered array (Spark aggregate == DuckDB list_reduce)."""
+    from ..functions.stats import mood_median_test
+
+    li = fx._read(spark, sf_dir, "lineitem")
+    su = fx._read(spark, sf_dir, "supplier")
+    na = fx._read(spark, sf_dir, "nation")
+    vals = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .select(
+            F.col("n_name").alias("g"),
+            (
+                F.round(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(30,6)"),
+                    2,
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("v"),
+        )
+    )
+    return mood_median_test(vals, "v", "g")

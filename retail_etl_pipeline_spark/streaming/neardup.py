@@ -529,6 +529,71 @@ def stream_dedup_pipeline(
     )
 
 
+def gated_dedup_pipeline_fold(
+    docs_batch: DataFrame,
+    batch_id: int,
+    base_dir: str,
+    verify: bool = True,
+) -> None:
+    """The full INTAKE path in one fold: quality gate -> dedup ->
+    canonical. Documents failing the Gopher/MassiveText rule battery
+    (:func:`..operators.text.gopher_quality_flags`, ``keep`` = the
+    conjunction of all rules) are quarantined BEFORE the dedup folds —
+    they never enter the shingle store, never hash into the band
+    state, never form candidate pairs. That is the production
+    ordering: quality-rejected spam would otherwise bloat the LSH
+    buckets it collides into (boilerplate is exactly the text most
+    likely to near-dup) and pay shingling for docs the pipeline drops
+    anyway.
+
+    Per batch:
+
+    1. quarantine store: the failing docs' full rule-flag rows, written
+       to ``{base_dir}/quarantine`` partitioned by batch_id (dynamic
+       overwrite — replay-idempotent like every other store here). The
+       audit trail a curation pipeline reviews before tightening rules.
+       A doc with zero tokens produces no flag row (the battery
+       aggregates over exploded tokens) and is quarantined implicitly:
+       the keep side is a LEFT SEMI join against passing doc_ids.
+    2. the kept docs run the unchanged :func:`dedup_pipeline_fold`
+       (same stores, same replay contract, same verify knob).
+
+    The gate is per-document and stateless, so batch-local application
+    equals a global pre-filter; after any micro-batching the end state
+    == the batch chain on ``docs.where(keep)`` (asserted in
+    tests/test_streaming). Rule flags are exact-integer decisions, so
+    stream and batch can never disagree on a borderline doc."""
+    from ..operators.text import gopher_quality_flags
+
+    flags = gopher_quality_flags(docs_batch).persist()
+    try:
+        _write_batch_partition(
+            flags.where(~F.col("keep")),
+            f"{base_dir}/quarantine",
+            batch_id,
+        )
+        kept = docs_batch.join(
+            flags.where(F.col("keep")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        dedup_pipeline_fold(kept, batch_id, base_dir, verify=verify)
+    finally:
+        flags.unpersist()
+
+
+def stream_gated_dedup_pipeline(
+    docs_stream: DataFrame, base_dir: str, verify: bool = True
+):
+    """writeStream.foreachBatch wiring of
+    :func:`gated_dedup_pipeline_fold`."""
+    return docs_stream.writeStream.foreachBatch(
+        lambda df, bid: gated_dedup_pipeline_fold(
+            df, bid, base_dir, verify=verify
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # store compaction: the small-files countermeasure for long-running folds
 # ---------------------------------------------------------------------------

@@ -695,3 +695,30 @@ def test_pq_adc_scan_has_no_join(spark, sf_dir):
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_pq8_codes_single_map_pass_after_spread(spark, sf_dir):
+    """PQ8 (256-entry codebooks) keeps the map-pass shape: one scan,
+    folded flat-literal codebooks (no codebook relation -> no join),
+    and exactly ONE exchange — the documented round-robin spread of the
+    single toy input split across cores, which must sit BELOW the
+    distance projection (the heavy folds run parallel, not on the one
+    input partition)."""
+    plan = _physical(QUERIES["embedding_pq8_codes"](spark, sf_dir))
+    assert "Join" not in plan
+    assert len(re.findall(r"FileScan parquet", plan)) == 1
+    assert len(re.findall(r"Exchange", plan)) == 1
+    assert "roundrobin" in plan.lower()
+    # the folded codebook literals must appear as array constants, not
+    # as split()/cast() evaluated per row
+    assert "split(" not in plan
+
+
+def test_pq8_adc_scan_has_no_join(spark, sf_dir):
+    """The 8-bit ADC top-k: LUT as folded plan constants (no relation,
+    no join), top-k via TakeOrderedAndProject, no global sort."""
+    plan = _physical(QUERIES["ann_pq8_adc_topk"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "split(" not in plan

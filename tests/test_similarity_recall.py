@@ -157,3 +157,57 @@ def test_ivf_lloyd_refinement_properties(spark, sf_dir):
         == cells.where(cells.vec_id == 0).select("cell").first()["cell"]
     ).count()
     assert 0 < probed < n
+
+
+def test_pq8_seed_vectors_quantize_to_themselves(spark, sf_dir):
+    """Seed vectors ARE the untrained sub-centroids, so each seed's
+    reconstructed sub-centroid must equal its own subspace slice (its
+    quantization distance is exactly 0; a tie can only resolve to an
+    identical-valued earlier centroid). Also pins the sign-bit pack:
+    unpacking with shiftrightunsigned must invert the shiftleft sum for
+    codes whose subspace-7 index sets bit 63."""
+    from pyspark.sql import functions as F
+
+    emb = fx._read(spark, sf_dir, "embeddings")
+    vecs = sim._vectors(emb)
+    books = sim._pq8_books(vecs)
+    codes = {
+        r["vec_id"]: r["pq_code"]
+        for r in sim.embedding_pq8_codes(emb)
+        .where(F.col("vec_id").between(sim.PQ8_SEED_LO, sim.PQ8_SEED_HI))
+        .collect()
+    }
+    assert len(codes) == sim.PQ8_K
+    assert any(c < 0 for c in codes.values())  # bit 63 exercised
+    for cid, code in codes.items():
+        own_j = cid - sim.PQ8_SEED_LO
+        for s in range(sim.PQ_M):
+            j = (code >> (sim.PQ8_BITS * s)) & (sim.PQ8_K - 1)
+            assert books[s][j] == books[s][own_j], (cid, s, j)
+
+
+def test_pq8_trained_books_reduce_quantization_error(spark, sf_dir):
+    """One Lloyd iteration must not increase total quantization error
+    (k-means monotonicity, exact up to the nano rounding of centroid
+    means): sum over vectors of min-candidate L2^2 under trained books
+    <= under seed books."""
+    emb = fx._read(spark, sf_dir, "embeddings")
+    vecs = sim._vectors(emb)
+    rows = [[float(x) for x in r["v"]] for r in vecs.select("v").collect()]
+
+    def total_err(books):
+        tot = 0.0
+        for v in rows:
+            for s in range(sim.PQ_M):
+                vs = v[s * sim.PQ_DIMS : (s + 1) * sim.PQ_DIMS]
+                tot += min(
+                    sim._seq_dot(vs, vs)
+                    - 2 * sim._seq_dot(vs, cs)
+                    + sim._seq_dot(cs, cs)
+                    for cs in books[s].values()
+                )
+        return tot
+
+    seed = total_err(sim._pq8_books(vecs))
+    trained = total_err(sim._pq8_lloyd_books(vecs, 1))
+    assert trained <= seed + 1e-9, (trained, seed)

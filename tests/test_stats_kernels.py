@@ -247,3 +247,45 @@ def test_kruskal_wallis_empty_input_matches_oracle(spark):
         )
     (orow,) = con.execute(oracle_sql()["nation_revenue_kruskal"]).fetchall()
     assert orow == (0, 0, None, None)
+
+
+def test_mood_median_test_textbook_and_robustness(spark):
+    """2x2 textbook check: groups a=(1,2,3,4), b=(5,6,7,8) — pooled
+    lower median 4, a has 4 of 4 below-or-equal, b has 0 of 4; all
+    margins 4/4 so chi2 = sum over 4 cells of (2-obs-exp)^2/2 = 8.
+    Robustness: blowing one value up to 10^9 must not change the
+    statistic (only which side of the median each count falls on
+    matters), unlike rank-based H which shifts."""
+    from retail_etl_pipeline_spark.functions.stats import mood_median_test
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("a", 4),
+         ("b", 5), ("b", 6), ("b", 7), ("b", 8)],
+        "g string, v long",
+    )
+    row = mood_median_test(df, "v", "g").first()
+    assert row["n_groups"] == 2 and row["n_total"] == 8
+    assert row["pooled_median"] == 4 and row["dof"] == 1
+    assert abs(row["chi2"] - 8.0) < 1e-9
+
+    wild = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("a", 4),
+         ("b", 5), ("b", 6), ("b", 7), ("b", 10**9)],
+        "g string, v long",
+    )
+    w = mood_median_test(wild, "v", "g").first()
+    assert w["chi2"] == row["chi2"] and w["pooled_median"] == 4
+
+    # degenerate margins: all values equal -> everything <= median,
+    # GT margin empty -> chi2 NULL, median still reported
+    const = spark.createDataFrame(
+        [("a", 7), ("a", 7), ("b", 7)], "g string, v long"
+    )
+    c = mood_median_test(const, "v", "g").first()
+    assert c["chi2"] is None and c["pooled_median"] == 7
+
+    # empty input
+    empty = spark.createDataFrame([], "g string, v long")
+    e = mood_median_test(empty, "v", "g").first()
+    assert (e["n_groups"], e["n_total"], e["pooled_median"], e["dof"],
+            e["chi2"]) == (0, 0, None, None, None)

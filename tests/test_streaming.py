@@ -1513,3 +1513,111 @@ def test_compact_batches_preserves_fold_semantics(spark):
         tuple(r) for r in nd.read_candidates(spark, pairs).collect()
     } == cands
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_gated_dedup_pipeline_equals_gated_batch(spark, sf_dir):
+    """The GATED intake fold (Gopher quality gate -> verified dedup ->
+    canonical) must end with (a) a canonical table equal to the batch
+    chain computed from scratch on ``docs.where(keep)`` and (b) a
+    quarantine store equal to the batch rule battery's keep=false rows.
+    The gate is per-document and exact-integer, so micro-batching can
+    never move a borderline doc across it."""
+    from pyspark.sql import Window
+
+    from retail_etl_pipeline_spark.operators import dedup as dd
+    from retail_etl_pipeline_spark.operators import text as tx
+    from retail_etl_pipeline_spark.streaming import neardup as nd
+
+    docs = fx._read(spark, sf_dir, "documents").select("doc_id", "text")
+    base = os.path.join(TMP, "gated_dedup_pipe")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        nd.stream_gated_dedup_pipeline(stream, base)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    flags = tx.gopher_quality_flags(docs)
+    flag_cols = [c for c in flags.columns]
+
+    # (b) quarantine store == batch keep=false rows (ignoring batch_id)
+    quarantined = {
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(base, "quarantine"))
+        .select(*flag_cols)
+        .collect()
+    }
+    batch_rejects = {
+        tuple(r) for r in flags.where(~F.col("keep")).collect()
+    }
+    assert quarantined == batch_rejects
+    assert len(quarantined) > 0
+
+    # (a) canonical == batch verified chain over the KEPT docs only
+    kept_docs = docs.join(
+        flags.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+    streamed = {
+        tuple(r)
+        for r in spark.read.parquet(
+            os.path.join(base, "canonical")
+        ).collect()
+    }
+    comp = dd.connected_components(
+        dd.minhash_neardup_verified(kept_docs).select("doc_a", "doc_b")
+    )
+    quality = tx.quality_score(kept_docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    ranked = comp.join(quality, "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    best = ranked.where(F.col("rn") == 1).select(
+        "component",
+        F.col("doc_id").alias("kept_doc"),
+        F.col("quality_score").alias("kept_quality"),
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    batch = {
+        tuple(r)
+        for r in best.join(sizes, "component")
+        .select("component", "kept_doc", "kept_quality", "n_members")
+        .collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
+
+    # no quarantined doc ever reached the shingle store or band state
+    qids = {r[0] for r in quarantined}
+    store_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            os.path.join(base, "shingles")
+        ).select("doc_id").collect()
+    }
+    band_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(base, "bands"))
+        .select("doc_id")
+        .collect()
+    }
+    assert not (qids & store_ids)
+    assert not (qids & band_ids)
+    shutil.rmtree(base, ignore_errors=True)

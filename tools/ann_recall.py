@@ -201,6 +201,14 @@ def main(argv: list[str]) -> int:
             e, query_id=query_id, k=k, train_iters=1
         ),
         "ann_ivfpq_topk": sim.ann_ivfpq_topk,
+        "ann_pq8_adc_topk": sim.ann_pq8_adc_topk,
+        "ann_pq8_adc_topk_lloyd": lambda e, query_id, k: sim.ann_pq8_adc_topk(
+            e, query_id=query_id, k=k, train_iters=1
+        ),
+        "ann_pq16_adc_topk": sim.ann_pq16_adc_topk,
+        "ann_pq16_adc_topk_lloyd": lambda e, query_id, k: (
+            sim.ann_pq16_adc_topk(e, query_id=query_id, k=k, train_iters=1)
+        ),
     }
     for name, fn in pq_variants.items():
         hits = 0
@@ -210,7 +218,8 @@ def main(argv: list[str]) -> int:
             }
             hits += len(got & l2_truth[q])
         recall = hits / (len(qids) * args.k)
-        print(f"| {name} | {recall:.3f} | 8 (vs 512 raw) |")
+        nbytes = 16 if "pq16" in name else 8
+        print(f"| {name} | {recall:.3f} | {nbytes} (vs 512 raw) |")
     return 0
 
 

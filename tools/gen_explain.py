@@ -22,6 +22,19 @@ SHOW = {
         "TakeOrderedAndProject — the only join attaches codes to cells, "
         "both projections of the same scan."
     ),
+    "embedding_pq16_codes": (
+        "The FAISS-standard quantizer (256-entry sub-codebooks, 16 "
+        "subspaces): still join-free — codebooks fold from flat string "
+        "literals to array constants, the heavy distance projection "
+        "sits ABOVE the one round-robin exchange that spreads the toy "
+        "single-split input across cores, and the pack is two shift "
+        "sums (16x8 bits spans two bigints)."
+    ),
+    "ann_pq8_adc_topk": (
+        "8-bit PQ ADC: the 256-entry LUT folds to an array constant, "
+        "the scan unpacks each 8-byte code with shifts and masks, "
+        "top-k is TakeOrderedAndProject — no join, no global sort."
+    ),
     "weekly_summary": (
         "The flagship: 13 metrics in ONE logical aggregation over the "
         "merged frame — no self-joins (the reference's 8-way assembly). "
