@@ -929,3 +929,102 @@ SELECT per_tok.doc_id,
               <= {GOPHER_TOP2_NUM} * COALESCE(n_bigrams, 0)) AS keep
 FROM per_tok LEFT JOIN per_bg ON per_tok.doc_id = per_bg.doc_id
 """
+
+
+def gopher_keep_rate_by_source(docs: DataFrame) -> DataFrame:
+    """Per-source quality-gate health: how much of each ingestion
+    source the Gopher rule battery keeps, and which rule kills the
+    rest — the monitoring table behind the gated streaming intake
+    (``streaming.neardup.gated_dedup_pipeline_fold``), same role
+    :func:`..operators.dedup.neardup_rate_by_source` plays for the
+    dedup stage. A source whose keep rate collapses is a feed that
+    started shipping boilerplate.
+
+    Returns one row per source: n_docs, n_kept, exact-integer
+    keep_ppm = 1e6·n_kept div n_docs, one failure count per rule
+    (counted over docs that produced tokens; a doc can fail several),
+    and n_no_tokens (docs with no token rows — implicit rejects that
+    have no per-rule flags). All counts are exact integers, so the
+    oracle matches bit-for-bit.
+
+    Plan: the rule battery's two |docs|-bounded aggregates, LEFT-joined
+    back to the (doc_id, source) projection, one |sources|-bounded
+    aggregation. Raw text never shuffles."""
+    flags = gopher_quality_flags(docs)
+    base = docs.select("doc_id", "source")
+    j = base.join(flags, "doc_id", "left")
+
+    def fails(col: str) -> Column:
+        return F.sum(
+            F.when(F.col(col) == F.lit(False), 1).otherwise(0)
+        ).cast("bigint")
+
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("keep") == F.lit(True), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+            fails("pass_word_count").alias("n_fail_word_count"),
+            fails("pass_mean_len").alias("n_fail_mean_len"),
+            fails("pass_alpha").alias("n_fail_alpha"),
+            fails("pass_stopwords").alias("n_fail_stopwords"),
+            fails("pass_dup_bigram").alias("n_fail_dup_bigram"),
+            fails("pass_top_bigram").alias("n_fail_top_bigram"),
+            F.sum(F.when(F.col("keep").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_no_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            F.expr(
+                "CAST((CAST(n_kept AS DECIMAL(38,0)) * 1000000)"
+                " div CAST(n_docs AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("keep_ppm"),
+            "n_fail_word_count",
+            "n_fail_mean_len",
+            "n_fail_alpha",
+            "n_fail_stopwords",
+            "n_fail_dup_bigram",
+            "n_fail_top_bigram",
+            "n_no_tokens",
+        )
+    )
+
+
+GOPHER_KEEP_RATE_SQL = f"""
+WITH flags AS ({GOPHER_QUALITY_SQL}),
+j AS (
+  SELECT d.source, f.keep,
+         f.pass_word_count, f.pass_mean_len, f.pass_alpha,
+         f.pass_stopwords, f.pass_dup_bigram, f.pass_top_bigram
+  FROM documents d LEFT JOIN flags f ON d.doc_id = f.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(CASE WHEN keep THEN 1 END), 0) AS BIGINT)
+         AS n_kept,
+       CAST(CAST(COALESCE(SUM(CASE WHEN keep THEN 1 END), 0) AS HUGEINT)
+            * 1000000 // CAST(COUNT(*) AS HUGEINT) AS BIGINT) AS keep_ppm,
+       CAST(COALESCE(SUM(CASE WHEN pass_word_count = false THEN 1 END), 0)
+            AS BIGINT) AS n_fail_word_count,
+       CAST(COALESCE(SUM(CASE WHEN pass_mean_len = false THEN 1 END), 0)
+            AS BIGINT) AS n_fail_mean_len,
+       CAST(COALESCE(SUM(CASE WHEN pass_alpha = false THEN 1 END), 0)
+            AS BIGINT) AS n_fail_alpha,
+       CAST(COALESCE(SUM(CASE WHEN pass_stopwords = false THEN 1 END), 0)
+            AS BIGINT) AS n_fail_stopwords,
+       CAST(COALESCE(SUM(CASE WHEN pass_dup_bigram = false THEN 1 END), 0)
+            AS BIGINT) AS n_fail_dup_bigram,
+       CAST(COALESCE(SUM(CASE WHEN pass_top_bigram = false THEN 1 END), 0)
+            AS BIGINT) AS n_fail_top_bigram,
+       CAST(COALESCE(SUM(CASE WHEN keep IS NULL THEN 1 END), 0) AS BIGINT)
+         AS n_no_tokens
+FROM j
+GROUP BY source
+"""

@@ -722,3 +722,15 @@ def test_pq8_adc_scan_has_no_join(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
     assert "split(" not in plan
+
+
+def test_pq16_codes_same_shape_as_pq8(spark, sf_dir):
+    """PQ16 (two packed words) keeps the PQ8 plan contract: one scan,
+    no join, folded literals (no per-row split), one round-robin
+    exchange below the distance projection."""
+    plan = _physical(QUERIES["embedding_pq16_codes"](spark, sf_dir))
+    assert "Join" not in plan
+    assert len(re.findall(r"FileScan parquet", plan)) == 1
+    assert len(re.findall(r"Exchange", plan)) == 1
+    assert "roundrobin" in plan.lower()
+    assert "split(" not in plan
