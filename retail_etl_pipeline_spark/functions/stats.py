@@ -1276,3 +1276,150 @@ def mood_median_test(
         .otherwise(F.lit(None).cast("double"))
         .alias("chi2"),
     )
+
+
+def jonckheere_terpstra(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """One-row Jonckheere–Terpstra trend test across ORDERED groups —
+    "is the value distribution monotonically shifting as the group key
+    increases?" (the ordered-alternative companion to
+    :func:`kruskal_wallis`, which only asks whether ANY group differs).
+    J = Σ_{i<j} U_ij over group pairs in key order, U the Mann-Whitney
+    count with the ½-tie convention.
+
+    Exactness discipline (the doubling trick): DOUBLED J stays an exact
+    integer — for state row (g, v, c), its doubled contribution as the
+    later member of the pairs is ``c · (2·B + T)`` where B = #obs in
+    earlier groups with smaller value and T = #obs in earlier groups
+    tied at v. B and T come from two window prefix sums over the dense
+    |groups| × |distinct values| grid (zero-filled so absent (g, v)
+    cells still relay the running sums): T = Σ_{i<g} c_i(v) partitioned
+    BY VALUE ordered by group, B = Σ_{w<v} T(g, w) partitioned BY GROUP
+    ordered by value. All counts are DECIMAL(38,0) integers.
+
+    The normal approximation uses the tie-corrected null variance
+    (Hollander & Wolfe 6.19; R clinfun::jonckheere.test's form) from
+    exact integer ingredients — group sizes u_i and pooled tie counts
+    t_v:
+
+        E(2J)  = (n² − Σu²) / 2  (n² − Σu² = 2·Σ_{i<j}u_i·u_j is even,
+                 so the halved value is an exact integer's double)
+        72·V₁  = n(n−1)(2n+5) − Σu(u−1)(2u+5) − Σt(t−1)(2t+5)
+        V₂·36·n(n−1)(n−2) = Σu(u−1)(u−2) · Σt(t−1)(t−2)
+        V₃·8·n(n−1)       = Σu(u−1) · Σt(t−1)
+        z = (2J − E(2J)) / (2·sqrt(V₁+V₂+V₃))
+
+    every Σ accumulates in DECIMAL(38,0); doubles appear only in the
+    final one-row z expression with a fixed textual op order mirrored
+    by the oracle. z is NULL when n < 3 or the variance is 0 (all
+    values tied).
+
+    Plan: the shared value-partitioned (group, value) count (the r8
+    kruskal shuffle-sharing shape), a |G| × |V| zero-filled grid (G
+    group keys broadcast onto the distinct-value relation — G is small
+    for a trend test: years, months, cohorts), two grid window passes,
+    three one-row aggregates crossed. Scale: everything after the first
+    aggregation is bounded by |G| × |distinct values|; the per-group
+    value-ordered window serializes one task per group over |V| rows —
+    acceptable because the grid is post-aggregation state, not raw
+    rows. Returns (n_groups, n_total, jt2, z) — jt2 = 2J exact."""
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    cnt = (
+        df.repartition(F.col(value_col))
+        .groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).cast(dec).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    perv = cnt.groupBy("v").agg(F.sum("c").cast(dec).alias("cv"))
+    gs = cnt.select("g").distinct()
+    zero = F.lit(0).cast(dec)
+    grid = (
+        perv.select("v")
+        .crossJoin(F.broadcast(gs))
+        .join(cnt, ["g", "v"], "left")
+        .select("g", "v", F.coalesce(F.col("c"), zero).alias("c0"))
+    )
+    w_t = (
+        Window.partitionBy("v")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_t = grid.select(
+        "g", "v", "c0",
+        F.coalesce(F.sum("c0").over(w_t), zero).cast(dec).alias("t"),
+    )
+    w_b = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_b = with_t.select(
+        "c0", "t",
+        F.coalesce(F.sum("t").over(w_b), zero).cast(dec).alias("b"),
+    )
+    j2 = with_b.agg(
+        F.coalesce(
+            F.sum(
+                (F.col("c0") * (2 * F.col("b") + F.col("t"))).cast(dec)
+            ),
+            zero,
+        )
+        .cast(dec)
+        .alias("jt2")
+    )
+    u = F.col("n_g")
+    per_g = cnt.groupBy("g").agg(F.sum("c").cast(dec).alias("n_g"))
+    gagg = per_g.agg(
+        F.coalesce(F.sum("n_g"), zero).alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.coalesce(F.sum((u * u).cast(dec)), zero).alias("su_sq"),
+        F.coalesce(
+            F.sum((u * (u - 1) * (2 * u + 5)).cast(dec)), zero
+        ).alias("su1"),
+        F.coalesce(
+            F.sum((u * (u - 1) * (u - 2)).cast(dec)), zero
+        ).alias("su2"),
+        F.coalesce(F.sum((u * (u - 1)).cast(dec)), zero).alias("su3"),
+    )
+    t_ = F.col("cv")
+    tagg = perv.agg(
+        F.coalesce(
+            F.sum((t_ * (t_ - 1) * (2 * t_ + 5)).cast(dec)), zero
+        ).alias("st1"),
+        F.coalesce(
+            F.sum((t_ * (t_ - 1) * (t_ - 2)).cast(dec)), zero
+        ).alias("st2"),
+        F.coalesce(F.sum((t_ * (t_ - 1)).cast(dec)), zero).alias("st3"),
+    )
+    joined = j2.crossJoin(gagg).crossJoin(tagg)
+    nd = F.col("n").cast("double")
+    e2 = (F.col("n") * F.col("n") - F.col("su_sq")).cast("double") / 2
+    v1 = (
+        nd * (nd - 1) * (2 * nd + 5)
+        - F.col("su1").cast("double")
+        - F.col("st1").cast("double")
+    ) / 72
+    v2 = (
+        F.col("su2").cast("double")
+        * F.col("st2").cast("double")
+        / (36 * nd * (nd - 1) * (nd - 2))
+    )
+    v3 = (
+        F.col("su3").cast("double")
+        * F.col("st3").cast("double")
+        / (8 * nd * (nd - 1))
+    )
+    var = v1 + v2 + v3
+    z = (F.col("jt2").cast("double") - e2) / (2 * F.sqrt(var))
+    ok = (F.col("n") > 2) & (var > 0)
+    return joined.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").cast("bigint").alias("n_total"),
+        F.col("jt2").cast("bigint").alias("jt2"),
+        F.when(ok, round6(z))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("z"),
+    )

@@ -2095,23 +2095,33 @@ def _pq_word_cols(m: int) -> list[str]:
 
 
 def _pq8_ctes(
-    train_iters: int, m: int = PQ_M, d: int = PQ_DIMS
+    train_iters: int,
+    m: int = PQ_M,
+    d: int = PQ_DIMS,
+    include_e: bool = True,
 ) -> tuple[list[str], str]:
     """Oracle CTE chain ending in ``codes`` (vec_id, label, <word
     cols>) + the final codebook relation name. csubs{i}(s, j, cs);
     packing goes through HUGEINT with the explicit two's-complement
     wrap, one output word per 8 subspaces (the mults relation carries
-    (s, mult, w): multiplier 256^(s%8) into word s//8)."""
+    (s, mult, w): multiplier 256^(s%8) into word s//8).
+    ``include_e=False`` skips the leading ``e`` CTE so a caller can
+    compose this chain behind its own ``e`` relation (the IVF-PQ16
+    oracle shares the lloyd-cells chain's ``e``; the OPQ oracle feeds
+    a permuted ``e``)."""
     words = (m + 7) // 8
     wcols = _pq_word_cols(m)
     mult_rows = ", ".join(
         f"({s}, CAST({(1 << (PQ8_BITS * (s % 8)))} AS HUGEINT), {s // 8})"
         for s in range(m)
     )
-    ctes = [
+    e_cte = (
         "e AS (\n"
         f"  SELECT vec_id, label, {_VEC_SQL.format(e='embedding')} AS v"
-        " FROM embeddings\n)",
+        " FROM embeddings\n)"
+    )
+    ctes = [
+        *([e_cte] if include_e else []),
         f"mults AS (SELECT * FROM (VALUES {mult_rows}) AS t(s, mult, w))",
         "subs AS (\n"
         "  SELECT vec_id, label, s,\n"
@@ -2198,9 +2208,13 @@ def _pq8_ctes(
 
 
 def embedding_pq8_codes_sql(
-    train_iters: int = 0, m: int = PQ_M, d: int = PQ_DIMS
+    train_iters: int = 0,
+    m: int = PQ_M,
+    d: int = PQ_DIMS,
+    pre_ctes: list[str] | None = None,
 ) -> str:
-    ctes, _ = _pq8_ctes(train_iters, m=m, d=d)
+    ctes, _ = _pq8_ctes(train_iters, m=m, d=d, include_e=pre_ctes is None)
+    ctes = list(pre_ctes or []) + ctes
     body = ",\n".join(ctes)
     cols = ", ".join(_pq_word_cols(m))
     return f"""
@@ -2215,11 +2229,14 @@ def ann_pq8_adc_topk_sql(
     train_iters: int = 0,
     m: int = PQ_M,
     d: int = PQ_DIMS,
+    pre_ctes: list[str] | None = None,
 ) -> str:
     """Oracle twin: codes + LUT from the same final codebook relation;
     code words unpacked through the HUGEINT un-wrap, 3-term LUT
-    distances."""
-    ctes, fin = _pq8_ctes(train_iters, m=m, d=d)
+    distances. ``pre_ctes`` supplies a caller-built ``e`` relation
+    (the OPQ oracle's permuted vectors) in place of the default scan."""
+    ctes, fin = _pq8_ctes(train_iters, m=m, d=d, include_e=pre_ctes is None)
+    ctes = list(pre_ctes or []) + ctes
     body = ",\n".join(ctes)
     wcols = _pq_word_cols(m)
     unwraps = ",\n".join(
@@ -2365,3 +2382,323 @@ def ann_pq16_adc_topk_sql(
     return ann_pq8_adc_topk_sql(
         query_id, k, train_iters, m=PQ16_M, d=PQ16_DIMS
     )
+
+
+# ---------------------------------------------------------------------------
+# OPQ-lite: balanced-energy dimension permutation before PQ16. Product
+# quantization quantizes each subspace independently, so recall suffers when
+# a few subspaces hold most of the corpus energy (their 256 entries must
+# cover a wider spread). OPQ (Ge et al., CVPR 2013, "Optimized Product
+# Quantization") fixes this with a learned rotation; its non-parametric
+# initializer — eigenvalue allocation, balancing per-subspace variance by
+# REORDERING dimensions — captures most of the gain for near-independent
+# dims and is a pure permutation, which keeps everything deterministic and
+# oracle-expressible. The permutation snake-deals the energy-ranked dims
+# across the 16 subspaces (each gets one dim from each energy quartile);
+# energies are exact nano-unit integer sums, so both engines derive the
+# identical permutation. At 100 TB: the permutation is 64 plan constants
+# from one bounded aggregate; applying it is free inside the existing
+# one-map-pass quantization projection.
+# ---------------------------------------------------------------------------
+
+
+def _opq_perm(
+    vecs: DataFrame, m: int = PQ16_M, d: int = PQ16_DIMS
+) -> list[int]:
+    """perm[newpos] = source dim. Dims are ranked by total corpus energy
+    (exact integer sum of squared nano-unit components — DECIMAL(38,0)
+    sums on the Spark side, HUGEINT on the oracle's, both overflow-free
+    and bit-identical) and snake-dealt across the ``m`` subspaces: rank
+    r lands in subspace (m-1 - r%m if (r//m) odd else r%m), slot r//m.
+    One bounded aggregate; the collect is exactly |dims| = 64 rows."""
+    nano = F.expr(
+        f"CAST(round(CAST(comp AS DECIMAL(30,15)) * {_NANO}, 0) AS BIGINT)"
+    )
+    nv = F.col("nv").cast("decimal(19,0)")
+    rows = (
+        vecs.select(F.posexplode(F.col("v")).alias("dim", "comp"))
+        .select("dim", nano.alias("nv"))
+        .select("dim", (nv * nv).alias("nv2"))
+        .groupBy("dim")
+        .agg(F.sum(F.col("nv2").cast("decimal(38,0)")).alias("energy"))
+        .collect()
+    )
+    ranked = sorted(rows, key=lambda r: (-int(r["energy"]), r["dim"]))
+    perm = [0] * (m * d)
+    for r, row in enumerate(ranked):
+        rnd, col = divmod(r, m)
+        if rnd % 2 == 1:
+            col = m - 1 - col
+        perm[col * d + rnd] = row["dim"]
+    return perm
+
+
+def _opq_vectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, v) with v permuted by the balanced-energy
+    permutation — a pure projection over 64 plan-constant indexes."""
+    vecs = _vectors(emb)
+    perm = _opq_perm(vecs)
+    rv = F.array(*[F.element_at(F.col("v"), p + 1) for p in perm])
+    return vecs.select("vec_id", "label", rv.alias("v"))
+
+
+def _opq_e_ctes(m: int = PQ16_M, d: int = PQ16_DIMS) -> list[str]:
+    """Oracle CTEs deriving the SAME permuted ``e``: exact HUGEINT
+    energy per dim, rank, snake-deal arithmetic, ordered array_agg."""
+    return [
+        "raw AS (\n"
+        f"  SELECT vec_id, label, {_VEC_SQL.format(e='embedding')} AS v"
+        " FROM embeddings\n)",
+        "dimstats AS (\n"
+        "  SELECT dim, SUM(CAST(nv AS HUGEINT) * CAST(nv AS HUGEINT))"
+        " AS energy\n"
+        "  FROM (SELECT unnest(range(len(v))) AS dim,\n"
+        f"               CAST(round(CAST(unnest(v) AS DECIMAL(30,15)) *"
+        f" {_NANO}, 0)\n"
+        "                    AS BIGINT) AS nv\n"
+        "        FROM raw)\n"
+        "  GROUP BY dim\n)",
+        "dimperm AS (\n"
+        "  SELECT dim AS olddim,\n"
+        "         row_number() OVER (ORDER BY energy DESC, dim ASC) - 1"
+        " AS r\n"
+        "  FROM dimstats\n)",
+        "perm AS (\n"
+        f"  SELECT olddim,\n"
+        f"         (CASE WHEN (r // {m}) % 2 = 1 THEN {m - 1} - (r % {m})\n"
+        f"               ELSE r % {m} END) * {d} + (r // {m}) AS newpos\n"
+        "  FROM dimperm\n)",
+        "e AS (\n"
+        "  SELECT vec_id, ANY_VALUE(label) AS label,\n"
+        "         array_agg(v[olddim + 1] ORDER BY newpos) AS v\n"
+        "  FROM raw, perm\n"
+        "  GROUP BY vec_id\n)",
+    ]
+
+
+def embedding_opq16_codes(emb: DataFrame, train_iters: int = 1) -> DataFrame:
+    """PQ16 codes over balanced-energy-permuted vectors — the OPQ-init
+    quantizer. Identical storage shape to :func:`embedding_pq16_codes`
+    (two packed bigints, 32x compression); the permutation costs one
+    bounded aggregate at train time and nothing at scan time."""
+    vecs = _opq_vectors(emb)
+    books = (
+        _pq8_books(vecs, m=PQ16_M, d=PQ16_DIMS)
+        if train_iters == 0
+        else _pq8_lloyd_books(vecs, train_iters, m=PQ16_M, d=PQ16_DIMS)
+    )
+    return _pq16_pack(_pq8_sliced(vecs, m=PQ16_M, d=PQ16_DIMS), books)
+
+
+def ann_opq16_adc_topk(
+    emb: DataFrame, query_id: int = 0, k: int = TOP_K, train_iters: int = 1
+) -> DataFrame:
+    """16-subspace PQ ADC top-k over the balanced-energy permutation:
+    the query vector passes through the same 64-constant permutation
+    projection, so LUT subspaces line up with the permuted codes. Same
+    16-lookup scan as :func:`ann_pq16_adc_topk`."""
+    vecs = _opq_vectors(emb)
+    books = (
+        _pq8_books(vecs, m=PQ16_M, d=PQ16_DIMS)
+        if train_iters == 0
+        else _pq8_lloyd_books(vecs, train_iters, m=PQ16_M, d=PQ16_DIMS)
+    )
+    qrow = vecs.where(F.col("vec_id") == query_id).select("v").first()
+    qv = [float(x) for x in qrow["v"]]
+    lut = []
+    for s in range(PQ16_M):
+        qs = qv[s * PQ16_DIMS : (s + 1) * PQ16_DIMS]
+        qq = _seq_dot(qs, qs)
+        lut.append(
+            [
+                qq - 2 * _seq_dot(qs, books[s][j]) + _seq_dot(
+                    books[s][j], books[s][j]
+                )
+                for j in sorted(books[s])
+            ]
+        )
+    codes = _pq16_pack(_pq8_sliced(vecs, m=PQ16_M, d=PQ16_DIMS), books)
+    adc = F.lit(0.0)
+    for s in range(PQ16_M):
+        word = F.col("pq_lo") if s < 8 else F.col("pq_hi")
+        idx = (
+            F.shiftrightunsigned(word, PQ8_BITS * (s % 8))
+            .bitwiseAND(F.lit(PQ8_K - 1))
+            .cast("int")
+        )
+        adc = adc + F.element_at(_dbl_arr_lit(lut[s]), idx + 1)
+    return (
+        codes.where(F.col("vec_id") != query_id)
+        .select("vec_id", "label", _round6(adc).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def embedding_opq16_codes_sql(train_iters: int = 1) -> str:
+    return embedding_pq8_codes_sql(
+        train_iters, m=PQ16_M, d=PQ16_DIMS, pre_ctes=_opq_e_ctes()
+    )
+
+
+def ann_opq16_adc_topk_sql(
+    query_id: int = 0, k: int = TOP_K, train_iters: int = 1
+) -> str:
+    return ann_pq8_adc_topk_sql(
+        query_id, k, train_iters, m=PQ16_M, d=PQ16_DIMS,
+        pre_ctes=_opq_e_ctes(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ16: the production composition — Lloyd-refined IVF cells prune the
+# corpus to ~nprobe/|cells|, and the survivors are ranked by 16-subspace
+# 256-entry trained-PQ asymmetric distance over 16-byte packed codes. This
+# is faiss.IndexIVFPQ(quantizer, d, nlist, 16, 8), determinized: at 100 TB
+# the scan cost is (nprobe/|cells|) x 16 bytes/vector — both index
+# structures are one ingest-time projection pass each, and the per-query
+# state (probe list + 16x256 LUT) is plan constants.
+# ---------------------------------------------------------------------------
+
+
+def ann_ivfpq16_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = TOP_K,
+    iters: int = 1,
+    nprobe: int = IVF_NPROBE,
+    train_iters: int = 1,
+) -> DataFrame:
+    """Full IVF-PQ at production codebook size: probe the query's
+    ``nprobe`` nearest Lloyd-refined cells, rank candidates by
+    16-subspace trained-PQ asymmetric distance (16x256 exact-L2 LUT, 16
+    lookups per vector from the two packed code words). Both trained
+    states are the exact-decimal deterministic kernels the standalone
+    variants prove (`_lloyd_refined_cells`, `_pq8_lloyd_books`), so the
+    composition stays engine-stable end to end."""
+    import math
+
+    vecs = _vectors(emb)
+    cells, cents = _lloyd_refined_cells(vecs, iters=iters)
+    qrow = vecs.where(F.col("vec_id") == query_id).select("v").first()
+    qv = [float(x) for x in qrow["v"]]
+    qnorm = math.sqrt(_seq_dot(qv, qv))
+    ranked = sorted(
+        (
+            (
+                -(
+                    _seq_dot(qv, cv)
+                    / qnorm
+                    / math.sqrt(_seq_dot(cv, cv))
+                ),
+                cid,
+            )
+            for cid, cv in cents.items()
+        )
+    )
+    probe_cells = [cid for _, cid in ranked[:nprobe]]
+    books = (
+        _pq8_books(vecs, m=PQ16_M, d=PQ16_DIMS)
+        if train_iters == 0
+        else _pq8_lloyd_books(vecs, train_iters, m=PQ16_M, d=PQ16_DIMS)
+    )
+    lut = []
+    for s in range(PQ16_M):
+        qs = qv[s * PQ16_DIMS : (s + 1) * PQ16_DIMS]
+        qq = _seq_dot(qs, qs)
+        lut.append(
+            [
+                qq - 2 * _seq_dot(qs, books[s][j]) + _seq_dot(
+                    books[s][j], books[s][j]
+                )
+                for j in sorted(books[s])
+            ]
+        )
+    codes = _pq16_pack(_pq8_sliced(vecs, m=PQ16_M, d=PQ16_DIMS), books)
+    adc = F.lit(0.0)
+    for s in range(PQ16_M):
+        word = F.col("pq_lo") if s < 8 else F.col("pq_hi")
+        idx = (
+            F.shiftrightunsigned(word, PQ8_BITS * (s % 8))
+            .bitwiseAND(F.lit(PQ8_K - 1))
+            .cast("int")
+        )
+        adc = adc + F.element_at(_dbl_arr_lit(lut[s]), idx + 1)
+    return (
+        cells.select("vec_id", "cell")
+        .join(codes, "vec_id")
+        .where(
+            (F.col("vec_id") != query_id)
+            & (F.col("cell").isin(*probe_cells))
+        )
+        .select("vec_id", "label", _round6(adc).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_ivfpq16_topk_sql(
+    query_id: int = 0,
+    k: int = TOP_K,
+    iters: int = 1,
+    nprobe: int = IVF_NPROBE,
+    train_iters: int = 1,
+) -> str:
+    """Oracle twin: the lloyd-cells chain and the PQ16 trained-codes
+    chain composed behind one shared ``e``; probe cells from the final
+    cell assignment ranking, candidates = probed cells_fin members,
+    ADC summed over HUGEINT-unwrapped code indexes against the
+    relational LUT."""
+    ctes = _lloyd_cells_ctes(iters)
+    ctes.append(
+        "qcells AS (SELECT cid AS cell FROM scored_fin WHERE"
+        f" vec_id = {query_id} AND rn <= {nprobe})"
+    )
+    pq_ctes, fin = _pq8_ctes(
+        train_iters, m=PQ16_M, d=PQ16_DIMS, include_e=False
+    )
+    ctes.extend(pq_ctes)
+    wcols = _pq_word_cols(PQ16_M)
+    unwraps = ",\n".join(
+        f"         CASE WHEN {c} < 0 THEN CAST({c} AS HUGEINT) + {_TWO64}"
+        f"\n              ELSE CAST({c} AS HUGEINT) END AS up{w}"
+        for w, c in enumerate(wcols)
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+lut AS (
+  SELECT c.s, c.j,
+         {_DOT_SQL.format(a='qs.vs', b='qs.vs')}
+           - 2 * {_DOT_SQL.format(a='qs.vs', b='c.cs')}
+           + {_DOT_SQL.format(a='c.cs', b='c.cs')} AS dist
+  FROM {fin} c
+  JOIN (SELECT s, vs FROM subs WHERE vec_id = {query_id}) qs
+    ON qs.s = c.s
+),
+cands AS (
+  SELECT cf.vec_id
+  FROM cells_fin cf JOIN qcells USING (cell)
+  WHERE cf.vec_id != {query_id}
+),
+unwrapped AS (
+  SELECT codes.vec_id, codes.label,
+{unwraps}
+  FROM codes JOIN cands ON codes.vec_id = cands.vec_id
+),
+unpacked AS (
+  SELECT u.vec_id, u.label, m.s,
+         CAST(((CASE m.w WHEN 0 THEN u.up0 ELSE u.up1 END) // m.mult)
+              % {PQ8_K} AS BIGINT) AS j
+  FROM unwrapped u CROSS JOIN mults m
+),
+adcs AS (
+  SELECT vec_id, ANY_VALUE(label) AS label, SUM(lut.dist) AS adc
+  FROM unpacked JOIN lut ON unpacked.s = lut.s AND unpacked.j = lut.j
+  GROUP BY vec_id
+)
+SELECT vec_id, label, {_ROUND6_SQL.format(x='adc')} AS adc
+FROM adcs
+ORDER BY adc ASC, vec_id ASC
+LIMIT {k}
+"""

@@ -931,7 +931,9 @@ FROM per_tok LEFT JOIN per_bg ON per_tok.doc_id = per_bg.doc_id
 """
 
 
-def gopher_keep_rate_by_source(docs: DataFrame) -> DataFrame:
+def gopher_keep_rate_by_source(
+    docs: DataFrame, flags: DataFrame | None = None
+) -> DataFrame:
     """Per-source quality-gate health: how much of each ingestion
     source the Gopher rule battery keeps, and which rule kills the
     rest — the monitoring table behind the gated streaming intake
@@ -949,8 +951,12 @@ def gopher_keep_rate_by_source(docs: DataFrame) -> DataFrame:
 
     Plan: the rule battery's two |docs|-bounded aggregates, LEFT-joined
     back to the (doc_id, source) projection, one |sources|-bounded
-    aggregation. Raw text never shuffles."""
-    flags = gopher_quality_flags(docs)
+    aggregation. Raw text never shuffles. ``flags`` short-circuits the
+    battery with a precomputed (and typically persisted) flag relation
+    — the gated streaming fold computes flags once for the quarantine
+    write and reuses them here."""
+    if flags is None:
+        flags = gopher_quality_flags(docs)
     base = docs.select("doc_id", "source")
     j = base.join(flags, "doc_id", "left")
 

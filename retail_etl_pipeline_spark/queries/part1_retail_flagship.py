@@ -738,6 +738,38 @@ def ann_pq16_adc_topk_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("embedding_opq16_codes", sim.embedding_opq16_codes_sql())
+def embedding_opq16_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ16 codes over a balanced-energy dimension permutation — the
+    deterministic OPQ initializer (eigenvalue-allocation style: dims
+    ranked by exact integer corpus energy, snake-dealt so each of the
+    16 subspaces gets one dim per energy quartile). Same 32x-compressed
+    storage; the permutation is 64 plan constants from one bounded
+    aggregate, free at scan time."""
+    return sim.embedding_opq16_codes(fx._read(spark, sf_dir, "embeddings"))
+
+
+@_register("ann_opq16_adc_topk", sim.ann_opq16_adc_topk_sql())
+def ann_opq16_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-init PQ16 ADC top-k: query and corpus pass through the same
+    balanced-energy permutation, then the trained 16x256 LUT scan —
+    quantization error concentrates less in any one subspace, the
+    published OPQ recall mechanism (Ge et al. CVPR 2013) in its
+    deterministic permutation form (measured table in SCALE.md)."""
+    return sim.ann_opq16_adc_topk(fx._read(spark, sf_dir, "embeddings"))
+
+
+@_register("ann_ivfpq16_topk", sim.ann_ivfpq16_topk_sql())
+def ann_ivfpq16_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ at production codebook size (faiss.IndexIVFPQ shape,
+    determinized): nprobe=2 Lloyd-refined cells prune the corpus, then
+    16-subspace 256-entry TRAINED-PQ asymmetric distance ranks the
+    survivors from their two packed code words — the scan cost is
+    (nprobe/|cells|) x 16 bytes/vector, the billion-scale configuration
+    of the family's best-recall quantizer (SCALE.md)."""
+    return sim.ann_ivfpq16_topk(fx._read(spark, sf_dir, "embeddings"))
+
+
 @_register("embedding_neardup", sim.EMBEDDING_NEARDUP_SQL)
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: brute-force baseline over a

@@ -1420,7 +1420,10 @@ def nation_revenue_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/stats.mood_median_test — the pooled lower median resolves
     from the SAME exact decimal prefix sum KW uses, every contingency
     cell is an exact integer, and the chi-square terms fold over a
-    nation-ordered array (Spark aggregate == DuckDB list_reduce)."""
+    nation-ordered array (Spark aggregate == DuckDB list_reduce).
+
+    (revenue_trend_jt, the ORDERED-alternative companion, is defined
+    below this median test — same value encoding, ship-year groups.)"""
     from ..functions.stats import mood_median_test
 
     li = fx._read(spark, sf_dir, "lineitem")
@@ -1445,6 +1448,138 @@ def nation_revenue_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return mood_median_test(vals, "v", "g")
+
+
+# ---------------------------------------------------------------------------
+# round-8: ordered-alternative trend test — Jonckheere-Terpstra across
+# ship years
+# ---------------------------------------------------------------------------
+
+@_register(
+    "revenue_trend_jt",
+    """
+WITH vals AS (
+  SELECT CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS g,
+         CAST(round(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)),
+                    2) * 100 AS BIGINT) AS v
+  FROM lineitem
+),
+cnt AS (
+  SELECT g, v, CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+  FROM vals GROUP BY 1, 2
+),
+perv AS (
+  SELECT v, CAST(SUM(c) AS DECIMAL(38,0)) AS cv FROM cnt GROUP BY 1
+),
+gs AS (SELECT DISTINCT g FROM cnt),
+grid AS (
+  SELECT gs.g, perv.v, CAST(COALESCE(cnt.c, 0) AS DECIMAL(38,0)) AS c0
+  FROM perv CROSS JOIN gs
+  LEFT JOIN cnt ON cnt.g = gs.g AND cnt.v = perv.v
+),
+wt AS (
+  SELECT g, v, c0,
+         CAST(COALESCE(SUM(c0) OVER (
+           PARTITION BY v ORDER BY g
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS DECIMAL(38,0)) AS t
+  FROM grid
+),
+wb AS (
+  SELECT c0, t,
+         CAST(COALESCE(SUM(t) OVER (
+           PARTITION BY g ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS DECIMAL(38,0)) AS b
+  FROM wt
+),
+j2 AS (
+  SELECT CAST(COALESCE(SUM(CAST(c0 * (2 * b + t) AS DECIMAL(38,0))), 0)
+              AS DECIMAL(38,0)) AS jt2
+  FROM wb
+),
+per_g AS (
+  SELECT g, CAST(SUM(c) AS DECIMAL(38,0)) AS n_g FROM cnt GROUP BY 1
+),
+gagg AS (
+  SELECT CAST(COALESCE(SUM(n_g), 0) AS DECIMAL(38,0)) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(COALESCE(SUM(CAST(n_g * n_g AS DECIMAL(38,0))), 0)
+              AS DECIMAL(38,0)) AS su_sq,
+         CAST(COALESCE(SUM(CAST(n_g * (n_g - 1) * (2 * n_g + 5)
+                                AS DECIMAL(38,0))), 0)
+              AS DECIMAL(38,0)) AS su1,
+         CAST(COALESCE(SUM(CAST(n_g * (n_g - 1) * (n_g - 2)
+                                AS DECIMAL(38,0))), 0)
+              AS DECIMAL(38,0)) AS su2,
+         CAST(COALESCE(SUM(CAST(n_g * (n_g - 1) AS DECIMAL(38,0))), 0)
+              AS DECIMAL(38,0)) AS su3
+  FROM per_g
+),
+tagg AS (
+  SELECT CAST(COALESCE(SUM(CAST(cv * (cv - 1) * (2 * cv + 5)
+                                AS DECIMAL(38,0))), 0)
+              AS DECIMAL(38,0)) AS st1,
+         CAST(COALESCE(SUM(CAST(cv * (cv - 1) * (cv - 2)
+                                AS DECIMAL(38,0))), 0)
+              AS DECIMAL(38,0)) AS st2,
+         CAST(COALESCE(SUM(CAST(cv * (cv - 1) AS DECIMAL(38,0))), 0)
+              AS DECIMAL(38,0)) AS st3
+  FROM perv
+),
+calc AS (
+  SELECT jt2, n, k,
+         CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+              - CAST(su_sq AS HUGEINT) AS DOUBLE) / 2 AS e2,
+         (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+            * (2 * CAST(n AS DOUBLE) + 5)
+            - CAST(su1 AS DOUBLE) - CAST(st1 AS DOUBLE)) / 72
+           + CAST(su2 AS DOUBLE) * CAST(st2 AS DOUBLE)
+             / (36 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+                * (CAST(n AS DOUBLE) - 2))
+           + CAST(su3 AS DOUBLE) * CAST(st3 AS DOUBLE)
+             / (8 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS var
+  FROM j2, gagg, tagg
+)
+SELECT k AS n_groups,
+       CAST(n AS BIGINT) AS n_total,
+       CAST(jt2 AS BIGINT) AS jt2,
+       CASE WHEN n > 2 AND var > 0
+            THEN CAST(round(CAST((CAST(jt2 AS DOUBLE) - e2)
+                                 / (2 * sqrt(var)) AS DECIMAL(20,9)), 6)
+                      AS DOUBLE) END AS z
+FROM calc
+""",
+)
+def revenue_trend_jt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED-alternative trend: Jonckheere-Terpstra test of whether
+    per-line revenue (integer cents) is monotonically shifting across
+    SHIP YEARS — the trend companion to nation_revenue_kruskal (KW asks
+    "does ANY group differ?"; JT asks "do the groups drift in key
+    order?", the question a drift monitor actually wants). Kernel:
+    functions/stats.jonckheere_terpstra — doubled J stays an exact
+    integer via two window prefix sums over the zero-filled
+    |years| x |distinct values| grid; the tie-corrected null variance
+    (Hollander & Wolfe 6.19) assembles from exact DECIMAL group-size
+    and tie-count sums, doubles only in the final one-row z."""
+    from ..functions.stats import jonckheere_terpstra
+
+    li = fx._read(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.year(F.col("l_shipdate")).cast("int").alias("g"),
+        (
+            F.round(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(30,6)"),
+                2,
+            )
+            * 100
+        )
+        .cast("bigint")
+        .alias("v"),
+    )
+    return jonckheere_terpstra(vals, "v", "g")
 
 
 @_register("gopher_keep_rate_by_source", tx.GOPHER_KEEP_RATE_SQL)

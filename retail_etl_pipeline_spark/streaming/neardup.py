@@ -558,18 +558,43 @@ def gated_dedup_pipeline_fold(
     2. the kept docs run the unchanged :func:`dedup_pipeline_fold`
        (same stores, same replay contract, same verify knob).
 
+    3. intake-stats store: one row per (batch, source) with the exact
+       keep/fail/no-token counts (``{base_dir}/intake_stats``, same
+       partitioned dynamic-overwrite replay contract) — the stream-side
+       feed of the :func:`..operators.text.gopher_keep_rate_by_source`
+       monitor. Counts are written, rates derived at read time
+       (:func:`read_intake_keep_rate`): summed counts re-aggregate
+       exactly across batches, pre-computed ppm would not. When the
+       stream carries no ``source`` column the stats roll up under the
+       single source ``"_all"``.
+
     The gate is per-document and stateless, so batch-local application
     equals a global pre-filter; after any micro-batching the end state
     == the batch chain on ``docs.where(keep)`` (asserted in
     tests/test_streaming). Rule flags are exact-integer decisions, so
     stream and batch can never disagree on a borderline doc."""
-    from ..operators.text import gopher_quality_flags
+    from ..operators.text import (
+        gopher_keep_rate_by_source,
+        gopher_quality_flags,
+    )
 
     flags = gopher_quality_flags(docs_batch).persist()
     try:
         _write_batch_partition(
             flags.where(~F.col("keep")),
             f"{base_dir}/quarantine",
+            batch_id,
+        )
+        with_src = (
+            docs_batch
+            if "source" in docs_batch.columns
+            else docs_batch.withColumn("source", F.lit("_all"))
+        )
+        _write_batch_partition(
+            gopher_keep_rate_by_source(with_src, flags=flags).drop(
+                "keep_ppm"
+            ),
+            f"{base_dir}/intake_stats",
             batch_id,
         )
         kept = docs_batch.join(
@@ -590,6 +615,73 @@ def stream_gated_dedup_pipeline(
     return docs_stream.writeStream.foreachBatch(
         lambda df, bid: gated_dedup_pipeline_fold(
             df, bid, base_dir, verify=verify
+        )
+    )
+
+
+_INTAKE_COUNT_COLS = [
+    "n_docs",
+    "n_kept",
+    "n_fail_word_count",
+    "n_fail_mean_len",
+    "n_fail_alpha",
+    "n_fail_stopwords",
+    "n_fail_dup_bigram",
+    "n_fail_top_bigram",
+    "n_no_tokens",
+]
+
+_INTAKE_SCHEMA = (
+    "source string, "
+    + ", ".join(f"{c} long" for c in _INTAKE_COUNT_COLS)
+    + ", batch_id int"
+)
+
+
+def read_intake_stats(spark: SparkSession, base_dir: str) -> DataFrame:
+    """The accumulated per-(batch, source) intake counts written by
+    :func:`gated_dedup_pipeline_fold` — one monitoring row per source
+    per micro-batch. Not-yet-started stores read as an empty relation
+    with the stats schema."""
+    stats_dir = f"{base_dir}/intake_stats"
+    if not _fs_exists(spark, stats_dir):
+        return spark.createDataFrame([], _INTAKE_SCHEMA)
+    try:
+        df = spark.read.parquet(stats_dir)
+    except Exception:  # _SUCCESS-only directory
+        return spark.createDataFrame([], _INTAKE_SCHEMA)
+    return df.select(
+        "source", *_INTAKE_COUNT_COLS, F.col("batch_id").cast("int")
+    )
+
+
+def read_intake_keep_rate(spark: SparkSession, base_dir: str) -> DataFrame:
+    """The stream-side quality-gate monitor: per-source keep rates over
+    EVERYTHING the gated stream has ingested so far — exact-count sums
+    across the batch partitions with keep_ppm derived at read time, so
+    the result equals :func:`..operators.text.gopher_keep_rate_by_source`
+    run on the concatenated batches (asserted in tests/test_streaming;
+    a per-batch ppm average would NOT re-aggregate). The gate is
+    stateless per document, so this is also what the batch monitor
+    would report on the same corpus."""
+    stats = read_intake_stats(spark, base_dir)
+    return (
+        stats.groupBy("source")
+        .agg(
+            *[
+                F.sum(c).cast("bigint").alias(c)
+                for c in _INTAKE_COUNT_COLS
+            ]
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            F.expr(
+                "CAST((CAST(n_kept AS DECIMAL(38,0)) * 1000000)"
+                " div CAST(n_docs AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("keep_ppm"),
+            *_INTAKE_COUNT_COLS[2:],
         )
     )
 

@@ -289,3 +289,78 @@ def test_mood_median_test_textbook_and_robustness(spark):
     e = mood_median_test(empty, "v", "g").first()
     assert (e["n_groups"], e["n_total"], e["pooled_median"], e["dof"],
             e["chi2"]) == (0, 0, None, None, None)
+
+
+def _jt_brute(rows):
+    """Doubled Jonckheere-Terpstra by definition: 2·Σ_{i<j} U_ij with
+    the ½-tie convention — the O(n²) oracle for the kernel's grid form."""
+    j2 = 0
+    for g1, x in rows:
+        for g2, y in rows:
+            if g1 < g2:
+                if x < y:
+                    j2 += 2
+                elif x == y:
+                    j2 += 1
+    return j2
+
+
+def test_jonckheere_terpstra_textbook_brute_and_edges(spark):
+    """Perfectly separated ascending groups {1-3},{4-6},{7-9}: every
+    cross-group pair ascends, J = 27, and with no ties the null
+    variance is 20.25, so z = (27 - 13.5) / 4.5 = exactly 3. A tied,
+    interleaved dataset must match the O(n²) brute-force doubling, and
+    reversing the group order must negate z (antisymmetry of the trend
+    statistic). Empty input returns zeros/NULL — and the
+    revenue_trend_jt ORACLE agrees on empty views (the r7 ADVICE
+    degenerate-parity discipline)."""
+    import duckdb
+
+    from retail_etl_pipeline_spark.functions.stats import (
+        jonckheere_terpstra,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3), (2, 4), (2, 5), (2, 6),
+         (3, 7), (3, 8), (3, 9)],
+        "g int, v long",
+    )
+    row = jonckheere_terpstra(df, "v", "g").first()
+    assert row["n_groups"] == 3 and row["n_total"] == 9
+    assert row["jt2"] == 54
+    assert abs(row["z"] - 3.0) < 1e-9
+
+    tied_rows = [
+        (1, 5), (1, 7), (1, 7), (1, 12), (2, 7), (2, 9), (2, 12),
+        (3, 9), (3, 9), (3, 15), (3, 5),
+    ]
+    tied = spark.createDataFrame(tied_rows, "g int, v long")
+    t = jonckheere_terpstra(tied, "v", "g").first()
+    assert t["jt2"] == _jt_brute(tied_rows)
+    rev = spark.createDataFrame(
+        [(-g, v) for g, v in tied_rows], "g int, v long"
+    )
+    r = jonckheere_terpstra(rev, "v", "g").first()
+    assert abs(r["z"] + t["z"]) < 1e-9
+
+    # all values tied -> variance 0 -> z NULL, jt2 still exact
+    const = spark.createDataFrame(
+        [(1, 7), (1, 7), (2, 7)], "g int, v long"
+    )
+    c = jonckheere_terpstra(const, "v", "g").first()
+    assert c["z"] is None and c["jt2"] == _jt_brute([(1, 7), (1, 7), (2, 7)])
+
+    empty = spark.createDataFrame([], "g int, v long")
+    e = jonckheere_terpstra(empty, "v", "g").first()
+    assert (e["n_groups"], e["n_total"], e["jt2"], e["z"]) == (0, 0, 0, None)
+
+    from __spark_entry__ import oracle_sql
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM"
+        f" read_parquet('{sf}/lineitem.parquet') WHERE false"
+    )
+    (orow,) = con.execute(oracle_sql()["revenue_trend_jt"]).fetchall()
+    assert orow == (0, 0, 0, None)

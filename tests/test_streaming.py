@@ -1621,3 +1621,79 @@ def test_streaming_gated_dedup_pipeline_equals_gated_batch(spark, sf_dir):
     assert not (qids & store_ids)
     assert not (qids & band_ids)
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_intake_keep_rate_equals_batch_monitor(spark, sf_dir):
+    """The stream-side quality-gate monitor: after the gated intake
+    fold runs over micro-batches of a SOURCE-carrying document stream,
+    (a) read_intake_keep_rate must equal gopher_keep_rate_by_source on
+    the full corpus row-for-row (counts sum across batches; ppm derives
+    from the summed counts — the reason the store persists counts, not
+    rates), and (b) each batch partition's rows must equal the batch
+    monitor run on that micro-batch alone (the per-batch drill-down a
+    feed-health dashboard plots)."""
+    from retail_etl_pipeline_spark.operators import text as tx
+    from retail_etl_pipeline_spark.streaming import neardup as nd
+
+    docs = fx._read(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    base = os.path.join(TMP, "intake_monitor")
+    shutil.rmtree(base, ignore_errors=True)
+
+    # empty/not-started store reads as an empty, schema-stable relation
+    assert nd.read_intake_keep_rate(spark, base).count() == 0
+
+    src = os.path.join(base, "src")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        nd.stream_gated_dedup_pipeline(stream, base)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    # (a) global monitor == batch monitor on the concatenated corpus
+    streamed = {
+        tuple(r) for r in nd.read_intake_keep_rate(spark, base).collect()
+    }
+    batch = {
+        tuple(r) for r in tx.gopher_keep_rate_by_source(docs).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 1  # several sources actually present
+
+    # (b) per-batch rows == the monitor on that micro-batch alone
+    stats = nd.read_intake_stats(spark, base)
+    batch_ids = sorted(
+        r["batch_id"] for r in stats.select("batch_id").distinct().collect()
+    )
+    assert len(batch_ids) == 3
+    count_cols = nd._INTAKE_COUNT_COLS
+    for i, bid in enumerate(batch_ids):
+        got = {
+            tuple(r)
+            for r in stats.where(F.col("batch_id") == bid)
+            .select("source", *count_cols)
+            .collect()
+        }
+        want = {
+            tuple(r)
+            for r in tx.gopher_keep_rate_by_source(
+                docs.filter(F.col("doc_id") % 3 == i)
+            )
+            .drop("keep_ppm")
+            .collect()
+        }
+        assert got == want
+    shutil.rmtree(base, ignore_errors=True)

@@ -209,6 +209,11 @@ def main(argv: list[str]) -> int:
         "ann_pq16_adc_topk_lloyd": lambda e, query_id, k: (
             sim.ann_pq16_adc_topk(e, query_id=query_id, k=k, train_iters=1)
         ),
+        "ann_opq16_adc_topk_untrained": lambda e, query_id, k: (
+            sim.ann_opq16_adc_topk(e, query_id=query_id, k=k, train_iters=0)
+        ),
+        "ann_opq16_adc_topk": sim.ann_opq16_adc_topk,
+        "ann_ivfpq16_topk": sim.ann_ivfpq16_topk,
     }
     for name, fn in pq_variants.items():
         hits = 0
@@ -218,7 +223,7 @@ def main(argv: list[str]) -> int:
             }
             hits += len(got & l2_truth[q])
         recall = hits / (len(qids) * args.k)
-        nbytes = 16 if "pq16" in name else 8
+        nbytes = 16 if ("pq16" in name or "opq16" in name) else 8
         print(f"| {name} | {recall:.3f} | {nbytes} (vs 512 raw) |")
     return 0
 
