@@ -2550,6 +2550,137 @@ def ann_opq16_adc_topk_sql(
     )
 
 
+def ann_pq16_rerank_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = TOP_K,
+    shortlist: int = 64,
+    train_iters: int = 1,
+) -> DataFrame:
+    """Two-stage retrieval, the production serving pattern: a 16-byte
+    ADC scan shortlists ``shortlist`` candidates, then ONLY those rows'
+    raw vectors are fetched for an exact-L2 rerank to the final top-k.
+    Recall ~= the probability the true top-k survives a 6.4x-larger ADC
+    cut — near-exact at a scan that still reads 16 bytes/vector
+    (measured in SCALE.md); the raw 512-byte vectors are touched for
+    just |shortlist| rows (at scale: a key-lookup fetch, not a scan).
+
+    Determinism: the shortlist ranks by ROUND6(adc) with vec_id
+    tiebreak — sub-1e-6 engine float-noise collapses before the cut, so
+    both engines admit the identical candidate set; the exact stage
+    uses the sequential-fold dot (== DuckDB list_dot_product op order),
+    the proven bit-identical kernel."""
+    vecs = _vectors(emb)
+    books = (
+        _pq8_books(vecs, m=PQ16_M, d=PQ16_DIMS)
+        if train_iters == 0
+        else _pq8_lloyd_books(vecs, train_iters, m=PQ16_M, d=PQ16_DIMS)
+    )
+    qrow = vecs.where(F.col("vec_id") == query_id).select("v").first()
+    qv = [float(x) for x in qrow["v"]]
+    lut = []
+    for s in range(PQ16_M):
+        qs = qv[s * PQ16_DIMS : (s + 1) * PQ16_DIMS]
+        qq = _seq_dot(qs, qs)
+        lut.append(
+            [
+                qq - 2 * _seq_dot(qs, books[s][j]) + _seq_dot(
+                    books[s][j], books[s][j]
+                )
+                for j in sorted(books[s])
+            ]
+        )
+    codes = _pq16_pack(_pq8_sliced(vecs, m=PQ16_M, d=PQ16_DIMS), books)
+    adc = F.lit(0.0)
+    for s in range(PQ16_M):
+        word = F.col("pq_lo") if s < 8 else F.col("pq_hi")
+        idx = (
+            F.shiftrightunsigned(word, PQ8_BITS * (s % 8))
+            .bitwiseAND(F.lit(PQ8_K - 1))
+            .cast("int")
+        )
+        adc = adc + F.element_at(_dbl_arr_lit(lut[s]), idx + 1)
+    short = (
+        codes.where(F.col("vec_id") != query_id)
+        .select("vec_id", _round6(adc).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(shortlist)
+    )
+    qlit = F.array(*[F.lit(x) for x in qv])
+    qq_full = _seq_dot(qv, qv)
+    l2 = F.lit(qq_full) - 2 * dot(qlit, F.col("v")) + dot(
+        F.col("v"), F.col("v")
+    )
+    return (
+        vecs.join(F.broadcast(short.select("vec_id")), "vec_id")
+        .select("vec_id", "label", _round6(l2).alias("l2"))
+        .orderBy(F.asc("l2"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_pq16_rerank_topk_sql(
+    query_id: int = 0,
+    k: int = TOP_K,
+    shortlist: int = 64,
+    train_iters: int = 1,
+) -> str:
+    """Oracle twin: the PQ16 codes/LUT chain, rounded-ADC shortlist,
+    exact 3-term L2 rerank over the shortlist join."""
+    ctes, fin = _pq8_ctes(train_iters, m=PQ16_M, d=PQ16_DIMS)
+    body = ",\n".join(ctes)
+    wcols = _pq_word_cols(PQ16_M)
+    unwraps = ",\n".join(
+        f"         CASE WHEN {c} < 0 THEN CAST({c} AS HUGEINT) + {_TWO64}"
+        f"\n              ELSE CAST({c} AS HUGEINT) END AS up{w}"
+        for w, c in enumerate(wcols)
+    )
+    return f"""
+WITH {body},
+lut AS (
+  SELECT c.s, c.j,
+         {_DOT_SQL.format(a='qs.vs', b='qs.vs')}
+           - 2 * {_DOT_SQL.format(a='qs.vs', b='c.cs')}
+           + {_DOT_SQL.format(a='c.cs', b='c.cs')} AS dist
+  FROM {fin} c
+  JOIN (SELECT s, vs FROM subs WHERE vec_id = {query_id}) qs
+    ON qs.s = c.s
+),
+unwrapped AS (
+  SELECT vec_id, label,
+{unwraps}
+  FROM codes WHERE vec_id != {query_id}
+),
+unpacked AS (
+  SELECT u.vec_id, m.s,
+         CAST(((CASE m.w WHEN 0 THEN u.up0 ELSE u.up1 END) // m.mult)
+              % {PQ8_K} AS BIGINT) AS j
+  FROM unwrapped u CROSS JOIN mults m
+),
+adcs AS (
+  SELECT vec_id, SUM(lut.dist) AS adc
+  FROM unpacked JOIN lut ON unpacked.s = lut.s AND unpacked.j = lut.j
+  GROUP BY vec_id
+),
+short AS (
+  SELECT vec_id, {_ROUND6_SQL.format(x='adc')} AS adc
+  FROM adcs
+  ORDER BY {_ROUND6_SQL.format(x='adc')} ASC, vec_id ASC
+  LIMIT {shortlist}
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_id})
+SELECT e.vec_id, e.label,
+       {_ROUND6_SQL.format(
+           x=_DOT_SQL.format(a='qv', b='qv')
+           + ' - 2 * ' + _DOT_SQL.format(a='qv', b='e.v')
+           + ' + ' + _DOT_SQL.format(a='e.v', b='e.v')
+       )} AS l2
+FROM e JOIN short ON e.vec_id = short.vec_id, q
+ORDER BY l2 ASC, e.vec_id ASC
+LIMIT {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF-PQ16: the production composition — Lloyd-refined IVF cells prune the
 # corpus to ~nprobe/|cells|, and the survivors are ranked by 16-subspace

@@ -759,6 +759,17 @@ def ann_opq16_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_opq16_adc_topk(fx._read(spark, sf_dir, "embeddings"))
 
 
+@_register("ann_pq16_rerank_topk", sim.ann_pq16_rerank_topk_sql())
+def ann_pq16_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (the production serving pattern): trained
+    16-byte PQ ADC shortlists 64 candidates, exact L2 reranks ONLY
+    those rows' raw vectors to the final top-k — near-exact recall
+    (SCALE.md) at a 16-byte/vector scan plus 64 key-fetches. The
+    shortlist ranks by ROUND6(adc) so sub-1e-6 float noise collapses
+    before the cut and both engines admit the identical candidates."""
+    return sim.ann_pq16_rerank_topk(fx._read(spark, sf_dir, "embeddings"))
+
+
 @_register("ann_ivfpq16_topk", sim.ann_ivfpq16_topk_sql())
 def ann_ivfpq16_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ at production codebook size (faiss.IndexIVFPQ shape,

@@ -734,3 +734,51 @@ def test_pq16_codes_same_shape_as_pq8(spark, sf_dir):
     assert len(re.findall(r"Exchange", plan)) == 1
     assert "roundrobin" in plan.lower()
     assert "split(" not in plan
+
+
+def test_opq16_codes_keep_the_pq_map_pass_contract(spark, sf_dir):
+    """OPQ (balanced-energy permutation) must cost NOTHING at scan
+    time: the permutation is 64 plan-constant element_at indexes inside
+    the same projection, so the codes plan keeps the PQ16 contract —
+    one scan, no join, no per-row split, one round-robin spread. (The
+    permutation/training aggregates run driver-side while BUILDING the
+    plan; this asserts the shipped scan shape.)"""
+    plan = _physical(QUERIES["embedding_opq16_codes"](spark, sf_dir))
+    assert "Join" not in plan
+    assert len(re.findall(r"FileScan parquet", plan)) == 1
+    assert len(re.findall(r"Exchange", plan)) == 1
+    assert "roundrobin" in plan.lower()
+    assert "split(" not in plan
+
+
+def test_opq16_adc_scan_has_no_join(spark, sf_dir):
+    """OPQ ADC top-k keeps the ADC scan contract: LUT as folded plan
+    constants, TakeOrderedAndProject, no join, no global sort."""
+    plan = _physical(QUERIES["ann_opq16_adc_topk"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "split(" not in plan
+
+
+def test_ivfpq16_prunes_cells_before_ranking(spark, sf_dir):
+    """The production IVF-PQ16 composition: the probe-cell membership
+    filter (cell IN (...)) must sit in the plan so only ~nprobe/|cells|
+    of the corpus reaches the ADC ranking; top-k via
+    TakeOrderedAndProject, never a global sort. Exactly one join (cells
+    x codes on vec_id — at ingest these are materialized columns of one
+    table; here both derive from the same scan) and no cartesian."""
+    plan = _physical(QUERIES["ann_ivfpq16_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "Cartesian" not in plan
+    # the cell-membership predicate collapses to <assign-expr> IN (a,b)
+    # and must be PUSHED into the scan's DataFilters, not applied after
+    # the join
+    assert re.search(r" IN \(\d+,\d+\)", plan), (
+        "probe-cell IN filter missing from the physical plan"
+    )
+    assert re.search(r"DataFilters: \[[^\]]*element_at", plan), (
+        "cell filter did not reach the scan's DataFilters"
+    )
+    assert len(re.findall(r"Join", plan)) == 1

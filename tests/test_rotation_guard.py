@@ -12,7 +12,7 @@ of a judge finding.
 
 from __future__ import annotations
 
-STALENESS_ROUNDS = 6  # ceil(len(QUERIES)/window) + 1 slack round
+STALENESS_ROUNDS = 7  # ceil(len(QUERIES)/window) + 1 slack round (281/50)
 WINDOW_SLOTS = 50  # observed driver window size (r2-r5 all checked 48-50)
 
 

@@ -211,3 +211,42 @@ def test_pq8_trained_books_reduce_quantization_error(spark, sf_dir):
     seed = total_err(sim._pq8_books(vecs))
     trained = total_err(sim._pq8_lloyd_books(vecs, 1))
     assert trained <= seed + 1e-9, (trained, seed)
+
+
+def test_opq_permutation_is_balanced_bijection(spark, sf_dir):
+    """The OPQ-init permutation must (a) be a bijection of the 64 dims,
+    (b) BALANCE energy: the spread (max − min) of per-subspace total
+    corpus energy under the snake-dealt layout is <= the identity
+    layout's spread — the mechanism the recall lift rides on, and
+    (c) agree with the projection :func:`_opq_vectors` actually ships
+    (spot-checked against a Python reorder of a collected row)."""
+    from pyspark.sql import functions as F
+
+    emb = fx._read(spark, sf_dir, "embeddings")
+    vecs = sim._vectors(emb)
+    perm = sim._opq_perm(vecs)
+    n = sim.PQ16_M * sim.PQ16_DIMS
+    assert sorted(perm) == list(range(n))
+
+    rows = [[float(x) for x in r["v"]] for r in vecs.select("v").collect()]
+    energy = [sum(v[d] * v[d] for v in rows) for d in range(n)]
+
+    def spread(layout):
+        per_sub = [
+            sum(energy[layout[s * sim.PQ16_DIMS + i]]
+                for i in range(sim.PQ16_DIMS))
+            for s in range(sim.PQ16_M)
+        ]
+        return max(per_sub) - min(per_sub)
+
+    assert spread(perm) <= spread(list(range(n))) + 1e-6
+
+    first = vecs.orderBy("vec_id").select("vec_id", "v").first()
+    got = (
+        sim._opq_vectors(emb)
+        .where(F.col("vec_id") == first["vec_id"])
+        .select("v")
+        .first()["v"]
+    )
+    want = [first["v"][p] for p in perm]
+    assert [float(x) for x in got] == [float(x) for x in want]

@@ -35,6 +35,21 @@ SHOW = {
         "the scan unpacks each 8-byte code with shifts and masks, "
         "top-k is TakeOrderedAndProject — no join, no global sort."
     ),
+    "ann_ivfpq16_topk": (
+        "The production composition (faiss IndexIVFPQ shape): the "
+        "probe-cell membership predicate collapses to <assign-expr> IN "
+        "(a,b) and is PUSHED into the scan's DataFilters, so only "
+        "~nprobe/|cells| of the corpus reaches the 16-lookup ADC "
+        "ranking; one broadcast join pairs cell assignment with packed "
+        "codes (at ingest both are materialized columns of one table), "
+        "top-k via TakeOrderedAndProject."
+    ),
+    "ann_pq16_rerank_topk": (
+        "Two-stage retrieval: the ADC shortlist materializes as a "
+        "64-row broadcast, and the exact-L2 stage touches raw vectors "
+        "ONLY via that broadcast semi-join — the plan shows the full "
+        "16-byte-scan-then-key-fetch shape a serving system runs."
+    ),
     "weekly_summary": (
         "The flagship: 13 metrics in ONE logical aggregation over the "
         "merged frame — no self-joins (the reference's 8-way assembly). "
