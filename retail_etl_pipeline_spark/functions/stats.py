@@ -1278,6 +1278,12 @@ def mood_median_test(
     )
 
 
+#: Order-preserving value buckets for the JT per-group prefix sum —
+#: bounds the B pass at |G| x _JT_BUCKETS parallel window tasks
+#: regardless of the value column's cardinality.
+_JT_BUCKETS = 64
+
+
 def jonckheere_terpstra(
     df: DataFrame, value_col: str, group_col: str
 ) -> DataFrame:
@@ -1320,10 +1326,17 @@ def jonckheere_terpstra(
     group keys broadcast onto the distinct-value relation — G is small
     for a trend test: years, months, cohorts), two grid window passes,
     three one-row aggregates crossed. Scale: everything after the first
-    aggregation is bounded by |G| × |distinct values|; the per-group
-    value-ordered window serializes one task per group over |V| rows —
-    acceptable because the grid is post-aggregation state, not raw
-    rows. Returns (n_groups, n_total, jt2, z) — jt2 = 2J exact."""
+    aggregation is bounded by |G| × |distinct values|; the T pass
+    partitions BY VALUE (|V| tiny groups — embarrassingly parallel),
+    and the per-group B pass is a TWO-LEVEL prefix sum over
+    ``_JT_BUCKETS`` order-preserving value buckets (local prefix within
+    (g, bucket) + a |G| × buckets offset relation), so a
+    high-cardinality value column (revenue cents: millions of distinct
+    values at SF ≥ 1) runs |G| × buckets parallel window tasks instead
+    of |G| single-task |V|-row windows (r8 ADVICE item). The bucket id
+    is a monotone function of v, so the split changes nothing
+    arithmetically — both levels sum the same exact DECIMAL(38,0) t
+    values. Returns (n_groups, n_total, jt2, z) — jt2 = 2J exact."""
     from pyspark.sql import Window
 
     dec = "decimal(38,0)"
@@ -1351,14 +1364,56 @@ def jonckheere_terpstra(
         "g", "v", "c0",
         F.coalesce(F.sum("c0").over(w_t), zero).cast(dec).alias("t"),
     )
-    w_b = (
-        Window.partitionBy("g")
+    # B(g, v) = sum of t over smaller values within the group, split
+    # into an order-preserving bucketed two-level prefix sum: the heavy
+    # local pass parallelizes over (g, bucket); the cross-bucket offset
+    # relation is |G| x _JT_BUCKETS rows and broadcasts.
+    vr = perv.agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    span = F.col("vmax").cast("double") - F.col("vmin").cast("double")
+    bkt = (
+        F.when(
+            span > 0,
+            F.floor(
+                (F.col("v").cast("double") - F.col("vmin").cast("double"))
+                / span
+                * (_JT_BUCKETS - 1)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    gridb = with_t.crossJoin(F.broadcast(vr)).select(
+        "g", "v", "c0", "t", bkt.alias("bkt")
+    )
+    w_loc = (
+        Window.partitionBy("g", "bkt")
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    with_b = with_t.select(
+    loc = gridb.select(
+        "g", "bkt", "c0", "t",
+        F.coalesce(F.sum("t").over(w_loc), zero).cast(dec).alias("b_loc"),
+    )
+    w_off = (
+        Window.partitionBy("g")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = (
+        gridb.groupBy("g", "bkt")
+        .agg(F.sum("t").cast(dec).alias("bt"))
+        .select(
+            "g", "bkt",
+            F.coalesce(F.sum("bt").over(w_off), zero)
+            .cast(dec)
+            .alias("b_off"),
+        )
+    )
+    with_b = loc.join(F.broadcast(off), ["g", "bkt"]).select(
         "c0", "t",
-        F.coalesce(F.sum("t").over(w_b), zero).cast(dec).alias("b"),
+        (F.col("b_loc") + F.col("b_off")).cast(dec).alias("b"),
     )
     j2 = with_b.agg(
         F.coalesce(

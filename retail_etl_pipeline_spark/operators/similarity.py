@@ -1477,28 +1477,10 @@ def ann_pq_adc_topk(
         if train_iters == 0
         else _pq_lloyd_codebooks(vecs, train_iters)
     )
-    cids = sorted(books[0])
-    qrow = vecs.where(F.col("vec_id") == query_id).select("v").first()
-    qv = [float(x) for x in qrow["v"]]
-    lut = []
-    for s in range(PQ_M):
-        qs = qv[s * PQ_DIMS : (s + 1) * PQ_DIMS]
-        qq = _seq_dot(qs, qs)
-        row = []
-        for cid in cids:
-            cs = books[s][cid]
-            row.append(qq - 2 * _seq_dot(qs, cs) + _seq_dot(cs, cs))
-        lut.append(row)
+    qv = _query_vec(vecs, query_id)
+    lut = _pq_query_lut(qv, books, PQ_M, PQ_DIMS)
     codes = _pq_pack_codes(vecs, books)
-    adc = F.lit(0.0)
-    for s in range(PQ_M):
-        lut_arr = F.array(*[F.lit(x) for x in lut[s]])
-        idx = (
-            F.shiftrightunsigned(F.col("pq_code"), 3 * s)
-            .bitwiseAND(F.lit(7))
-            .cast("int")
-        )
-        adc = adc + F.element_at(lut_arr, idx + 1)
+    adc = _adc_expr(lut, PQ_M, bits=3)
     return (
         codes.where(F.col("vec_id") != query_id)
         .select("vec_id", "label", _round6(adc).alias("adc"))
@@ -1563,8 +1545,7 @@ def ann_ivfpq_topk(
 
     vecs = _vectors(emb)
     cells, cents = _lloyd_refined_cells(vecs, iters=iters)
-    qrow = vecs.where(F.col("vec_id") == query_id).select("v").first()
-    qv = [float(x) for x in qrow["v"]]
+    qv = _query_vec(vecs, query_id)
     qnorm = math.sqrt(_seq_dot(qv, qv))
     ranked = sorted(
         (
@@ -1581,29 +1562,9 @@ def ann_ivfpq_topk(
     )
     probe_cells = [cid for _, cid in ranked[:nprobe]]
     books = _pq_codebooks(vecs)
-    cids = sorted(books[0])
-    lut = []
-    for s in range(PQ_M):
-        qs = qv[s * PQ_DIMS : (s + 1) * PQ_DIMS]
-        qq = _seq_dot(qs, qs)
-        lut.append(
-            [
-                qq - 2 * _seq_dot(qs, books[s][cid]) + _seq_dot(
-                    books[s][cid], books[s][cid]
-                )
-                for cid in cids
-            ]
-        )
+    lut = _pq_query_lut(qv, books, PQ_M, PQ_DIMS)
     codes = embedding_pq_codes(emb)
-    adc = F.lit(0.0)
-    for s in range(PQ_M):
-        lut_arr = F.array(*[F.lit(x) for x in lut[s]])
-        idx = (
-            F.shiftrightunsigned(F.col("pq_code"), 3 * s)
-            .bitwiseAND(F.lit(7))
-            .cast("int")
-        )
-        adc = adc + F.element_at(lut_arr, idx + 1)
+    adc = _adc_expr(lut, PQ_M, bits=3)
     return (
         cells.select("vec_id", "cell")
         .join(codes, "vec_id")
@@ -1900,6 +1861,72 @@ def _dbl_arr_lit(values: list[float]) -> Column:
     ).cast("array<double>")
 
 
+def _query_vec(vecs: DataFrame, query_id: int) -> list[float]:
+    """Driver-side fetch of the one query row's raw vector (bounded
+    single-row first(); the per-query artifact every ADC/rerank
+    variant folds into plan constants)."""
+    qrow = vecs.where(F.col("vec_id") == query_id).select("v").first()
+    return [float(x) for x in qrow["v"]]
+
+
+def _pq_query_lut(
+    qv: list[float],
+    books: dict[int, dict[int, list[float]]],
+    m: int,
+    d: int,
+) -> list[list[float]]:
+    """Per-subspace exact-L2^2 query lookup table: LUT[s][j] = |q_s|^2
+    - 2<q_s, c_sj> + |c_sj|^2 over codebook entries in sorted-j order.
+    The single home of the 3-term expansion — the VALUE must be the
+    true quantized L2^2 (unlike the assignment argmin, where the query
+    term cancels); every PQ/OPQ/IVF-PQ variant folds this table into
+    plan constants via :func:`_adc_expr`."""
+    lut = []
+    for s in range(m):
+        qs = qv[s * d : (s + 1) * d]
+        qq = _seq_dot(qs, qs)
+        lut.append(
+            [
+                qq
+                - 2 * _seq_dot(qs, books[s][j])
+                + _seq_dot(books[s][j], books[s][j])
+                for j in sorted(books[s])
+            ]
+        )
+    return lut
+
+
+def _adc_expr(lut: list[list[float]], m: int, bits: int = 8) -> Column:
+    """Asymmetric-distance column: ``m`` LUT lookups, each indexed by
+    unpacking a ``bits``-wide field from the packed code word(s) in
+    the `_pq_word_cols` layout (8 fields per bigint word; the 3-bit
+    PQ_M=8 family occupies the low 24 bits of its single word). All
+    LUT rows fold to array literals via `_dbl_arr_lit`, so the scan
+    reads only the code column(s)."""
+    cols = _pq_word_cols(m)
+    mask = (1 << bits) - 1
+    adc = F.lit(0.0)
+    for s in range(m):
+        idx = (
+            F.shiftrightunsigned(F.col(cols[s // 8]), bits * (s % 8))
+            .bitwiseAND(F.lit(mask))
+            .cast("int")
+        )
+        adc = adc + F.element_at(_dbl_arr_lit(lut[s]), idx + 1)
+    return adc
+
+
+def _pq8_family_books(
+    vecs: DataFrame, train_iters: int, m: int, d: int
+) -> dict[int, dict[int, list[float]]]:
+    """Seed (``train_iters == 0``) or Lloyd-trained 256-entry books for
+    the 8-bit family — the codes and the query LUT must always share
+    one book set, so variants obtain both from this single dispatch."""
+    if train_iters == 0:
+        return _pq8_books(vecs, m=m, d=d)
+    return _pq8_lloyd_books(vecs, train_iters, m=m, d=d)
+
+
 def _pq8_dists_col(s: int, books: dict) -> Column:
     """256-entry distance array of subspace ``s``: the monotone 2-term
     form |cs_j|^2 - 2<vs, cs_j> (the |vs|^2 term is constant across
@@ -2044,34 +2071,11 @@ def ann_pq8_adc_topk(
     ``train_iters`` selects Lloyd-trained books; codes and LUT always
     share one book set."""
     vecs = _vectors(emb)
-    books = (
-        _pq8_books(vecs)
-        if train_iters == 0
-        else _pq8_lloyd_books(vecs, train_iters)
-    )
-    qrow = vecs.where(F.col("vec_id") == query_id).select("v").first()
-    qv = [float(x) for x in qrow["v"]]
-    lut = []
-    for s in range(PQ_M):
-        qs = qv[s * PQ_DIMS : (s + 1) * PQ_DIMS]
-        qq = _seq_dot(qs, qs)
-        lut.append(
-            [
-                qq - 2 * _seq_dot(qs, books[s][j]) + _seq_dot(
-                    books[s][j], books[s][j]
-                )
-                for j in sorted(books[s])
-            ]
-        )
+    books = _pq8_family_books(vecs, train_iters, PQ_M, PQ_DIMS)
+    qv = _query_vec(vecs, query_id)
+    lut = _pq_query_lut(qv, books, PQ_M, PQ_DIMS)
     codes = _pq8_pack(_pq8_sliced(vecs), books)
-    adc = F.lit(0.0)
-    for s in range(PQ_M):
-        idx = (
-            F.shiftrightunsigned(F.col("pq_code"), PQ8_BITS * s)
-            .bitwiseAND(F.lit(PQ8_K - 1))
-            .cast("int")
-        )
-        adc = adc + F.element_at(_dbl_arr_lit(lut[s]), idx + 1)
+    adc = _adc_expr(lut, PQ_M)
     return (
         codes.where(F.col("vec_id") != query_id)
         .select("vec_id", "label", _round6(adc).alias("adc"))
@@ -2335,35 +2339,11 @@ def ann_pq16_adc_topk(
     the two code words. The highest-recall memory-bound scan in the
     family (SCALE.md table)."""
     vecs = _vectors(emb)
-    books = (
-        _pq8_books(vecs, m=PQ16_M, d=PQ16_DIMS)
-        if train_iters == 0
-        else _pq8_lloyd_books(vecs, train_iters, m=PQ16_M, d=PQ16_DIMS)
-    )
-    qrow = vecs.where(F.col("vec_id") == query_id).select("v").first()
-    qv = [float(x) for x in qrow["v"]]
-    lut = []
-    for s in range(PQ16_M):
-        qs = qv[s * PQ16_DIMS : (s + 1) * PQ16_DIMS]
-        qq = _seq_dot(qs, qs)
-        lut.append(
-            [
-                qq - 2 * _seq_dot(qs, books[s][j]) + _seq_dot(
-                    books[s][j], books[s][j]
-                )
-                for j in sorted(books[s])
-            ]
-        )
+    books = _pq8_family_books(vecs, train_iters, PQ16_M, PQ16_DIMS)
+    qv = _query_vec(vecs, query_id)
+    lut = _pq_query_lut(qv, books, PQ16_M, PQ16_DIMS)
     codes = _pq16_pack(_pq8_sliced(vecs, m=PQ16_M, d=PQ16_DIMS), books)
-    adc = F.lit(0.0)
-    for s in range(PQ16_M):
-        word = F.col("pq_lo") if s < 8 else F.col("pq_hi")
-        idx = (
-            F.shiftrightunsigned(word, PQ8_BITS * (s % 8))
-            .bitwiseAND(F.lit(PQ8_K - 1))
-            .cast("int")
-        )
-        adc = adc + F.element_at(_dbl_arr_lit(lut[s]), idx + 1)
+    adc = _adc_expr(lut, PQ16_M)
     return (
         codes.where(F.col("vec_id") != query_id)
         .select("vec_id", "label", _round6(adc).alias("adc"))
@@ -2482,11 +2462,7 @@ def embedding_opq16_codes(emb: DataFrame, train_iters: int = 1) -> DataFrame:
     (two packed bigints, 32x compression); the permutation costs one
     bounded aggregate at train time and nothing at scan time."""
     vecs = _opq_vectors(emb)
-    books = (
-        _pq8_books(vecs, m=PQ16_M, d=PQ16_DIMS)
-        if train_iters == 0
-        else _pq8_lloyd_books(vecs, train_iters, m=PQ16_M, d=PQ16_DIMS)
-    )
+    books = _pq8_family_books(vecs, train_iters, PQ16_M, PQ16_DIMS)
     return _pq16_pack(_pq8_sliced(vecs, m=PQ16_M, d=PQ16_DIMS), books)
 
 
@@ -2498,35 +2474,11 @@ def ann_opq16_adc_topk(
     projection, so LUT subspaces line up with the permuted codes. Same
     16-lookup scan as :func:`ann_pq16_adc_topk`."""
     vecs = _opq_vectors(emb)
-    books = (
-        _pq8_books(vecs, m=PQ16_M, d=PQ16_DIMS)
-        if train_iters == 0
-        else _pq8_lloyd_books(vecs, train_iters, m=PQ16_M, d=PQ16_DIMS)
-    )
-    qrow = vecs.where(F.col("vec_id") == query_id).select("v").first()
-    qv = [float(x) for x in qrow["v"]]
-    lut = []
-    for s in range(PQ16_M):
-        qs = qv[s * PQ16_DIMS : (s + 1) * PQ16_DIMS]
-        qq = _seq_dot(qs, qs)
-        lut.append(
-            [
-                qq - 2 * _seq_dot(qs, books[s][j]) + _seq_dot(
-                    books[s][j], books[s][j]
-                )
-                for j in sorted(books[s])
-            ]
-        )
+    books = _pq8_family_books(vecs, train_iters, PQ16_M, PQ16_DIMS)
+    qv = _query_vec(vecs, query_id)
+    lut = _pq_query_lut(qv, books, PQ16_M, PQ16_DIMS)
     codes = _pq16_pack(_pq8_sliced(vecs, m=PQ16_M, d=PQ16_DIMS), books)
-    adc = F.lit(0.0)
-    for s in range(PQ16_M):
-        word = F.col("pq_lo") if s < 8 else F.col("pq_hi")
-        idx = (
-            F.shiftrightunsigned(word, PQ8_BITS * (s % 8))
-            .bitwiseAND(F.lit(PQ8_K - 1))
-            .cast("int")
-        )
-        adc = adc + F.element_at(_dbl_arr_lit(lut[s]), idx + 1)
+    adc = _adc_expr(lut, PQ16_M)
     return (
         codes.where(F.col("vec_id") != query_id)
         .select("vec_id", "label", _round6(adc).alias("adc"))
@@ -2571,35 +2523,11 @@ def ann_pq16_rerank_topk(
     uses the sequential-fold dot (== DuckDB list_dot_product op order),
     the proven bit-identical kernel."""
     vecs = _vectors(emb)
-    books = (
-        _pq8_books(vecs, m=PQ16_M, d=PQ16_DIMS)
-        if train_iters == 0
-        else _pq8_lloyd_books(vecs, train_iters, m=PQ16_M, d=PQ16_DIMS)
-    )
-    qrow = vecs.where(F.col("vec_id") == query_id).select("v").first()
-    qv = [float(x) for x in qrow["v"]]
-    lut = []
-    for s in range(PQ16_M):
-        qs = qv[s * PQ16_DIMS : (s + 1) * PQ16_DIMS]
-        qq = _seq_dot(qs, qs)
-        lut.append(
-            [
-                qq - 2 * _seq_dot(qs, books[s][j]) + _seq_dot(
-                    books[s][j], books[s][j]
-                )
-                for j in sorted(books[s])
-            ]
-        )
+    books = _pq8_family_books(vecs, train_iters, PQ16_M, PQ16_DIMS)
+    qv = _query_vec(vecs, query_id)
+    lut = _pq_query_lut(qv, books, PQ16_M, PQ16_DIMS)
     codes = _pq16_pack(_pq8_sliced(vecs, m=PQ16_M, d=PQ16_DIMS), books)
-    adc = F.lit(0.0)
-    for s in range(PQ16_M):
-        word = F.col("pq_lo") if s < 8 else F.col("pq_hi")
-        idx = (
-            F.shiftrightunsigned(word, PQ8_BITS * (s % 8))
-            .bitwiseAND(F.lit(PQ8_K - 1))
-            .cast("int")
-        )
-        adc = adc + F.element_at(_dbl_arr_lit(lut[s]), idx + 1)
+    adc = _adc_expr(lut, PQ16_M)
     short = (
         codes.where(F.col("vec_id") != query_id)
         .select("vec_id", _round6(adc).alias("adc"))
@@ -2711,8 +2639,7 @@ def ann_ivfpq16_topk(
 
     vecs = _vectors(emb)
     cells, cents = _lloyd_refined_cells(vecs, iters=iters)
-    qrow = vecs.where(F.col("vec_id") == query_id).select("v").first()
-    qv = [float(x) for x in qrow["v"]]
+    qv = _query_vec(vecs, query_id)
     qnorm = math.sqrt(_seq_dot(qv, qv))
     ranked = sorted(
         (
@@ -2728,33 +2655,10 @@ def ann_ivfpq16_topk(
         )
     )
     probe_cells = [cid for _, cid in ranked[:nprobe]]
-    books = (
-        _pq8_books(vecs, m=PQ16_M, d=PQ16_DIMS)
-        if train_iters == 0
-        else _pq8_lloyd_books(vecs, train_iters, m=PQ16_M, d=PQ16_DIMS)
-    )
-    lut = []
-    for s in range(PQ16_M):
-        qs = qv[s * PQ16_DIMS : (s + 1) * PQ16_DIMS]
-        qq = _seq_dot(qs, qs)
-        lut.append(
-            [
-                qq - 2 * _seq_dot(qs, books[s][j]) + _seq_dot(
-                    books[s][j], books[s][j]
-                )
-                for j in sorted(books[s])
-            ]
-        )
+    books = _pq8_family_books(vecs, train_iters, PQ16_M, PQ16_DIMS)
+    lut = _pq_query_lut(qv, books, PQ16_M, PQ16_DIMS)
     codes = _pq16_pack(_pq8_sliced(vecs, m=PQ16_M, d=PQ16_DIMS), books)
-    adc = F.lit(0.0)
-    for s in range(PQ16_M):
-        word = F.col("pq_lo") if s < 8 else F.col("pq_hi")
-        idx = (
-            F.shiftrightunsigned(word, PQ8_BITS * (s % 8))
-            .bitwiseAND(F.lit(PQ8_K - 1))
-            .cast("int")
-        )
-        adc = adc + F.element_at(_dbl_arr_lit(lut[s]), idx + 1)
+    adc = _adc_expr(lut, PQ16_M)
     return (
         cells.select("vec_id", "cell")
         .join(codes, "vec_id")

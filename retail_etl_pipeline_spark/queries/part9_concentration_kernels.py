@@ -1283,10 +1283,10 @@ calc AS (
 SELECT k AS n_groups,
        CAST(n AS BIGINT) AS n_total,
        CASE WHEN n > 1
-            THEN CAST(round(CAST(h AS DECIMAL(20,9)), 6) AS DOUBLE) END
+            THEN CAST(round(CAST(h AS DECIMAL(30,12)), 6) AS DOUBLE) END
          AS h,
        CASE WHEN n > 1 AND corr > 0
-            THEN CAST(round(CAST(h / corr AS DECIMAL(20,9)), 6) AS DOUBLE)
+            THEN CAST(round(CAST(h / corr AS DECIMAL(30,12)), 6) AS DOUBLE)
             END AS h_tie_corrected
 FROM calc
 """,
@@ -1406,7 +1406,7 @@ SELECT k AS n_groups,
        CAST(med AS BIGINT) AS pooled_median,
        CASE WHEN k > 0 THEN k - 1 END AS dof,
        CASE WHEN n > 0 AND le > 0 AND n - le > 0
-            THEN CAST(round(CAST(chi2 AS DECIMAL(20,9)), 6) AS DOUBLE) END
+            THEN CAST(round(CAST(chi2 AS DECIMAL(30,12)), 6) AS DOUBLE) END
          AS chi2
 FROM calc, med
 """,
@@ -1546,7 +1546,7 @@ SELECT k AS n_groups,
        CAST(jt2 AS BIGINT) AS jt2,
        CASE WHEN n > 2 AND var > 0
             THEN CAST(round(CAST((CAST(jt2 AS DOUBLE) - e2)
-                                 / (2 * sqrt(var)) AS DECIMAL(20,9)), 6)
+                                 / (2 * sqrt(var)) AS DECIMAL(30,12)), 6)
                       AS DOUBLE) END AS z
 FROM calc
 """,

@@ -9,6 +9,7 @@ import re
 
 import pytest
 
+from retail_etl_pipeline_spark.operators import similarity
 from retail_etl_pipeline_spark.registry import QUERIES
 
 
@@ -772,10 +773,17 @@ def test_ivfpq16_prunes_cells_before_ranking(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
     assert "Cartesian" not in plan
-    # the cell-membership predicate collapses to <assign-expr> IN (a,b)
-    # and must be PUSHED into the scan's DataFilters, not applied after
-    # the join
-    assert re.search(r" IN \(\d+,\d+\)", plan), (
+    # the cell-membership predicate collapses to a literal membership
+    # test over the nprobe probe cells and must be PUSHED into the
+    # scan's DataFilters, not applied after the join; accept any
+    # IN/INSET rendering and derive the arity from IVF_NPROBE so a
+    # config or Spark-version change can't break the test without a
+    # real regression
+    nprobe = similarity.IVF_NPROBE
+    in_pat = (
+        r" IN(SET)?\s*\(" + r",\s*".join([r"\d+"] * nprobe) + r"\)"
+    )
+    assert re.search(in_pat, plan), (
         "probe-cell IN filter missing from the physical plan"
     )
     assert re.search(r"DataFilters: \[[^\]]*element_at", plan), (
