@@ -2737,3 +2737,304 @@ FROM adcs
 ORDER BY adc ASC, vec_id ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ16 + exact rerank: the complete production retrieval stack —
+# cell pruning cuts the scan to ~nprobe/|cells| of the corpus, the
+# 16-byte ADC ranks the survivors, and only a bounded shortlist of raw
+# vectors is fetched for the exact final order. This is the
+# faiss IndexIVFPQ + refine/reconstruct serving pattern: at 100 TB the
+# per-query cost is (nprobe/|cells|) x 16 bytes/vector scanned plus
+# |shortlist| key-lookups — no stage touches the full raw-vector
+# column.
+# ---------------------------------------------------------------------------
+
+
+def ann_ivfpq16_rerank_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = TOP_K,
+    iters: int = 1,
+    nprobe: int = IVF_NPROBE,
+    shortlist: int = 64,
+    train_iters: int = 1,
+) -> DataFrame:
+    """Three-stage retrieval: probe the query's ``nprobe`` Lloyd cells,
+    shortlist ``shortlist`` candidates by trained-PQ16 asymmetric
+    distance (ranked on ROUND6(adc) with vec_id tiebreak so sub-1e-6
+    float noise collapses before the cut — both engines admit the
+    identical candidate set), then exact-L2 rerank ONLY the shortlist
+    rows' raw vectors. Composes the three individually-proven kernels
+    (`_lloyd_refined_cells`, `_pq8_lloyd_books`, the sequential-fold
+    dot) without new state."""
+    import math
+
+    vecs = _vectors(emb)
+    cells, cents = _lloyd_refined_cells(vecs, iters=iters)
+    qv = _query_vec(vecs, query_id)
+    qnorm = math.sqrt(_seq_dot(qv, qv))
+    ranked = sorted(
+        (
+            (
+                -(
+                    _seq_dot(qv, cv)
+                    / qnorm
+                    / math.sqrt(_seq_dot(cv, cv))
+                ),
+                cid,
+            )
+            for cid, cv in cents.items()
+        )
+    )
+    probe_cells = [cid for _, cid in ranked[:nprobe]]
+    books = _pq8_family_books(vecs, train_iters, PQ16_M, PQ16_DIMS)
+    lut = _pq_query_lut(qv, books, PQ16_M, PQ16_DIMS)
+    codes = _pq16_pack(_pq8_sliced(vecs, m=PQ16_M, d=PQ16_DIMS), books)
+    adc = _adc_expr(lut, PQ16_M)
+    short = (
+        cells.select("vec_id", "cell")
+        .join(codes, "vec_id")
+        .where(
+            (F.col("vec_id") != query_id)
+            & (F.col("cell").isin(*probe_cells))
+        )
+        .select("vec_id", _round6(adc).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(shortlist)
+    )
+    qlit = F.array(*[F.lit(x) for x in qv])
+    qq_full = _seq_dot(qv, qv)
+    l2 = F.lit(qq_full) - 2 * dot(qlit, F.col("v")) + dot(
+        F.col("v"), F.col("v")
+    )
+    return (
+        vecs.join(F.broadcast(short.select("vec_id")), "vec_id")
+        .select("vec_id", "label", _round6(l2).alias("l2"))
+        .orderBy(F.asc("l2"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_ivfpq16_rerank_topk_sql(
+    query_id: int = 0,
+    k: int = TOP_K,
+    iters: int = 1,
+    nprobe: int = IVF_NPROBE,
+    shortlist: int = 64,
+    train_iters: int = 1,
+) -> str:
+    """Oracle twin: lloyd-cells + trained-PQ16 chains behind one shared
+    ``e``, probe-cell candidate cut, rounded-ADC shortlist, exact
+    3-term L2 rerank over the shortlist join."""
+    ctes = _lloyd_cells_ctes(iters)
+    ctes.append(
+        "qcells AS (SELECT cid AS cell FROM scored_fin WHERE"
+        f" vec_id = {query_id} AND rn <= {nprobe})"
+    )
+    pq_ctes, fin = _pq8_ctes(
+        train_iters, m=PQ16_M, d=PQ16_DIMS, include_e=False
+    )
+    ctes.extend(pq_ctes)
+    wcols = _pq_word_cols(PQ16_M)
+    unwraps = ",\n".join(
+        f"         CASE WHEN {c} < 0 THEN CAST({c} AS HUGEINT) + {_TWO64}"
+        f"\n              ELSE CAST({c} AS HUGEINT) END AS up{w}"
+        for w, c in enumerate(wcols)
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+lut AS (
+  SELECT c.s, c.j,
+         {_DOT_SQL.format(a='qs.vs', b='qs.vs')}
+           - 2 * {_DOT_SQL.format(a='qs.vs', b='c.cs')}
+           + {_DOT_SQL.format(a='c.cs', b='c.cs')} AS dist
+  FROM {fin} c
+  JOIN (SELECT s, vs FROM subs WHERE vec_id = {query_id}) qs
+    ON qs.s = c.s
+),
+cands AS (
+  SELECT cf.vec_id
+  FROM cells_fin cf JOIN qcells USING (cell)
+  WHERE cf.vec_id != {query_id}
+),
+unwrapped AS (
+  SELECT codes.vec_id,
+{unwraps}
+  FROM codes JOIN cands ON codes.vec_id = cands.vec_id
+),
+unpacked AS (
+  SELECT u.vec_id, m.s,
+         CAST(((CASE m.w WHEN 0 THEN u.up0 ELSE u.up1 END) // m.mult)
+              % {PQ8_K} AS BIGINT) AS j
+  FROM unwrapped u CROSS JOIN mults m
+),
+adcs AS (
+  SELECT vec_id, SUM(lut.dist) AS adc
+  FROM unpacked JOIN lut ON unpacked.s = lut.s AND unpacked.j = lut.j
+  GROUP BY vec_id
+),
+short AS (
+  SELECT vec_id, {_ROUND6_SQL.format(x='adc')} AS adc
+  FROM adcs
+  ORDER BY {_ROUND6_SQL.format(x='adc')} ASC, vec_id ASC
+  LIMIT {shortlist}
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_id})
+SELECT e.vec_id, e.label,
+       {_ROUND6_SQL.format(
+           x=_DOT_SQL.format(a='qv', b='qv')
+           + ' - 2 * ' + _DOT_SQL.format(a='qv', b='e.v')
+           + ' + ' + _DOT_SQL.format(a='e.v', b='e.v')
+       )} AS l2
+FROM e JOIN short ON e.vec_id = short.vec_id, q
+ORDER BY l2 ASC, e.vec_id ASC
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): k-means
+# cells bucket the corpus, exact cosine is computed ONLY within a cell,
+# and each ε-duplicate pair keeps its lowest-id member — embedding-space
+# near-dup removal for training corpora, the semantic companion to the
+# lexical MinHash chain. At 100 TB the pair relation is bounded per cell
+# (sum of |cell|² over cells, never corpus²), the cell assignment is one
+# map pass, and the greedy min-id rule needs no iterative CC: one
+# bucketed self-join + one anti-join.
+# ---------------------------------------------------------------------------
+
+
+def semdedup_keep(
+    emb: DataFrame, tau: float = COSINE_NEARDUP_THRESHOLD
+) -> DataFrame:
+    """Kept rows (vec_id, label, cell) after semantic dedup: a row is
+    DROPPED iff some lower-id row in the SAME centroid cell has
+    round6(cosine) >= ``tau`` (SemDeDup's within-cluster ε-rule with
+    the deterministic keep-lowest-id tiebreak). Rounding before the
+    threshold keeps the boundary pair set engine-identical."""
+    cells = _with_cells(_vectors(emb))
+    wn = _with_norm(cells)
+    a = wn.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("norm").alias("na"), "cell",
+    )
+    b = wn.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("norm").alias("nb"), F.col("cell").alias("cell_b"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .where(
+            _round6(
+                _dot_udf(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+            )
+            >= tau
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return cells.join(dropped, "vec_id", "left_anti").select(
+        "vec_id", "label", "cell"
+    )
+
+
+def _seed_cells_ctes() -> str:
+    """The e/cents/scored/cells CTE chain assigning every vector to its
+    max-cosine seed-centroid cell (ties -> lowest cid), shared by the
+    SemDeDup oracles; mirrors ann_ivf_topk_sql's assignment exactly."""
+    cid_list = ", ".join(str(c) for c in CENTROID_IDS)
+    return f"""e AS (
+  SELECT vec_id, label, {_VEC_SQL.format(e='embedding')} AS v FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id IN ({cid_list})
+),
+scored AS (
+  SELECT e.vec_id, e.label, e.v, cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id ORDER BY
+             {_DOT_SQL.format(a='e.v', b='cv')}
+               / sqrt({_DOT_SQL.format(a='e.v', b='e.v')})
+               / sqrt({_DOT_SQL.format(a='cv', b='cv')}) DESC,
+             cid ASC
+         ) AS rn
+  FROM e, cents
+),
+cells AS (
+  SELECT vec_id, label, v, cid AS cell FROM scored WHERE rn = 1
+)"""
+
+
+def semdedup_keep_sql(tau: float = COSINE_NEARDUP_THRESHOLD) -> str:
+    return f"""
+WITH {_seed_cells_ctes()},
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a
+  JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_ROUND6_SQL.format(x=_COS_SQL.format(a='a.v', b='b.v'))} >= {tau}
+)
+SELECT c.vec_id, c.label, c.cell
+FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+WHERE d.vec_id IS NULL
+"""
+
+
+def semdedup_rate_by_label(
+    emb: DataFrame, tau: float = COSINE_NEARDUP_THRESHOLD
+) -> DataFrame:
+    """Per-label semantic-dedup health: (label, n_docs, n_dropped,
+    drop_ppm) with drop_ppm = exact integer 1e6 * dropped / docs — the
+    monitoring twin of :func:`semdedup_keep` (labels stand in for the
+    per-source feed monitor on the embeddings table)."""
+    cells = _with_cells(_vectors(emb))
+    kept = semdedup_keep(emb, tau).select("vec_id")
+    per = cells.groupBy("label").agg(F.count(F.lit(1)).alias("n_docs"))
+    dropped = (
+        cells.join(kept, "vec_id", "left_anti")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return (
+        per.join(dropped, "label", "left")
+        .select(
+            "label",
+            "n_docs",
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias(
+                "n_dropped"
+            ),
+        )
+        .withColumn(
+            "drop_ppm",
+            F.expr("(n_dropped * 1000000) div n_docs").cast("bigint"),
+        )
+        .orderBy("label")
+    )
+
+
+def semdedup_rate_by_label_sql(
+    tau: float = COSINE_NEARDUP_THRESHOLD,
+) -> str:
+    return f"""
+WITH {_seed_cells_ctes()},
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a
+  JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_ROUND6_SQL.format(x=_COS_SQL.format(a='a.v', b='b.v'))} >= {tau}
+)
+SELECT c.label,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST((COUNT(d.vec_id) * 1000000) // COUNT(*) AS BIGINT) AS drop_ppm
+FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+GROUP BY c.label
+ORDER BY c.label
+"""

@@ -14,3 +14,4 @@ from . import part6_maps_outliers  # noqa: F401,E402
 from . import part7_sql_surface  # noqa: F401,E402
 from . import part8_seasonality_streaks  # noqa: F401,E402
 from . import part9_concentration_kernels  # noqa: F401,E402
+from . import part10_curation_retrieval  # noqa: F401,E402

@@ -1,0 +1,71 @@
+"""Registry part10 (round 9): corpus-curation + retrieval depth.
+
+Sections:
+- Complete IVF-PQ16 + exact-rerank retrieval stack (the serving path a
+  100 TB embedding store actually runs end to end).
+- Semantic dedup (SemDeDup, Abbas et al. 2023): cell-bucketed
+  embedding near-dup with a greedy min-id keep rule — the semantic
+  companion to the lexical MinHash chain.
+- DSIR-style data selection (Xie et al. NeurIPS 2023): hashed-bigram
+  importance weights of every document against a target distribution,
+  plus the Gumbel-key resampling step.
+- Unigram-LM quality scoring (the CCNet recipe determinized): per-doc
+  cross-entropy under a corpus-trained add-1 unigram model, and the
+  head/middle/tail perplexity bucketing by source.
+- Boilerplate REMOVAL (applying boilerplate_spans): per-doc kept/cut
+  stats after dropping cross-document repeated lines, C4-style.
+- Token-frequency Zipf fit: log-log OLS slope/intercept/r2 over the
+  rank-frequency curve — the corpus-health power-law check.
+- Brown-Forsythe spread test: k-sample variance homogeneity on
+  |x - group median| via exact doubled deviations.
+
+Registration ORDER is load-bearing (the driver correctness rotation
+walks QUERIES in insertion order) — append only, never reorder
+(tests/test_rotation_guard.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import SparkSession
+
+from ..operators import fixtures_adapter as fx
+from ..operators import similarity as sim
+from ._base import _register
+
+
+@_register("ann_ivfpq16_rerank_topk", sim.ann_ivfpq16_rerank_topk_sql())
+def ann_ivfpq16_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete production retrieval stack (faiss IndexIVFPQ +
+    refine, determinized): nprobe=2 Lloyd cells prune the corpus,
+    trained 16-byte PQ ADC shortlists 64 candidates from the
+    survivors, and exact L2 reranks ONLY the shortlist's raw vectors —
+    per-query cost at scale is (nprobe/|cells|) x 16 bytes/vector
+    scanned plus 64 key-fetches. Shortlist cut on ROUND6(adc) keeps
+    the candidate set engine-identical (measured recall in SCALE.md)."""
+    return sim.ann_ivfpq16_rerank_topk(
+        fx._read(spark, sf_dir, "embeddings")
+    )
+
+
+@_register("semdedup_keep", sim.semdedup_keep_sql())
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): k-means cells
+    bucket the embedding space, exact cosine runs ONLY within a cell,
+    and every epsilon-duplicate pair keeps its lowest vec_id — the
+    embedding-space companion to the lexical MinHash chain. Pair work
+    is bounded per cell (sum |cell|^2, never corpus^2) and the greedy
+    min-id rule is one bucketed self-join + one anti-join, no
+    iterative connected components."""
+    return sim.semdedup_keep(fx._read(spark, sf_dir, "embeddings"))
+
+
+@_register("semdedup_rate_by_label", sim.semdedup_rate_by_label_sql())
+def semdedup_rate_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label semantic-dedup health (label, n_docs, n_dropped,
+    drop_ppm exact-integer) — the monitoring table a curation pipeline
+    tracks per feed to catch an embedding source collapsing onto
+    itself; the semantic twin of neardup_rate_by_source."""
+    return sim.semdedup_rate_by_label(
+        fx._read(spark, sf_dir, "embeddings")
+    )
