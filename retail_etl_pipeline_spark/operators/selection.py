@@ -1,0 +1,410 @@
+"""Data selection for LM training corpora: DSIR importance weights and
+unigram-LM perplexity quality — the two published selection recipes a
+100 TB pretraining pipeline runs between dedup and tokenization.
+
+- DSIR (Xie et al., "Data Selection for Language Models via Importance
+  Resampling", NeurIPS 2023): score every raw document by how much more
+  likely it is under a TARGET distribution than under the raw pool,
+  both modeled as hashed-ngram bag distributions, then resample by
+  Gumbel-perturbed weights. Determinized here: features are unigrams +
+  bigrams hashed through the repo's md5-based ``fingerprint64`` into
+  ``DSIR_BUCKETS`` buckets (cross-engine-stable, unlike xxhash), the
+  target slice is the ``lang = 'en'`` subset, and the Gumbel keys come
+  from hashed-uniform draws — no RNG state anywhere.
+- Unigram-LM cross-entropy (the CCNet/Wenzek et al. 2020 recipe with
+  the KenLM 5-gram collapsed to a corpus-trained add-1 unigram model):
+  per-doc nats/token against the pool model; low = fluent/common, high
+  = garbage or very rare — then the head/middle/tail tercile bucketing
+  CCNet uses to stage its corpus.
+
+Scale: every relation here is either |docs| x avg-features (the explode,
+map-side combined into per-(doc, bucket) counts), |DSIR_BUCKETS| (the
+model — broadcast), or |vocab| (the unigram model — bucket-joined); the
+per-doc fold state is bounded by the doc's own distinct features. The
+tercile split uses functions.ordered.with_global_rank (range shuffle +
+literal offsets, no single-task window).
+
+Float discipline: weights/entropies are folds of ``count * ln(exact
+integer)`` terms in a FIXED order (bucket id / token asc) with the op
+order textually mirrored in the oracles; results round through round6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.stats import round6
+from .text import FP_HEX_DIGITS, TOKENS_SQL, tokens
+
+#: hashed-ngram model size (DSIR uses 10k; 1024 keeps the toy corpora
+#: from degenerating to one feature per bucket while the mechanism —
+#: counts -> smoothed log-ratios -> per-doc fold — is scale-free)
+DSIR_BUCKETS = 1024
+
+#: documents sampled by the Gumbel resampling step
+DSIR_SAMPLE_K = 64
+
+#: the target-distribution slice (DSIR scores raw docs against a
+#: high-quality target; the fixtures' stand-in is the English slice)
+DSIR_TARGET_LANG = "en"
+
+_ROUND6_SQL = "CAST(round(CAST({x} AS DECIMAL(30,12)), 6) AS DOUBLE)"
+
+#: 2^SIMHASH_BITS — fingerprint64 values are uniform on [0, 2^60)
+_FP_SPAN = 1 << (4 * FP_HEX_DIGITS)
+
+
+def _features(t: Column) -> Column:
+    """Unigram + bigram feature array of a token array (bigrams joined
+    with one space)."""
+    n = F.size(t)
+    bigrams = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.concat(t, bigrams)
+
+
+_FEATURES_SQL = (
+    "list_concat({t}, list_transform(range(1, len({t})),"
+    " i -> {t}[i] || ' ' || {t}[i + 1]))"
+)
+
+
+def _bucket(c: Column) -> Column:
+    """Feature -> model bucket via the md5 fingerprint (cross-engine
+    stable; the value is a positive 60-bit int, so plain % matches the
+    oracle)."""
+    fp = F.conv(F.substring(F.md5(c), 1, FP_HEX_DIGITS), 16, 10).cast(
+        "bigint"
+    )
+    return fp % DSIR_BUCKETS
+
+
+_BUCKET_SQL = (
+    "CAST(('0x' || substring(md5({c}), 1, "
+    f"{FP_HEX_DIGITS})) AS BIGINT) % {DSIR_BUCKETS}"
+)
+
+
+def _doc_bucket_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, b, c): exact hashed-feature counts per document —
+    the single explode every DSIR relation derives from. Map-side
+    combinable; the shuffle carries (doc_id, b) keys, never feature
+    strings."""
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(_features(tokens(F.col("text")))).alias("f"),
+    )
+    return feats.groupBy(
+        "doc_id", "lang", _bucket(F.col("f")).alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+
+
+_DOC_BUCKET_COUNTS_SQL = f"""
+toks AS (
+  SELECT doc_id, lang, {TOKENS_SQL.format(c='text')} AS t FROM documents
+),
+feats AS (
+  SELECT doc_id, lang, unnest({_FEATURES_SQL.format(t='t')}) AS f
+  FROM toks
+),
+dbc AS (
+  SELECT doc_id, lang, {_BUCKET_SQL.format(c='f')} AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM feats GROUP BY 1, 2, 3
+)"""
+
+
+def dsir_importance_weights(docs: DataFrame) -> DataFrame:
+    """Per-document DSIR log importance weight: logw = Σ_b c_b ·
+    (log p_target[b] − log p_raw[b]) over the doc's hashed-ngram
+    buckets, both models add-1-smoothed bucket distributions (target =
+    the ``DSIR_TARGET_LANG`` slice, raw = the whole pool). Positive =
+    the doc looks more like the target than the pool.
+
+    Returns (doc_id, n_feats, logw) for every document; logw rounds
+    through round6. The per-bucket log-ratio relation is
+    |DSIR_BUCKETS| rows (broadcast); the per-doc sum is an ordered
+    fold over bucket id so both engines add in one order."""
+    dbc = _doc_bucket_counts(docs)
+    stats = dbc.groupBy("b").agg(
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("tc"),
+        F.sum("c").cast("bigint").alias("rc"),
+    )
+    tot = stats.agg(
+        F.sum("tc").cast("bigint").alias("nt"),
+        F.sum("rc").cast("bigint").alias("nr"),
+    )
+    lr = stats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            (
+                F.log((F.col("tc") + 1).cast("double"))
+                - F.log((F.col("nt") + DSIR_BUCKETS).cast("double"))
+            )
+            - (
+                F.log((F.col("rc") + 1).cast("double"))
+                - F.log((F.col("nr") + DSIR_BUCKETS).cast("double"))
+            )
+        ).alias("lr"),
+    )
+    terms = dbc.join(F.broadcast(lr), "b").select(
+        "doc_id",
+        "b",
+        "c",
+        (F.col("c").cast("double") * F.col("lr")).alias("term"),
+    )
+    return terms.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_feats"),
+        round6(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("b"), F.col("term")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            )
+        ).alias("logw"),
+    )
+
+
+_DSIR_MODEL_SQL = f"""{_DOC_BUCKET_COUNTS_SQL},
+stats AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN c ELSE 0 END)
+              AS BIGINT) AS tc,
+         CAST(SUM(c) AS BIGINT) AS rc
+  FROM dbc GROUP BY b
+),
+tot AS (
+  SELECT CAST(SUM(tc) AS BIGINT) AS nt, CAST(SUM(rc) AS BIGINT) AS nr
+  FROM stats
+),
+lr AS (
+  SELECT b,
+         (ln(CAST(tc + 1 AS DOUBLE)) - ln(CAST(nt + {DSIR_BUCKETS} AS DOUBLE)))
+           - (ln(CAST(rc + 1 AS DOUBLE))
+              - ln(CAST(nr + {DSIR_BUCKETS} AS DOUBLE))) AS lr
+  FROM stats, tot
+),
+weights AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_feats,
+         list_reduce(
+           list_transform(
+             list(struct_pack(b := dbc.b, term := CAST(c AS DOUBLE) * lr)
+                  ORDER BY dbc.b),
+             x -> x.term),
+           (a, b) -> a + b) AS raw_logw
+  FROM dbc JOIN lr ON dbc.b = lr.b
+  GROUP BY doc_id
+)"""
+
+DSIR_IMPORTANCE_WEIGHTS_SQL = f"""
+WITH {_DSIR_MODEL_SQL}
+SELECT doc_id, n_feats, {_ROUND6_SQL.format(x='raw_logw')} AS logw
+FROM weights
+"""
+
+
+def dsir_gumbel_topk(docs: DataFrame, k: int = DSIR_SAMPLE_K) -> DataFrame:
+    """DSIR's resampling step, determinized: sample ``k`` documents
+    without replacement with probability ∝ exp(logw) via the
+    Gumbel-top-k trick — key = logw + Gumbel(hash-uniform(doc_id)),
+    take the k largest keys. The Gumbel draw is
+    −ln(−ln((fingerprint64('g' || doc_id) + 0.5) / 2^60)) — pure
+    column arithmetic, replayable on any engine, no RNG state.
+
+    Returns (doc_id, logw, key) for the k selected docs; both floats
+    round through round6, ties break on doc_id."""
+    w = dsir_importance_weights(docs)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("g"), F.col("doc_id").cast("string"))),
+                1,
+                FP_HEX_DIGITS,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / float(_FP_SPAN)
+    key = F.col("logw") + (-F.log(-F.log(u)))
+    return (
+        w.select("doc_id", "logw", round6(key).alias("key"))
+        .orderBy(F.desc("key"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def dsir_gumbel_topk_sql(k: int = DSIR_SAMPLE_K) -> str:
+    u = (
+        "(CAST(CAST(('0x' || substring(md5('g' || CAST(doc_id AS VARCHAR)),"
+        f" 1, {FP_HEX_DIGITS})) AS BIGINT) AS DOUBLE) + 0.5)"
+        f" / {float(_FP_SPAN)!r}"
+    )
+    return f"""
+WITH {_DSIR_MODEL_SQL}
+SELECT doc_id,
+       {_ROUND6_SQL.format(x='raw_logw')} AS logw,
+       {_ROUND6_SQL.format(
+           x=f"{_ROUND6_SQL.format(x='raw_logw')} + (-ln(-ln({u})))"
+       )} AS key
+FROM weights
+ORDER BY key DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def _doc_token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, w, c): exact per-document token counts."""
+    return (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+_DOC_TOKEN_COUNTS_SQL = f"""
+toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL.format(c='text')}) AS w
+  FROM documents
+),
+dtc AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+)"""
+
+
+def unigram_logprob_quality(docs: DataFrame) -> DataFrame:
+    """Per-document cross-entropy (nats/token) under the corpus-trained
+    add-1 unigram LM — the CCNet quality signal with the KenLM n-gram
+    collapsed to the unigram determinizable form: xent = ln(N + V) −
+    (Σ_w c_w · ln(cw_w + 1)) / n. Low = built from common corpus
+    vocabulary; high = rare/garbage tokens.
+
+    Returns (doc_id, n_tokens, xent); xent rounds through round6. The
+    model join is (doc, token)-level against the |vocab| relation; the
+    per-doc sum is an ordered fold over the token string so both
+    engines add in one order."""
+    dtc = _doc_token_counts(docs)
+    vocab = dtc.groupBy("w").agg(F.sum("c").cast("bigint").alias("cw"))
+    tot = vocab.agg(
+        (F.sum("cw") + F.count(F.lit(1))).cast("bigint").alias("nv")
+    )
+    terms = dtc.join(vocab, "w").select(
+        "doc_id",
+        "w",
+        "c",
+        (
+            F.col("c").cast("double")
+            * F.log((F.col("cw") + 1).cast("double"))
+        ).alias("term"),
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("w"), F.col("term")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            ).alias("s"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_tokens",
+            round6(
+                F.log(F.col("nv").cast("double"))
+                - F.col("s") / F.col("n_tokens").cast("double")
+            ).alias("xent"),
+        )
+    )
+
+
+_UNIGRAM_XENT_SQL = f"""{_DOC_TOKEN_COUNTS_SQL},
+vocab AS (
+  SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM dtc GROUP BY w
+),
+tot AS (
+  SELECT CAST(SUM(cw) + COUNT(*) AS BIGINT) AS nv FROM vocab
+),
+xents AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         ln(CAST(nv AS DOUBLE))
+           - list_reduce(
+               list_transform(
+                 list(struct_pack(w := dtc.w,
+                                  term := CAST(c AS DOUBLE)
+                                    * ln(CAST(cw + 1 AS DOUBLE)))
+                      ORDER BY dtc.w),
+                 x -> x.term),
+               (a, b) -> a + b) / CAST(SUM(c) AS DOUBLE) AS raw_xent
+  FROM dtc JOIN vocab USING (w), tot
+  GROUP BY doc_id, nv
+)"""
+
+UNIGRAM_LOGPROB_QUALITY_SQL = f"""
+WITH {_UNIGRAM_XENT_SQL}
+SELECT doc_id, n_tokens, {_ROUND6_SQL.format(x='raw_xent')} AS xent
+FROM xents
+"""
+
+
+def ccnet_quality_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet's corpus staging: rank every document by unigram-LM
+    cross-entropy and split into exact terciles (1 = head/most fluent,
+    3 = tail), then count docs per (source, bucket) — the table that
+    decides which perplexity band of each feed enters training.
+
+    Ranking is functions.ordered.with_global_rank on (rounded xent,
+    doc_id) — a range shuffle with literal offsets, no single-task
+    window at any corpus size; the rounded sort key keeps the tercile
+    boundary engine-identical."""
+    from ..functions.ordered import ntile_from_rank, with_global_rank
+
+    xq = unigram_logprob_quality(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    order = [F.col("xent").asc(), F.col("doc_id").asc()]
+    ranked, n = with_global_rank(xq, order, rank_col="_rk")
+    return (
+        ranked.select(
+            "source", ntile_from_rank("_rk", n, 3).alias("bucket")
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("source", "bucket")
+    )
+
+
+CCNET_QUALITY_BUCKETS_SQL = f"""
+WITH {_UNIGRAM_XENT_SQL},
+ranked AS (
+  SELECT s.source,
+         ntile(3) OVER (
+           ORDER BY {_ROUND6_SQL.format(x='raw_xent')}, x.doc_id
+         ) AS bucket
+  FROM xents x JOIN documents s ON x.doc_id = s.doc_id
+)
+SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM ranked GROUP BY 1, 2
+ORDER BY source, bucket
+"""

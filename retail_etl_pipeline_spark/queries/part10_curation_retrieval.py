@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import SparkSession
 
 from ..operators import fixtures_adapter as fx
+from ..operators import selection as sel
 from ..operators import similarity as sim
 from ._base import _register
 
@@ -69,3 +70,48 @@ def semdedup_rate_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semdedup_rate_by_label(
         fx._read(spark, sf_dir, "embeddings")
     )
+
+
+@_register("dsir_importance_weights", sel.DSIR_IMPORTANCE_WEIGHTS_SQL)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. NeurIPS 2023), determinized:
+    per-doc log importance weight of the raw pool against the English
+    target slice over add-1-smoothed hashed unigram+bigram bucket
+    models (md5 buckets — cross-engine stable). The model is a
+    1024-row broadcast; the per-doc sum is an ordered fold over bucket
+    id; the shuffle carries (doc_id, bucket) counts, never feature
+    strings."""
+    return sel.dsir_importance_weights(
+        fx._read(spark, sf_dir, "documents")
+    )
+
+
+@_register("dsir_gumbel_topk", sel.dsir_gumbel_topk_sql())
+def dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's resampling step via the Gumbel-top-k trick with
+    hash-uniform draws: key = logw + Gumbel(u(doc_id)), take the 64
+    largest — sampling-without-replacement proportional to exp(logw),
+    fully replayable (no RNG state), TakeOrdered plan (no global
+    sort)."""
+    return sel.dsir_gumbel_topk(fx._read(spark, sf_dir, "documents"))
+
+
+@_register("unigram_logprob_quality", sel.UNIGRAM_LOGPROB_QUALITY_SQL)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal, determinized: per-doc
+    cross-entropy (nats/token) under the corpus-trained add-1 unigram
+    model — the (doc, token)-level model join is bucketable at any
+    corpus size and the per-doc sum is an ordered fold over the token
+    string."""
+    return sel.unigram_logprob_quality(
+        fx._read(spark, sf_dir, "documents")
+    )
+
+
+@_register("ccnet_quality_buckets", sel.CCNET_QUALITY_BUCKETS_SQL)
+def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail staging: exact perplexity terciles over
+    (rounded xent, doc_id) via the scale-safe global-rank machinery
+    (range shuffle + literal offsets — no single-task NTILE window),
+    counted per source."""
+    return sel.ccnet_quality_buckets(fx._read(spark, sf_dir, "documents"))
