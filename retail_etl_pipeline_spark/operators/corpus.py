@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import SHINGLES_CTE, shingles
+from .dedup import SHINGLE_N, SHINGLES_CTE, shingles
 from .text import TOKENS_SQL, token_count, tokens
 
 # ---------------------------------------------------------------------------
@@ -925,3 +925,241 @@ def packing_index_incremental(
         F.lit(False).alias("in_order"),
     )
     return in_order_rows.unionByName(rejected_rows)
+
+
+# ---------------------------------------------------------------------------
+# boilerplate REMOVAL (round 9): apply the cross-document repeated-span
+# filter and report what survives — the C4-style "strip lines seen in
+# many pages" step expressed at the token-shingle level (the fixture
+# corpus has no newline structure, so the repeated-span unit is the
+# SHINGLE_N word gram the rest of the dedup stack already uses).
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_removal_stats(
+    docs: DataFrame,
+    min_docs: int = BOILERPLATE_MIN_DOCS,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Per-document kept/cut accounting after boilerplate removal: a
+    token is REMOVED iff some ``n``-gram covering it occurs in >=
+    ``min_docs`` distinct documents. Returns (doc_id, n_tokens,
+    n_removed, kept_ratio) for every doc; kept_ratio is a ratio of
+    exact integers (bit-identical cross-engine without a decimal hop).
+
+    Scale: positional shingles shuffle as (doc_id, pos, 60-bit fp) —
+    never text; document frequency is one fp-keyed aggregate; coverage
+    explodes ``n`` positions ONLY for boilerplate-flagged shingle
+    instances (a small fraction by construction) and dedups them
+    before the per-doc count. No window over the corpus, no driver
+    state."""
+    from .text import fingerprint64
+
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tail = [F.lead("tok", j).over(w) for j in range(1, n)]
+    pos_sh = (
+        toks.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", F.col("tok"), *tail).alias("gram"),
+            tail[-1].alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .select("doc_id", "pos", fingerprint64(F.col("gram")).alias("sh"))
+    )
+    boiler = (
+        pos_sh.groupBy("sh")
+        .agg(F.count_distinct(F.col("doc_id")).alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("sh")
+    )
+    covered = (
+        pos_sh.join(boiler, "sh")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_removed"))
+    )
+    base = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return base.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+        (
+            (F.col("n_tokens") - F.coalesce("n_removed", F.lit(0))).cast(
+                "double"
+            )
+            / F.col("n_tokens")
+        ).alias("kept_ratio"),
+    )
+
+
+def boilerplate_removal_stats_sql(
+    min_docs: int = BOILERPLATE_MIN_DOCS, n: int = SHINGLE_N
+) -> str:
+    from .text import fingerprint64_sql
+
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+WITH d AS (
+  SELECT doc_id, {TOKENS_SQL.format(c='text')} AS t FROM documents
+),
+ps AS (
+  SELECT doc_id, i AS pos, {fingerprint64_sql(f"({gram})")} AS sh
+  FROM d, unnest(range(1, len(t) - {n - 2})) AS r(i)
+),
+boiler AS (
+  SELECT sh FROM ps GROUP BY sh
+  HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+),
+cov AS (
+  SELECT DISTINCT ps.doc_id, ps.pos + j.j AS p
+  FROM ps JOIN boiler USING (sh), unnest(range(0, {n})) AS j(j)
+),
+rem AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+  FROM cov GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(len(t) - COALESCE(n_removed, 0) AS DOUBLE) / len(t)
+         AS kept_ratio
+FROM d LEFT JOIN rem ON d.doc_id = rem.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit (round 9): the corpus-health power-law check —
+# a pretraining pipeline tracks the rank-frequency slope per snapshot to
+# catch tokenizer drift or a feed of machine-generated text (natural
+# corpora sit near slope -1; template spam flattens the head).
+# ---------------------------------------------------------------------------
+
+
+def token_zipf_fit(docs: DataFrame) -> DataFrame:
+    """One-row log-log OLS over the token rank-frequency curve:
+    (n_vocab, slope, intercept, r2) of ln(freq) on ln(rank), ranks by
+    (freq DESC, token ASC).
+
+    Exactness: ln(rank)/ln(freq) round through round6 then land in
+    DECIMAL(20,6); every OLS moment (Σx, Σy, Σxy, Σx², Σy²) is then an
+    EXACT decimal sum — fully distributive/associative, so no ordered
+    fold and no collect at any vocabulary size (the float-sum-order
+    problem is gone by construction). The final slope/intercept/r2 are
+    one-row double arithmetic from exact ingredients, op order
+    mirrored by the oracle. Ranking uses the distributed global-rank
+    machinery (range shuffle + literal offsets)."""
+    from ..functions.ordered import with_global_rank
+    from ..functions.stats import round6
+
+    tc = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cw"))
+    )
+    ranked, nv = with_global_rank(
+        tc, [F.col("cw").desc(), F.col("w").asc()], rank_col="rank"
+    )
+    d6 = "decimal(12,6)"
+    d12 = "decimal(30,12)"
+    pts = ranked.select(
+        round6(F.log(F.col("rank").cast("double"))).cast(d6).alias("x"),
+        round6(F.log(F.col("cw").cast("double"))).cast(d6).alias("y"),
+    )
+    sums = pts.agg(
+        F.sum(F.col("x").cast(d12)).alias("sx"),
+        F.sum(F.col("y").cast(d12)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d12)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d12)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d12)).alias("syy"),
+    )
+    nd = F.lit(float(nv))
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    den_x = nd * sxx - sx * sx
+    den_y = nd * syy - sy * sy
+    num = nd * sxy - sx * sy
+    ok = (F.lit(nv) > 1) & (den_x > 0)
+    slope = num / den_x
+    intercept = (sy - slope * sx) / nd
+    r2 = (num * num) / (den_x * den_y)
+    return sums.select(
+        F.lit(nv).cast("bigint").alias("n_vocab"),
+        F.when(ok, round6(slope)).otherwise(
+            F.lit(None).cast("double")
+        ).alias("slope"),
+        F.when(ok, round6(intercept)).otherwise(
+            F.lit(None).cast("double")
+        ).alias("intercept"),
+        F.when(ok & (den_y > 0), round6(r2)).otherwise(
+            F.lit(None).cast("double")
+        ).alias("r2"),
+    )
+
+
+_Z_ROUND6 = "CAST(round(CAST({x} AS DECIMAL(30,12)), 6) AS DOUBLE)"
+
+TOKEN_ZIPF_FIT_SQL = f"""
+WITH toks AS (
+  SELECT unnest({TOKENS_SQL.format(c='text')}) AS w FROM documents
+),
+vocab AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM toks GROUP BY w
+),
+ranked AS (
+  SELECT cw, row_number() OVER (ORDER BY cw DESC, w ASC) AS rank
+  FROM vocab
+),
+pts AS (
+  SELECT CAST({_Z_ROUND6.format(x='ln(CAST(rank AS DOUBLE))')}
+              AS DECIMAL(12,6)) AS x,
+         CAST({_Z_ROUND6.format(x='ln(CAST(cw AS DOUBLE))')}
+              AS DECIMAL(12,6)) AS y
+  FROM ranked
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nv,
+         SUM(CAST(x AS DECIMAL(30,12))) AS sx,
+         SUM(CAST(y AS DECIMAL(30,12))) AS sy,
+         SUM(CAST(x * y AS DECIMAL(30,12))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(30,12))) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(30,12))) AS syy
+  FROM pts
+),
+calc AS (
+  SELECT nv,
+         CAST(nv AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+         CAST(nv AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den_x,
+         CAST(nv AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS den_y,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM sums
+)
+SELECT nv AS n_vocab,
+       CASE WHEN nv > 1 AND den_x > 0
+            THEN {_Z_ROUND6.format(x='num / den_x')} END AS slope,
+       CASE WHEN nv > 1 AND den_x > 0
+            THEN {_Z_ROUND6.format(
+                x='(syd - (num / den_x) * sxd) / CAST(nv AS DOUBLE)'
+            )} END AS intercept,
+       CASE WHEN nv > 1 AND den_x > 0 AND den_y > 0
+            THEN {_Z_ROUND6.format(x='(num * num) / (den_x * den_y)')}
+            END AS r2
+FROM calc
+"""

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import SparkSession
 
+from ..operators import corpus as cp
 from ..operators import fixtures_adapter as fx
 from ..operators import selection as sel
 from ..operators import similarity as sim
@@ -115,3 +116,25 @@ def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (range shuffle + literal offsets — no single-task NTILE window),
     counted per source."""
     return sel.ccnet_quality_buckets(fx._read(spark, sf_dir, "documents"))
+
+
+@_register("boilerplate_removal_stats", cp.boilerplate_removal_stats_sql())
+def boilerplate_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal APPLIED (the C4 strip step at the shingle
+    level): per-doc token total, tokens covered by any cross-document
+    repeated n-gram, and the surviving ratio — positional shingles
+    shuffle as 60-bit fingerprints, coverage explodes positions only
+    for flagged instances, kept_ratio is a ratio of exact integers."""
+    return cp.boilerplate_removal_stats(
+        fx._read(spark, sf_dir, "documents")
+    )
+
+
+@_register("token_zipf_fit", cp.TOKEN_ZIPF_FIT_SQL)
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health power law: one-row log-log OLS of token frequency
+    on rank (slope ~ -1 for natural text; template spam flattens it).
+    ln values round into DECIMAL(12,6) so every OLS moment is an EXACT
+    distributive decimal sum — no ordered fold, no collect, at any
+    vocabulary size; ranking via the scale-safe global-rank shuffle."""
+    return cp.token_zipf_fit(fx._read(spark, sf_dir, "documents"))
