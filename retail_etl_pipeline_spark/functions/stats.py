@@ -1278,10 +1278,82 @@ def mood_median_test(
     )
 
 
-#: Order-preserving value buckets for the JT per-group prefix sum —
-#: bounds the B pass at |G| x _JT_BUCKETS parallel window tasks
+#: Order-preserving value buckets for the grouped prefix sums —
+#: bounds the per-group pass at |G| x _JT_BUCKETS parallel window tasks
 #: regardless of the value column's cardinality.
 _JT_BUCKETS = 64
+
+
+def _grouped_prefix_sum(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    buckets: int = _JT_BUCKETS,
+) -> DataFrame:
+    """EXCLUSIVE per-group prefix sum of ``value_col`` ordered by
+    ``order_col`` (exact DECIMAL(38,0)), as a two-level
+    order-preserving bucketed pass: a local window within (group,
+    bucket) plus a |G| x ``buckets`` broadcast offset relation — so a
+    high-cardinality order column runs |G| x buckets parallel window
+    tasks instead of one task per group (the r8 ADVICE fix, shared by
+    the JT and Brown-Forsythe kernels). The bucket id is a monotone
+    function of the order column, so the split changes nothing
+    arithmetically. ``df`` must have at most one row per (group,
+    order) pair."""
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    zero = F.lit(0).cast(dec)
+    cols = list(df.columns)
+    vr = df.agg(
+        F.min(order_col).alias("vmin"), F.max(order_col).alias("vmax")
+    )
+    span = F.col("vmax").cast("double") - F.col("vmin").cast("double")
+    bkt = (
+        F.when(
+            span > 0,
+            F.floor(
+                (F.col(order_col).cast("double") - F.col("vmin").cast("double"))
+                / span
+                * (buckets - 1)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    gb = df.crossJoin(F.broadcast(vr)).select(*cols, bkt.alias("_bkt"))
+    w_loc = (
+        Window.partitionBy(group_col, "_bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    loc = gb.select(
+        *cols, "_bkt",
+        F.coalesce(F.sum(value_col).over(w_loc), zero)
+        .cast(dec)
+        .alias("_loc"),
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = (
+        gb.groupBy(group_col, "_bkt")
+        .agg(F.sum(value_col).cast(dec).alias("_bt"))
+        .select(
+            group_col, "_bkt",
+            F.coalesce(F.sum("_bt").over(w_off), zero)
+            .cast(dec)
+            .alias("_off"),
+        )
+    )
+    return loc.join(F.broadcast(off), [group_col, "_bkt"]).select(
+        *cols,
+        (F.col("_loc") + F.col("_off")).cast(dec).alias(out_col),
+    )
 
 
 def jonckheere_terpstra(
@@ -1364,56 +1436,11 @@ def jonckheere_terpstra(
         "g", "v", "c0",
         F.coalesce(F.sum("c0").over(w_t), zero).cast(dec).alias("t"),
     )
-    # B(g, v) = sum of t over smaller values within the group, split
-    # into an order-preserving bucketed two-level prefix sum: the heavy
-    # local pass parallelizes over (g, bucket); the cross-bucket offset
-    # relation is |G| x _JT_BUCKETS rows and broadcasts.
-    vr = perv.agg(
-        F.min("v").alias("vmin"), F.max("v").alias("vmax")
-    )
-    span = F.col("vmax").cast("double") - F.col("vmin").cast("double")
-    bkt = (
-        F.when(
-            span > 0,
-            F.floor(
-                (F.col("v").cast("double") - F.col("vmin").cast("double"))
-                / span
-                * (_JT_BUCKETS - 1)
-            ),
-        )
-        .otherwise(F.lit(0))
-        .cast("int")
-    )
-    gridb = with_t.crossJoin(F.broadcast(vr)).select(
-        "g", "v", "c0", "t", bkt.alias("bkt")
-    )
-    w_loc = (
-        Window.partitionBy("g", "bkt")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    loc = gridb.select(
-        "g", "bkt", "c0", "t",
-        F.coalesce(F.sum("t").over(w_loc), zero).cast(dec).alias("b_loc"),
-    )
-    w_off = (
-        Window.partitionBy("g")
-        .orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    off = (
-        gridb.groupBy("g", "bkt")
-        .agg(F.sum("t").cast(dec).alias("bt"))
-        .select(
-            "g", "bkt",
-            F.coalesce(F.sum("bt").over(w_off), zero)
-            .cast(dec)
-            .alias("b_off"),
-        )
-    )
-    with_b = loc.join(F.broadcast(off), ["g", "bkt"]).select(
-        "c0", "t",
-        (F.col("b_loc") + F.col("b_off")).cast(dec).alias("b"),
+    # B(g, v) = sum of t over smaller values within the group — the
+    # shared two-level bucketed prefix sum (local (g, bucket) windows +
+    # a broadcast |G| x buckets offset relation).
+    with_b = _grouped_prefix_sum(with_t, "g", "v", "t", "b").select(
+        "c0", "t", "b"
     )
     j2 = with_b.agg(
         F.coalesce(
@@ -1477,4 +1504,128 @@ def jonckheere_terpstra(
         F.when(ok, round6(z))
         .otherwise(F.lit(None).cast("double"))
         .alias("z"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """One-row Brown–Forsythe spread test across ALL groups — "does any
+    group's DISPERSION differ?", the robust (median-centered) Levene
+    variant and the scale companion to :func:`kruskal_wallis` /
+    :func:`mood_median_test` on the same stratification: a one-way
+    ANOVA F on the absolute deviations z_ij = |x_ij − median_j|.
+
+    Exactness discipline (the doubling trick): ``value_col`` must be
+    integer-valued; with m1_j/m2_j the group's lower/upper middle order
+    statistics (equal when n_j is odd), the DOUBLED deviation
+    Z_ij = |2·x_ij − (m1_j + m2_j)| = 2·z_ij is an exact integer, and F
+    is invariant to the common factor (numerator and denominator both
+    scale by 4). Per-group moments S_j = ΣZ, Q_j = ΣZ² accumulate in
+    DECIMAL(38,0)/HUGEINT (Q bounds the kernel at Σc·Z² < 1e38 —
+    fine for cents-scale values at any realistic corpus); F uses the
+    sum-of-squares forms SSB = Σ S_j²/n_j − S²/N and
+    SSW = Σ (Q_j − S_j²/n_j), folded SEQUENTIALLY over a
+    group-key-ORDERED array (the proven bit-identical pattern) with
+    doubles appearing only inside the fold terms.
+
+    Plan: the shared value-partitioned (group, value) count, the
+    grouped two-level prefix sum for BOTH middle order statistics (no
+    single-task window at any value cardinality), a |G|-bounded
+    median/moment relation broadcast back over the counts, one-row
+    output (n_groups, n_total, dof1, dof2, f_stat). f_stat is NULL
+    when k < 2, N ≤ k, or SSW = 0 (every group constant)."""
+    dec = "decimal(38,0)"
+    cnt = (
+        df.repartition(F.col(value_col))
+        .groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).cast(dec).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    pre = _grouped_prefix_sum(cnt, "g", "v", "c", "cum_ex")
+    cum = pre.select(
+        "g", "v", (F.col("cum_ex") + F.col("c")).cast(dec).alias("cum")
+    )
+    per_n = cnt.groupBy("g").agg(F.sum("c").cast(dec).alias("n_g"))
+    k1 = F.expr("(CAST(n_g AS BIGINT) + 1) DIV 2")
+    k2 = F.expr("CAST(n_g AS BIGINT) DIV 2 + 1")
+    meds = (
+        cum.join(F.broadcast(per_n), "g")
+        .groupBy("g")
+        .agg(
+            F.min(F.when(F.col("cum") >= k1, F.col("v")))
+            .cast("bigint")
+            .alias("m1"),
+            F.min(F.when(F.col("cum") >= k2, F.col("v")))
+            .cast("bigint")
+            .alias("m2"),
+        )
+    )
+    d19 = "decimal(19,0)"
+    z = F.abs(
+        2 * F.col("v").cast("bigint") - (F.col("m1") + F.col("m2"))
+    ).cast(d19)
+    c19 = F.col("c").cast(d19)
+    per_g = (
+        cnt.join(F.broadcast(meds), "g")
+        .select("g", "c", z.alias("z"), c19.alias("c19"))
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast(dec).alias("n_g"),
+            F.sum(F.col("c19") * F.col("z")).cast(dec).alias("s"),
+            F.sum((F.col("z") * F.col("z")) * F.col("c19"))
+            .cast(dec)
+            .alias("q"),
+        )
+    )
+    zero = F.lit(0).cast(dec)
+    gl = per_g.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("g"), F.col("n_g"), F.col("s"), F.col("q"))
+            )
+        ).alias("gs"),
+        F.coalesce(F.sum("n_g"), zero).alias("n"),
+        F.coalesce(F.sum("s"), zero).alias("stot"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    stot_d = F.col("stot").cast("double")
+    ssb = (
+        F.aggregate(
+            F.col("gs"),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["s"].cast("double")
+            * x["s"].cast("double")
+            / x["n_g"].cast("double"),
+        )
+        - stot_d * stot_d / nd
+    )
+    ssw = F.aggregate(
+        F.col("gs"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (
+            x["q"].cast("double")
+            - x["s"].cast("double")
+            * x["s"].cast("double")
+            / x["n_g"].cast("double")
+        ),
+    )
+    f_stat = (ssb / (kd - 1)) / (ssw / (nd - kd))
+    ok = (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0)
+    return gl.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").cast("bigint").alias("n_total"),
+        F.when(F.col("k") > 1, F.col("k") - 1)
+        .cast("bigint")
+        .alias("dof1"),
+        F.when(F.col("n") > F.col("k"), F.col("n") - F.col("k"))
+        .cast("bigint")
+        .alias("dof2"),
+        F.when(ok, round6(f_stat))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("f_stat"),
     )

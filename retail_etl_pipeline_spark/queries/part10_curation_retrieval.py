@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import corpus as cp
 from ..operators import fixtures_adapter as fx
@@ -138,3 +139,125 @@ def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributive decimal sum — no ordered fold, no collect, at any
     vocabulary size; ranking via the scale-safe global-rank shuffle."""
     return cp.token_zipf_fit(fx._read(spark, sf_dir, "documents"))
+
+
+_BF_ROUND6 = "CAST(round(CAST({x} AS DECIMAL(30,12)), 6) AS DOUBLE)"
+
+_BF_ORACLE = f"""
+WITH vals AS (
+  SELECT n_name AS g,
+         CAST(round(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)),
+                    2) * 100 AS BIGINT) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+),
+cnt AS (
+  SELECT g, v, CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+  FROM vals GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, v, c,
+         SUM(c) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM cnt
+),
+pern AS (
+  SELECT g, CAST(SUM(c) AS DECIMAL(38,0)) AS n_g FROM cnt GROUP BY g
+),
+meds AS (
+  SELECT cum.g,
+         CAST(MIN(CASE WHEN cum >= (CAST(n_g AS HUGEINT) + 1) // 2
+                       THEN v END) AS BIGINT) AS m1,
+         CAST(MIN(CASE WHEN cum >= CAST(n_g AS HUGEINT) // 2 + 1
+                       THEN v END) AS BIGINT) AS m2
+  FROM cum JOIN pern ON cum.g = pern.g
+  GROUP BY cum.g
+),
+zs AS (
+  SELECT cnt.g, c,
+         CAST(abs(2 * v - (m1 + m2)) AS HUGEINT) AS z
+  FROM cnt JOIN meds ON cnt.g = meds.g
+),
+perg AS (
+  SELECT g,
+         CAST(SUM(c) AS DECIMAL(38,0)) AS n_g,
+         CAST(SUM(CAST(c AS HUGEINT) * z) AS DECIMAL(38,0)) AS s,
+         CAST(SUM((z * z) * CAST(c AS HUGEINT)) AS DECIMAL(38,0)) AS q
+  FROM zs GROUP BY g
+),
+gl AS (
+  SELECT list(struct_pack(g := g, n_g := n_g, s := s, q := q)
+              ORDER BY g) AS gs,
+         CAST(COALESCE(SUM(n_g), 0) AS DECIMAL(38,0)) AS n,
+         CAST(COALESCE(SUM(s), 0) AS DECIMAL(38,0)) AS stot,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM perg
+),
+calc AS (
+  SELECT k, n,
+         list_reduce(
+           list_transform(gs, x ->
+             CAST(x.s AS DOUBLE) * CAST(x.s AS DOUBLE)
+               / CAST(x.n_g AS DOUBLE)),
+           (a, b) -> a + b)
+           - CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE)
+             / CAST(n AS DOUBLE) AS ssb,
+         list_reduce(
+           list_transform(gs, x ->
+             CAST(x.q AS DOUBLE)
+               - CAST(x.s AS DOUBLE) * CAST(x.s AS DOUBLE)
+                 / CAST(x.n_g AS DOUBLE)),
+           (a, b) -> a + b) AS ssw
+  FROM gl
+)
+SELECT k AS n_groups,
+       CAST(n AS BIGINT) AS n_total,
+       CASE WHEN k > 1 THEN k - 1 END AS dof1,
+       CASE WHEN n > k THEN CAST(n AS BIGINT) - k END AS dof2,
+       CASE WHEN k > 1 AND n > k AND ssw > 0
+            THEN {_BF_ROUND6.format(
+                x='(ssb / CAST(k - 1 AS DOUBLE))'
+                  ' / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))'
+            )} END AS f_stat
+FROM calc
+"""
+
+
+@_register("nation_revenue_brown_forsythe", _BF_ORACLE)
+def nation_revenue_brown_forsythe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k-sample SPREAD drift: Brown-Forsythe (median-centered Levene) F
+    of per-line revenue cents across all supplier nations — "does any
+    nation's revenue DISPERSION differ?", completing the
+    location(KW/Mood)/trend(JT)/scale battery on one stratification.
+    Kernel: functions/stats.brown_forsythe — doubled |2x - (m1+m2)|
+    deviations stay exact integers; group medians come from the shared
+    two-level bucketed prefix sum (no single-task window); the F
+    assembles from a nation-ordered fold of exact decimal moments."""
+    from ..functions.stats import brown_forsythe
+
+    li = fx._read(spark, sf_dir, "lineitem")
+    su = fx._read(spark, sf_dir, "supplier")
+    na = fx._read(spark, sf_dir, "nation")
+    vals = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .select(
+            F.col("n_name").alias("g"),
+            (
+                F.round(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(30,6)"),
+                    2,
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("v"),
+        )
+    )
+    return brown_forsythe(vals, "v", "g")
