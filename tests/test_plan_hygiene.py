@@ -790,3 +790,35 @@ def test_ivfpq16_prunes_cells_before_ranking(spark, sf_dir):
         "cell filter did not reach the scan's DataFilters"
     )
     assert len(re.findall(r"Join", plan)) == 1
+
+
+def test_ivfpq16_rerank_full_stack_plan(spark, sf_dir):
+    """The three-stage serving plan: probe-cell membership pushed into
+    the code scan (cheap stage first), the exact rerank rides a
+    BROADCAST of the bounded shortlist (never a shuffle of raw
+    vectors), top-k via TakeOrderedAndProject, no cartesian, no global
+    sort."""
+    plan = _physical(QUERIES["ann_ivfpq16_rerank_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Cartesian" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    nprobe = similarity.IVF_NPROBE
+    in_pat = (
+        r" IN(SET)?\s*\(" + r",\s*".join([r"\d+"] * nprobe) + r"\)"
+    )
+    assert re.search(in_pat, plan), (
+        "probe-cell IN filter missing from the physical plan"
+    )
+    assert "BroadcastHashJoin" in plan, (
+        "shortlist rerank join must broadcast the bounded candidate set"
+    )
+
+
+def test_semdedup_pairs_ride_cell_equi_join(spark, sf_dir):
+    """SemDeDup's pair relation must be an EQUI-join on the cell id
+    (bucketed, sum |cell|^2 work) — never a cartesian — and the keep
+    set is a broadcast anti-join against the bounded dropped list."""
+    plan = _physical(QUERIES["semdedup_keep"](spark, sf_dir))
+    assert "Cartesian" not in plan
+    assert "LeftAnti" in plan
+    assert "cell" in plan
