@@ -99,9 +99,14 @@ def _doc_bucket_counts(docs: DataFrame) -> DataFrame:
         "lang",
         F.explode(_features(tokens(F.col("text")))).alias("f"),
     )
-    return feats.groupBy(
-        "doc_id", "lang", _bucket(F.col("f")).alias("b")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return (
+        feats.groupBy("doc_id", "lang", _bucket(F.col("f")).alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # feeds BOTH the bucket model and the per-doc terms; without a
+        # checkpoint the tokenize+md5 explode runs twice (the stats
+        # kernels' cnt discipline)
+        .localCheckpoint(eager=True)
+    )
 
 
 _DOC_BUCKET_COUNTS_SQL = f"""
@@ -275,6 +280,8 @@ def _doc_token_counts(docs: DataFrame) -> DataFrame:
         )
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # feeds both the vocab model and the per-doc terms
+        .localCheckpoint(eager=True)
     )
 
 

@@ -2994,11 +2994,37 @@ def semdedup_rate_by_label(
     drop_ppm) with drop_ppm = exact integer 1e6 * dropped / docs — the
     monitoring twin of :func:`semdedup_keep` (labels stand in for the
     per-source feed monitor on the embeddings table)."""
+    # ONE cells build shared by the census and the drop relation (the
+    # keep-list variant would rebuild the assignment a second time)
     cells = _with_cells(_vectors(emb))
-    kept = semdedup_keep(emb, tau).select("vec_id")
+    wn = _with_norm(cells)
+    a = wn.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("norm").alias("na"), "cell",
+    )
+    b = wn.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("norm").alias("nb"), F.col("cell").alias("cell_b"),
+    )
+    dropped_ids = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .where(
+            _round6(
+                _dot_udf(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+            )
+            >= tau
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
     per = cells.groupBy("label").agg(F.count(F.lit(1)).alias("n_docs"))
     dropped = (
-        cells.join(kept, "vec_id", "left_anti")
+        cells.join(dropped_ids, "vec_id")
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_dropped"))
     )
