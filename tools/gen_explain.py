@@ -233,6 +233,26 @@ SHOW_STAGED = {
         "window — the nation key partitions every stage, so no "
         "two-level rank machinery and no one-task window appears."
     ),
+    "ann_ivfpq16_rerank_topk": (
+        "The complete serving stack compiles to ZERO shuffles: probe-"
+        "cell filter pushed into the code scan, the 64-row ADC "
+        "shortlist broadcasts into the exact-L2 rerank, top-k via "
+        "TakeOrderedAndProject — cell-prune x 16-byte ADC x bounded "
+        "key-fetch, exactly the faiss IndexIVFPQ+refine cost model."
+    ),
+    "semdedup_keep": (
+        "Semantic dedup: the pair relation rides a cell EQUI-join "
+        "(sum |cell|^2 work, never corpus^2), the drop rule is a "
+        "min-id predicate needing no iteration, and the keep list is "
+        "one broadcast anti-join."
+    ),
+    "dsir_importance_weights": (
+        "DSIR scoring: one tokenize+hash explode lands in a per-(doc, "
+        "bucket) count (checkpointed — it feeds both consumers), the "
+        "1024-row log-ratio model broadcasts back onto it, and the "
+        "per-doc ordered fold is the only other exchange; feature "
+        "strings never shuffle."
+    ),
 }
 
 
