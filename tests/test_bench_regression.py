@@ -83,6 +83,7 @@ def test_bench_no_structural_regressions():
 
     nq = run_bench({"SPARK_GRAFT_BENCH_RUNS": "1"})
 
+    iso: dict[str, float] = {}
     bad = regressions(old, nq)
     if bad:
         # isolated min-of-3 re-measure of ONLY the flagged queries —
@@ -100,10 +101,19 @@ def test_bench_no_structural_regressions():
     assert not bad, "structural bench regressions vs BENCH_LOCAL.json: " + (
         ", ".join(f"{n}: {a:.2f}s -> {b:.2f}s" for n, a, b in bad)
     )
+    # diffuse backstop: catches an across-the-board slowdown no single
+    # query trips (e.g. everything uniformly 1.9x). Substitute the
+    # isolation re-measures for the flagged queries FIRST — in a
+    # stall-heavy window (r9: 28 flags, worst 2.9s -> 238.8s in-sweep
+    # vs 3.8s isolated) the raw single-pass total is dominated by the
+    # same environmental mass the per-query triage just cleared, and a
+    # backstop without the substitution fails on weather, not plans. A
+    # REAL diffuse regression still fails: isolation re-measures
+    # reproduce genuine slowdowns.
     shared = set(old) & set(nq)
     old_total = sum(old[n] for n in shared)
-    new_total = sum(nq[n] for n in shared)
+    new_total = sum(iso.get(n, nq[n]) for n in shared)
     assert new_total <= 2.0 * old_total + 30.0, (
         f"diffuse regression: shared-query total {old_total:.0f}s -> "
-        f"{new_total:.0f}s"
+        f"{new_total:.0f}s (after isolation substitution)"
     )
