@@ -17,8 +17,51 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
+
+
+def _summary_record(
+    timings: dict[str, float],
+    sf_dir: str,
+    *,
+    partial: bool,
+    of: int,
+    subset: bool,
+) -> dict:
+    """The bench record shape, shared by partial progress lines, the
+    SIGTERM dump, and the final full record. Summary fields FIRST and a
+    duplicate ``summary_tail`` LAST: the driver keeps only a bounded
+    TAIL of stdout, so the totals must survive even when the per-query
+    map is truncated at either end."""
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    return {
+        "metric": "total_query_time",
+        # a killed or in-flight sweep must never be mistaken for a
+        # completed full-registry record
+        **({"partial": True, "done": len(timings), "of": of}
+           if partial else {}),
+        **({"subset": True} if subset else {}),
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n": len(timings),
+        "total_s": total,
+        "max": max(timings.values()) if timings else 0.0,
+        "top10": top10,
+        "queries": timings,
+        "summary_tail": {
+            "n": len(timings),
+            "total_s": total,
+            "max": max(timings.values()) if timings else 0.0,
+            "top10": top10,
+        },
+    }
 
 
 def main() -> None:
@@ -29,16 +72,19 @@ def main() -> None:
     from retail_etl_pipeline_spark.registry import QUERIES
     from retail_etl_pipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="bench", shuffle_partitions=int(cpus))
-
-    # warm up the JVM/codegen path once (not counted)
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-
-    # min-of-3: this VM shows multi-second scheduler stalls on single
-    # runs (a sub-second TakeOrdered query occasionally reads 7s+); three
-    # runs per query bounds the noise while keeping the full sweep within
-    # the driver's budget
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # min-of-N: this VM shows multi-second scheduler stalls on single
+    # runs (a sub-second TakeOrdered query occasionally reads 7s+);
+    # repeated runs per query bound the noise. Default N: 2 when a
+    # committed BENCH_LOCAL.json baseline exists (round 9's min-of-3
+    # sweep blew the driver's timeout — rc=124, nothing recorded; with
+    # a baseline, the in-suite regression gate provides the precision
+    # backstop so the driver sweep can afford fewer runs), else 3.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    default_runs = (
+        "2" if os.path.exists(os.path.join(repo_dir, "BENCH_LOCAL.json"))
+        else "3"
+    )
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", default_runs))
     # SPARK_GRAFT_BENCH_ONLY=q1,q2 re-measures a suspect subset in
     # isolation (the stall-noise triage loop) without an ad-hoc script;
     # the driver never sets it, so the recorded runs stay full-registry.
@@ -55,7 +101,37 @@ def main() -> None:
             raise SystemExit(f"unknown bench queries: {sorted(unknown)}")
         selected = [(n, f) for n, f in selected if n in names]
     timings: dict[str, float] = {}
-    for name, fn in selected:
+
+    # survivability (r9 postmortem: the driver's `timeout` killed the
+    # min-of-3 sweep at rc=124 and the round recorded NOTHING because
+    # the one JSON line prints only at the very end): (a) SIGTERM/SIGINT
+    # dump the accumulated partial record to stdout before dying, and
+    # (b) a partial summary line prints every PARTIAL_EVERY queries —
+    # the driver keeps a bounded stdout tail, so whichever line lands
+    # last survives the kill.
+    def _dump_partial(signum, frame):
+        rec = _summary_record(
+            timings, sf_dir, partial=True, of=len(selected),
+            subset=bool(only),
+        )
+        sys.stderr.write(f"bench: killed by signal {signum}, dumping "
+                         f"partial record ({len(timings)} queries)\n")
+        print(json.dumps(rec), flush=True)
+        # skip Python/JVM teardown: the signal means the budget is gone
+        # and a clean spark.stop() can itself hang past the kill window
+        os._exit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _dump_partial)
+    signal.signal(signal.SIGINT, _dump_partial)
+    partial_every = int(os.environ.get("SPARK_GRAFT_BENCH_PARTIAL", "25"))
+
+    # session creation AFTER handler registration: a kill during JVM
+    # startup/warmup then still emits an (empty but parseable) record
+    spark = get_spark(app_name="bench", shuffle_partitions=int(cpus))
+    # warm up the JVM/codegen path once (not counted)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    for i, (name, fn) in enumerate(selected, start=1):
         best = None
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -69,40 +145,20 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+        if partial_every and i % partial_every == 0 and i < len(selected):
+            rec = _summary_record(
+                timings, sf_dir, partial=True, of=len(selected),
+                subset=bool(only),
+            )
+            print(json.dumps(rec), flush=True)
 
-    total = round(sum(timings.values()), 3)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    top10 = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
+    signal.signal(signal.SIGINT, signal.SIG_DFL)
+    record = _summary_record(
+        timings, sf_dir, partial=False, of=len(selected),
+        subset=bool(only),
     )
-    # summary fields FIRST: the driver records only a bounded tail of
-    # stdout, so totals/top-10 must survive even if the full per-query
-    # map is truncated; the complete record is also committed to
-    # BENCH_LOCAL.json in the repo
-    record = {
-        "metric": "total_query_time",
-        # subset triage lines must never be mistaken for a full-registry
-        # record in scrollback or by bench_compare.py
-        **({"subset": True} if only else {}),
-        "value": total,
-        "unit": "sec",
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "n": len(timings),
-        "total_s": total,
-        "max": max(timings.values()) if timings else 0.0,
-        "top10": top10,
-        "queries": timings,
-        # duplicated at the END of the line too: the driver's record is a
-        # bounded TAIL of stdout, so a trailing summary survives even when
-        # the full per-query map overflows the window
-        "summary_tail": {
-            "n": len(timings),
-            "total_s": total,
-            "max": max(timings.values()) if timings else 0.0,
-            "top10": top10,
-        },
-    }
-    print(json.dumps(record))
+    print(json.dumps(record), flush=True)
     if only:
         # subset runs are triage only — never overwrite the committed
         # full-registry record

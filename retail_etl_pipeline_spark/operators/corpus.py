@@ -969,6 +969,11 @@ def boilerplate_removal_stats(
         )
         .where(F.col("_last").isNotNull())
         .select("doc_id", "pos", fingerprint64(F.col("gram")).alias("sh"))
+        # consumed twice (the df aggregate AND the coverage join) — pin
+        # the explode+window+md5 result so the shingle pass runs once,
+        # the same twice-consumed-relation discipline as
+        # selection._doc_bucket_counts/_doc_token_counts
+        .localCheckpoint(eager=True)
     )
     boiler = (
         pos_sh.groupBy("sh")

@@ -51,7 +51,7 @@ DSIR_TARGET_LANG = "en"
 
 _ROUND6_SQL = "CAST(round(CAST({x} AS DECIMAL(30,12)), 6) AS DOUBLE)"
 
-#: 2^SIMHASH_BITS — fingerprint64 values are uniform on [0, 2^60)
+#: 2^(4*FP_HEX_DIGITS) — fingerprint64 values are uniform on [0, 2^60)
 _FP_SPAN = 1 << (4 * FP_HEX_DIGITS)
 
 

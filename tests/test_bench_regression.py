@@ -117,3 +117,16 @@ def test_bench_no_structural_regressions():
         f"diffuse regression: shared-query total {old_total:.0f}s -> "
         f"{new_total:.0f}s (after isolation substitution)"
     )
+    # ...but the substitution could also MASK a real slowdown that only
+    # manifests under full-sweep conditions (cross-query memory/cache
+    # contention) — clean isolated runs would launder it (r9 ADVICE).
+    # So the RAW sweep total gets its own much looser ceiling that the
+    # documented stall-noise class (a handful of multi-second
+    # inflations) cannot reach, but a uniform sweep-only 4x can.
+    raw_total = sum(nq[n] for n in shared)
+    assert raw_total <= 4.0 * old_total + 60.0, (
+        f"raw-sweep diffuse regression: shared-query total "
+        f"{old_total:.0f}s -> {raw_total:.0f}s before isolation — "
+        "a slowdown this large is not stall noise even if isolated "
+        "re-measures look clean"
+    )

@@ -780,9 +780,13 @@ def test_ivfpq16_prunes_cells_before_ranking(spark, sf_dir):
     # config or Spark-version change can't break the test without a
     # real regression
     nprobe = similarity.IVF_NPROBE
-    in_pat = (
-        r" IN(SET)?\s*\(" + r",\s*".join([r"\d+"] * nprobe) + r"\)"
-    )
+    # two renderings exist: In prints "col IN (1,2)" with parens; InSet
+    # (the In->InSet conversion kicks in past
+    # spark.sql.optimizer.inSetConversionThreshold, default 10) prints
+    # "col INSET 1,2,..." with NO parens — accept both, arity from
+    # IVF_NPROBE either way
+    _arity = r",\s*".join([r"\d+"] * nprobe)
+    in_pat = r" IN\s*\(" + _arity + r"\)|" + r" INSET\s+" + _arity
     assert re.search(in_pat, plan), (
         "probe-cell IN filter missing from the physical plan"
     )
@@ -803,9 +807,13 @@ def test_ivfpq16_rerank_full_stack_plan(spark, sf_dir):
     assert "Cartesian" not in plan
     assert "rangepartitioning" not in plan.lower()
     nprobe = similarity.IVF_NPROBE
-    in_pat = (
-        r" IN(SET)?\s*\(" + r",\s*".join([r"\d+"] * nprobe) + r"\)"
-    )
+    # two renderings exist: In prints "col IN (1,2)" with parens; InSet
+    # (the In->InSet conversion kicks in past
+    # spark.sql.optimizer.inSetConversionThreshold, default 10) prints
+    # "col INSET 1,2,..." with NO parens — accept both, arity from
+    # IVF_NPROBE either way
+    _arity = r",\s*".join([r"\d+"] * nprobe)
+    in_pat = r" IN\s*\(" + _arity + r"\)|" + r" INSET\s+" + _arity
     assert re.search(in_pat, plan), (
         "probe-cell IN filter missing from the physical plan"
     )
