@@ -415,3 +415,167 @@ SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM ranked GROUP BY 1, 2
 ORDER BY source, bucket
 """
+
+
+#: token pool for the staged-mix recipe (matches the registered
+#: source_weighted_mix_budget pool so the two mixes are comparable)
+CCNET_MIX_POOL_TOKENS = 60000
+
+
+def ccnet_staged_mix(
+    docs: DataFrame,
+    pool_tokens: int = CCNET_MIX_POOL_TOKENS,
+    keep_buckets: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """CCNet staging feeding the data mix END-TO-END (r9 VERDICT item
+    6): perplexity terciles select the head+middle band, the
+    uniform-target resampling weights are recomputed over the SURVIVORS
+    (staging changes the mix — that is the point), weights drive
+    per-source token budgets, and each source fills its budget with its
+    most fluent documents first (bucket asc, xent asc, doc_id asc) —
+    the way CCNet's quality stages feed a training-mix recipe.
+
+    Returns one row per source: (source, weight_ppm, budget_tokens,
+    n_kept, tokens_kept, n_head, n_middle). Every mix number is exact
+    integer ppm arithmetic (Spark div == DuckDB // toward zero for
+    positive values); the tercile boundary is engine-identical because
+    ranking is on (round6(xent), doc_id).
+
+    Plan: one global-rank range shuffle for the terciles, one
+    |sources|-bounded weight/budget chain broadcast back into the
+    source-partitioned running-sum window — the same one-data-shuffle
+    shape as source_weighted_mix_budget at any corpus size."""
+    from pyspark.sql.window import Window
+
+    from ..functions.ordered import ntile_from_rank, with_global_rank
+
+    xq = unigram_logprob_quality(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    order = [F.col("xent").asc(), F.col("doc_id").asc()]
+    ranked, n = with_global_rank(xq, order, rank_col="_rk")
+    staged = ranked.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "xent",
+        ntile_from_rank("_rk", n, 3).alias("bucket"),
+    ).where(F.col("bucket").isin(*keep_buckets))
+    # consumed by the weight chain AND the budget cut
+    staged = staged.localCheckpoint(eager=True)
+    per = staged.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("src_tokens")
+    )
+    tot = per.agg(
+        F.sum("src_tokens").cast("bigint").alias("tot_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    wts = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "src_tokens",
+        F.expr(
+            "((1000000 div n_sources) * 1000000)"
+            " div NULLIF((cast(src_tokens as decimal(38,0)) * 1000000)"
+            " div NULLIF(tot_tokens, 0), 0)"
+        ).alias("weight_ppm"),
+    )
+    mass = wts.select(
+        "source",
+        "weight_ppm",
+        F.expr("cast(src_tokens as decimal(38,0)) * weight_ppm").alias("m"),
+    )
+    gm = mass.agg(F.sum("m").alias("mt"))
+    budgets = mass.join(F.broadcast(gm)).select(
+        "source",
+        "weight_ppm",
+        F.expr(
+            f"CAST(({pool_tokens} * m) div NULLIF(mt, 0) AS BIGINT)"
+        ).alias("budget_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.asc("bucket"), F.asc("xent"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        staged.withColumn("cum", F.sum("n_tokens").over(w))
+        .join(F.broadcast(budgets), "source")
+        .where(F.col("cum") <= F.col("budget_tokens"))
+        .groupBy("source", "weight_ppm", "budget_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+            F.sum(F.when(F.col("bucket") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_head"),
+            F.sum(F.when(F.col("bucket") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_middle"),
+        )
+        .orderBy("source")
+    )
+
+
+CCNET_STAGED_MIX_SQL = f"""
+WITH {_UNIGRAM_XENT_SQL},
+staged AS (
+  SELECT x.doc_id, s.source, x.n_tokens,
+         {_ROUND6_SQL.format(x='raw_xent')} AS xent,
+         ntile(3) OVER (
+           ORDER BY {_ROUND6_SQL.format(x='raw_xent')}, x.doc_id
+         ) AS bucket
+  FROM xents x JOIN documents s ON x.doc_id = s.doc_id
+),
+kept AS (SELECT * FROM staged WHERE bucket IN (1, 2)),
+per AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+  FROM kept GROUP BY source
+),
+mixtot AS (
+  SELECT CAST(SUM(src_tokens) AS BIGINT) AS tot_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM per
+),
+wts AS (
+  SELECT source, src_tokens,
+         CAST(((1000000 // n_sources) * 1000000)
+              // NULLIF((CAST(src_tokens AS HUGEINT) * 1000000)
+                        // NULLIF(tot_tokens, 0), 0) AS BIGINT)
+           AS weight_ppm
+  FROM per, mixtot
+),
+mass AS (
+  SELECT source, weight_ppm,
+         CAST(src_tokens AS HUGEINT) * weight_ppm AS m
+  FROM wts
+),
+gm AS (SELECT SUM(m) AS mt FROM mass),
+budgets AS (
+  SELECT source, weight_ppm,
+         CAST(({CCNET_MIX_POOL_TOKENS} * m) // NULLIF(mt, 0) AS BIGINT)
+           AS budget_tokens
+  FROM mass, gm
+),
+ranked AS (
+  SELECT kept.*,
+         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY bucket, xent, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum
+  FROM kept
+)
+SELECT ranked.source,
+       budgets.weight_ppm,
+       budgets.budget_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+       CAST(SUM(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_head,
+       CAST(SUM(CASE WHEN bucket = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_middle
+FROM ranked
+JOIN budgets ON ranked.source = budgets.source
+WHERE cum <= budget_tokens
+GROUP BY 1, 2, 3
+ORDER BY ranked.source
+"""

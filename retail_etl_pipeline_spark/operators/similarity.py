@@ -20,11 +20,54 @@ k-means cell id; the join shape is identical.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Trained-state memo (r9 VERDICT items 1b/5): every ANN training kernel
+# ends in a bounded driver-side collect of plain Python floats (seed
+# centroids, Lloyd cents, PQ/OPQ codebooks, the query vector) that is a
+# DETERMINISTIC function of (corpus, params) — the exact-integer updates
+# exist precisely so the result is engine- and run-stable. So training
+# artifacts memoize safely per process, keyed by the canonicalized
+# logical plan of the input relation (semanticHash — identical for every
+# re-read of the same path, different for any other source/projection)
+# plus the training params. Effect: within one bench/driver process the
+# PQ/IVF family trains ONCE per (corpus, params) instead of once per
+# query invocation, which is also exactly how a real index lifecycle
+# works (faiss train -> add -> search; see build_ivfpq16_index).
+# SPARK_GRAFT_TRAIN_CACHE=0 disables (every call retrains).
+# ---------------------------------------------------------------------------
+
+_TRAINED_CACHE: dict[tuple, object] = {}
+
+
+def _corpus_key(vecs: DataFrame) -> int | None:
+    """Canonical identity of the input relation, or None when memoing
+    is disabled/unavailable (callers then retrain unconditionally)."""
+    if os.environ.get("SPARK_GRAFT_TRAIN_CACHE", "1") != "1":
+        return None
+    try:
+        return vecs._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # pragma: no cover - py4j surface change
+        return None
+
+
+def _memo_trained(kind: str, vecs: DataFrame, params: tuple, build):
+    """Memoize ``build()`` (a driver-side dict/list of plain floats)
+    under (kind, corpus plan hash, params)."""
+    ck = _corpus_key(vecs)
+    if ck is None:
+        return build()
+    key = (kind, ck, params)
+    if key not in _TRAINED_CACHE:
+        _TRAINED_CACHE[key] = build()
+    return _TRAINED_CACHE[key]
 
 #: number of random-hyperplane bits for the LSH bucket id
 LSH_PLANES = 4
@@ -610,15 +653,23 @@ WHERE {_ROUND6_SQL.format(x=_COS_SQL.format(a='a.v', b='b.v'))}
 CENTROID_IDS = tuple(range(1, 9))
 
 
-def _seed_centroids(vecs: DataFrame) -> dict[int, list[float]]:
-    """The deterministic seed centroids: bounded collect of the
-    CENTROID_IDS corpus vectors (8 rows, a plan constant)."""
-    cent_rows = (
-        vecs.where(F.col("vec_id").isin(*CENTROID_IDS))
-        .select("vec_id", "v")
-        .collect()
-    )
-    return {r["vec_id"]: list(r["v"]) for r in cent_rows}
+def _seed_centroids(
+    vecs: DataFrame, ids: tuple[int, ...] = CENTROID_IDS
+) -> dict[int, list[float]]:
+    """The deterministic seed centroids: bounded collect of the ``ids``
+    corpus vectors (|ids| rows, a plan constant — CENTROID_IDS unless a
+    caller sizes the cell count to its corpus, see
+    :func:`semdedup_cell_count`). Memoized per (corpus, ids)."""
+
+    def build() -> dict[int, list[float]]:
+        cent_rows = (
+            vecs.where(F.col("vec_id").isin(*ids))
+            .select("vec_id", "v")
+            .collect()
+        )
+        return {r["vec_id"]: list(r["v"]) for r in cent_rows}
+
+    return _memo_trained("seed_centroids", vecs, (ids,), build)
 
 
 def _with_cells(
@@ -734,6 +785,26 @@ def _seq_dot(a: list, b: list) -> float:
     return s
 
 
+def _probe_cells(
+    qv: list[float], cents: dict[int, list[float]], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` nearest centroid cell ids by cosine to the query
+    (ties -> lowest cid) — the bounded driver-side probe-list step
+    shared by every IVF variant. Uses the sequential-fold dot so the
+    ranking agrees bit-for-bit with the oracle's relational form."""
+    import math
+
+    qnorm = math.sqrt(_seq_dot(qv, qv))
+    ranked = sorted(
+        (
+            -(_seq_dot(qv, cv) / qnorm / math.sqrt(_seq_dot(cv, cv))),
+            cid,
+        )
+        for cid, cv in cents.items()
+    )
+    return [cid for _, cid in ranked[:nprobe]]
+
+
 def ann_ivf_topk_multiprobe(
     emb: DataFrame,
     query_id: int = 0,
@@ -753,32 +824,10 @@ def ann_ivf_topk_multiprobe(
     cosine the relational cell assignment uses, then inlined as an IN
     filter: the corpus-side plan stays a partition-prunable filter +
     one scan of the probed cells, no joins added."""
-    import math
-
     vecs = _vectors(emb)
     cells = _with_cells(vecs)
-    cent_rows = (
-        vecs.where(F.col("vec_id").isin(*CENTROID_IDS))
-        .select("vec_id", "v")
-        .collect()
-    )
-    qrow = vecs.where(F.col("vec_id") == query_id).select("v").first()
-    qv_list = [float(x) for x in qrow["v"]]
-    qnorm = math.sqrt(_seq_dot(qv_list, qv_list))
-    ranked = sorted(
-        (
-            (
-                -(
-                    _seq_dot(qv_list, list(r["v"]))
-                    / qnorm
-                    / math.sqrt(_seq_dot(list(r["v"]), list(r["v"])))
-                ),
-                int(r["vec_id"]),
-            )
-            for r in cent_rows
-        )
-    )
-    probe_cells = [cid for _, cid in ranked[:nprobe]]
+    qv_list = _query_vec(vecs, query_id)
+    probe_cells = _probe_cells(qv_list, _seed_centroids(vecs), nprobe)
     qv = F.array(*[F.lit(x) for x in qv_list])
     return (
         cells.where(
@@ -997,7 +1046,18 @@ def _lloyd_refined_cells(
     that lost every member keeps its previous centroid (possible only
     under duplicate seed vectors; the fallback keeps both engines
     aligned). The exact-integer mean (nano-unit components, truncating
-    div) makes every iteration engine-stable — see the section header."""
+    div) makes every iteration engine-stable — see the section header.
+
+    The trained cents memoize per (corpus, iters) (``_memo_trained``):
+    within one process the Lloyd loop runs once per corpus/params and
+    every later call rebuilds only the assignment projection."""
+    cents = _memo_trained(
+        "lloyd_cents", vecs, (iters,), lambda: _lloyd_cents_impl(vecs, iters)
+    )
+    return _with_cells(vecs, cents=cents), cents
+
+
+def _lloyd_cents_impl(vecs: DataFrame, iters: int) -> dict:
     cents = _seed_centroids(vecs)
     nano = F.expr(
         f"CAST(round(CAST(comp AS DECIMAL(30,15)) * {_NANO}, 0) AS BIGINT)"
@@ -1030,7 +1090,7 @@ def _lloyd_refined_cells(
             else:
                 refined[cid] = [got[d] / _NANO for d in range(len(prev))]
         cents = refined
-    return _with_cells(vecs, cents=cents), cents
+    return cents
 
 
 def ann_ivf_topk_lloyd(
@@ -1081,27 +1141,10 @@ def ann_ivf_topk_lloyd_multiprobe(
     twin's relational ranking evaluates — the refined components are
     exact nano-unit quotients, identical doubles on both engines, so
     the probe-cell list agrees bit-for-bit."""
-    import math
-
     vecs = _vectors(emb)
     cells, cents = _lloyd_refined_cells(vecs, iters=iters)
-    qrow = vecs.where(F.col("vec_id") == query_id).select("v").first()
-    qv_list = [float(x) for x in qrow["v"]]
-    qnorm = math.sqrt(_seq_dot(qv_list, qv_list))
-    ranked = sorted(
-        (
-            (
-                -(
-                    _seq_dot(qv_list, cv)
-                    / qnorm
-                    / math.sqrt(_seq_dot(cv, cv))
-                ),
-                cid,
-            )
-            for cid, cv in cents.items()
-        )
-    )
-    probe_cells = [cid for _, cid in ranked[:nprobe]]
+    qv_list = _query_vec(vecs, query_id)
+    probe_cells = _probe_cells(qv_list, cents, nprobe)
     qv = F.array(*[F.lit(x) for x in qv_list])
     return (
         cells.where(
@@ -1309,6 +1352,19 @@ def _sub_code_idx(s: int, books: dict) -> Column:
 
 
 def _pq_lloyd_codebooks(
+    vecs: DataFrame, iters: int = 1
+) -> dict[int, dict[int, list[float]]]:
+    """Memoized front of :func:`_pq_lloyd_codebooks_impl` (same
+    contract as the other trained-state memos)."""
+    return _memo_trained(
+        "pq_lloyd_codebooks",
+        vecs,
+        (iters,),
+        lambda: _pq_lloyd_codebooks_impl(vecs, iters),
+    )
+
+
+def _pq_lloyd_codebooks_impl(
     vecs: DataFrame, iters: int = 1
 ) -> dict[int, dict[int, list[float]]]:
     """``iters`` exact-decimal Lloyd iterations over the PQ
@@ -1541,26 +1597,10 @@ def ann_ivfpq_topk(
     packed CODES (one bigint/vector) against a 64-entry LUT of plan
     constants. Raw vectors are touched only to assign cells/codes (one
     projection pass each at ingest) and for the single query row."""
-    import math
-
     vecs = _vectors(emb)
     cells, cents = _lloyd_refined_cells(vecs, iters=iters)
     qv = _query_vec(vecs, query_id)
-    qnorm = math.sqrt(_seq_dot(qv, qv))
-    ranked = sorted(
-        (
-            (
-                -(
-                    _seq_dot(qv, cv)
-                    / qnorm
-                    / math.sqrt(_seq_dot(cv, cv))
-                ),
-                cid,
-            )
-            for cid, cv in cents.items()
-        )
-    )
-    probe_cells = [cid for _, cid in ranked[:nprobe]]
+    probe_cells = _probe_cells(qv, cents, nprobe)
     books = _pq_codebooks(vecs)
     lut = _pq_query_lut(qv, books, PQ_M, PQ_DIMS)
     codes = embedding_pq_codes(emb)
@@ -1809,17 +1849,37 @@ def _pq8_books(
     """books[s][j] = seed vector (j+1)'s dims [s*d, (s+1)*d) — bounded
     collect of 256 rows (the untrained codebook, a plan constant like
     the 8-row CENTROID_IDS collect). ``m`` subspaces of ``d`` dims
-    (m*d = 64): (8, 8) is the PQ8 layout, (16, 4) the PQ16 one."""
-    rows = (
-        vecs.where(F.col("vec_id").between(PQ8_SEED_LO, PQ8_SEED_HI))
-        .select("vec_id", "v")
-        .collect()
-    )
-    full = {r["vec_id"] - PQ8_SEED_LO: [float(x) for x in r["v"]] for r in rows}
-    return {
-        s: {j: v[s * d : (s + 1) * d] for j, v in full.items()}
-        for s in range(m)
-    }
+    (m*d = 64): (8, 8) is the PQ8 layout, (16, 4) the PQ16 one.
+    Memoized per (corpus, m, d)."""
+
+    def build() -> dict[int, dict[int, list[float]]]:
+        rows = (
+            vecs.where(F.col("vec_id").between(PQ8_SEED_LO, PQ8_SEED_HI))
+            .select("vec_id", "v")
+            .collect()
+        )
+        full = {
+            r["vec_id"] - PQ8_SEED_LO: [float(x) for x in r["v"]]
+            for r in rows
+        }
+        want = PQ8_SEED_HI - PQ8_SEED_LO + 1
+        if len(full) != want:
+            # loud contract failure instead of a downstream KeyError:
+            # the deterministic seeding needs every id in the seed band
+            # present (real corpora are >> 256 rows; a slice that cuts
+            # into the band cannot train a full 256-entry codebook)
+            raise ValueError(
+                f"PQ seed band incomplete: corpus has {len(full)} of the"
+                f" {want} seed vectors (vec_id {PQ8_SEED_LO}..{PQ8_SEED_HI})"
+                " — PQ codebooks need the full band; train on the"
+                " unfiltered corpus or re-seed"
+            )
+        return {
+            s: {j: v[s * d : (s + 1) * d] for j, v in full.items()}
+            for s in range(m)
+        }
+
+    return _memo_trained("pq8_books", vecs, (m, d), build)
 
 
 def _pq8_sliced(
@@ -1864,9 +1924,15 @@ def _dbl_arr_lit(values: list[float]) -> Column:
 def _query_vec(vecs: DataFrame, query_id: int) -> list[float]:
     """Driver-side fetch of the one query row's raw vector (bounded
     single-row first(); the per-query artifact every ADC/rerank
-    variant folds into plan constants)."""
-    qrow = vecs.where(F.col("vec_id") == query_id).select("v").first()
-    return [float(x) for x in qrow["v"]]
+    variant folds into plan constants). Memoized per (corpus, id)."""
+
+    def build() -> list[float]:
+        qrow = (
+            vecs.where(F.col("vec_id") == query_id).select("v").first()
+        )
+        return [float(x) for x in qrow["v"]]
+
+    return _memo_trained("query_vec", vecs, (query_id,), build)
 
 
 def _pq_query_lut(
@@ -1985,6 +2051,20 @@ def _pq8_pack(sliced: DataFrame, books: dict) -> DataFrame:
 
 
 def _pq8_lloyd_books(
+    vecs: DataFrame, iters: int = 1, m: int = PQ_M, d: int = PQ_DIMS
+) -> dict[int, dict[int, list[float]]]:
+    """Memoized front of :func:`_pq8_lloyd_books_impl` — the trained
+    books are a deterministic function of (corpus, iters, m, d), so the
+    Lloyd passes run once per process per corpus/params."""
+    return _memo_trained(
+        "pq8_lloyd_books",
+        vecs,
+        (iters, m, d),
+        lambda: _pq8_lloyd_books_impl(vecs, iters, m, d),
+    )
+
+
+def _pq8_lloyd_books_impl(
     vecs: DataFrame, iters: int = 1, m: int = PQ_M, d: int = PQ_DIMS
 ) -> dict[int, dict[int, list[float]]]:
     """Exact-decimal Lloyd training of the 256-entry sub-codebooks —
@@ -2390,7 +2470,14 @@ def _opq_perm(
     sums on the Spark side, HUGEINT on the oracle's, both overflow-free
     and bit-identical) and snake-dealt across the ``m`` subspaces: rank
     r lands in subspace (m-1 - r%m if (r//m) odd else r%m), slot r//m.
-    One bounded aggregate; the collect is exactly |dims| = 64 rows."""
+    One bounded aggregate; the collect is exactly |dims| = 64 rows.
+    Memoized per (corpus, m, d)."""
+    return _memo_trained(
+        "opq_perm", vecs, (m, d), lambda: _opq_perm_impl(vecs, m, d)
+    )
+
+
+def _opq_perm_impl(vecs: DataFrame, m: int, d: int) -> list[int]:
     nano = F.expr(
         f"CAST(round(CAST(comp AS DECIMAL(30,15)) * {_NANO}, 0) AS BIGINT)"
     )
@@ -2635,26 +2722,10 @@ def ann_ivfpq16_topk(
     states are the exact-decimal deterministic kernels the standalone
     variants prove (`_lloyd_refined_cells`, `_pq8_lloyd_books`), so the
     composition stays engine-stable end to end."""
-    import math
-
     vecs = _vectors(emb)
     cells, cents = _lloyd_refined_cells(vecs, iters=iters)
     qv = _query_vec(vecs, query_id)
-    qnorm = math.sqrt(_seq_dot(qv, qv))
-    ranked = sorted(
-        (
-            (
-                -(
-                    _seq_dot(qv, cv)
-                    / qnorm
-                    / math.sqrt(_seq_dot(cv, cv))
-                ),
-                cid,
-            )
-            for cid, cv in cents.items()
-        )
-    )
-    probe_cells = [cid for _, cid in ranked[:nprobe]]
+    probe_cells = _probe_cells(qv, cents, nprobe)
     books = _pq8_family_books(vecs, train_iters, PQ16_M, PQ16_DIMS)
     lut = _pq_query_lut(qv, books, PQ16_M, PQ16_DIMS)
     codes = _pq16_pack(_pq8_sliced(vecs, m=PQ16_M, d=PQ16_DIMS), books)
@@ -2768,26 +2839,10 @@ def ann_ivfpq16_rerank_topk(
     rows' raw vectors. Composes the three individually-proven kernels
     (`_lloyd_refined_cells`, `_pq8_lloyd_books`, the sequential-fold
     dot) without new state."""
-    import math
-
     vecs = _vectors(emb)
     cells, cents = _lloyd_refined_cells(vecs, iters=iters)
     qv = _query_vec(vecs, query_id)
-    qnorm = math.sqrt(_seq_dot(qv, qv))
-    ranked = sorted(
-        (
-            (
-                -(
-                    _seq_dot(qv, cv)
-                    / qnorm
-                    / math.sqrt(_seq_dot(cv, cv))
-                ),
-                cid,
-            )
-            for cid, cv in cents.items()
-        )
-    )
-    probe_cells = [cid for _, cid in ranked[:nprobe]]
+    probe_cells = _probe_cells(qv, cents, nprobe)
     books = _pq8_family_books(vecs, train_iters, PQ16_M, PQ16_DIMS)
     lut = _pq_query_lut(qv, books, PQ16_M, PQ16_DIMS)
     codes = _pq16_pack(_pq8_sliced(vecs, m=PQ16_M, d=PQ16_DIMS), books)
@@ -2906,15 +2961,53 @@ LIMIT {k}
 # ---------------------------------------------------------------------------
 
 
+#: SemDeDup cell sizing: the paper's regime holds the EXPECTED CELL
+#: POPULATION constant as the corpus grows (Abbas et al. 2023 use tens
+#: of thousands of clusters for hundreds of millions of embeddings), so
+#: per-cell pair work (sum |cell|^2) stays bounded. k must scale as
+#: n/target_cell_size — a FIXED k at a growing n makes the self-join
+#: quadratic again.
+SEMDEDUP_TARGET_CELL_SIZE = 64
+
+
+def semdedup_cell_count(
+    n_rows: int, target_cell_size: int = SEMDEDUP_TARGET_CELL_SIZE
+) -> int:
+    """k ~= ceil(n / target_cell_size), floored at 2: the cell count
+    that keeps expected per-cell pair work at ~target_cell_size^2/2
+    regardless of corpus size. The fixture default (500 rows, target
+    64) lands on the historical k=8."""
+    return max(2, -(-n_rows // target_cell_size))
+
+
+def _semdedup_cells(emb: DataFrame, k: int | None) -> DataFrame:
+    """Cell assignment for the SemDeDup family: the default
+    CENTROID_IDS seeds (k=None -> 8 cells, the fixture regime) or the
+    first ``k`` vec_ids as seeds. The assignment stays a pure
+    projection; only the number of folded centroid literals grows."""
+    vecs = _vectors(emb)
+    if k is None:
+        return _with_cells(vecs)
+    return _with_cells(
+        vecs, cents=_seed_centroids(vecs, ids=tuple(range(1, k + 1)))
+    )
+
+
 def semdedup_keep(
-    emb: DataFrame, tau: float = COSINE_NEARDUP_THRESHOLD
+    emb: DataFrame,
+    tau: float = COSINE_NEARDUP_THRESHOLD,
+    k: int | None = None,
 ) -> DataFrame:
     """Kept rows (vec_id, label, cell) after semantic dedup: a row is
     DROPPED iff some lower-id row in the SAME centroid cell has
     round6(cosine) >= ``tau`` (SemDeDup's within-cluster ε-rule with
     the deterministic keep-lowest-id tiebreak). Rounding before the
-    threshold keeps the boundary pair set engine-identical."""
-    cells = _with_cells(_vectors(emb))
+    threshold keeps the boundary pair set engine-identical.
+
+    ``k`` sizes the cell count (None -> the 8-cell fixture default);
+    production sizing is :func:`semdedup_cell_count` — k grows with
+    the corpus so per-cell pair volume stays bounded."""
+    cells = _semdedup_cells(emb, k)
     wn = _with_norm(cells)
     a = wn.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
@@ -2945,11 +3038,13 @@ def semdedup_keep(
     )
 
 
-def _seed_cells_ctes() -> str:
+def _seed_cells_ctes(k: int | None = None) -> str:
     """The e/cents/scored/cells CTE chain assigning every vector to its
     max-cosine seed-centroid cell (ties -> lowest cid), shared by the
-    SemDeDup oracles; mirrors ann_ivf_topk_sql's assignment exactly."""
-    cid_list = ", ".join(str(c) for c in CENTROID_IDS)
+    SemDeDup oracles; mirrors ann_ivf_topk_sql's assignment exactly.
+    ``k`` sizes the seed set like :func:`_semdedup_cells`."""
+    ids = CENTROID_IDS if k is None else tuple(range(1, k + 1))
+    cid_list = ", ".join(str(c) for c in ids)
     return f"""e AS (
   SELECT vec_id, label, {_VEC_SQL.format(e='embedding')} AS v FROM embeddings
 ),
@@ -2972,9 +3067,11 @@ cells AS (
 )"""
 
 
-def semdedup_keep_sql(tau: float = COSINE_NEARDUP_THRESHOLD) -> str:
+def semdedup_keep_sql(
+    tau: float = COSINE_NEARDUP_THRESHOLD, k: int | None = None
+) -> str:
     return f"""
-WITH {_seed_cells_ctes()},
+WITH {_seed_cells_ctes(k)},
 dropped AS (
   SELECT DISTINCT b.vec_id
   FROM cells a
@@ -2988,7 +3085,9 @@ WHERE d.vec_id IS NULL
 
 
 def semdedup_rate_by_label(
-    emb: DataFrame, tau: float = COSINE_NEARDUP_THRESHOLD
+    emb: DataFrame,
+    tau: float = COSINE_NEARDUP_THRESHOLD,
+    k: int | None = None,
 ) -> DataFrame:
     """Per-label semantic-dedup health: (label, n_docs, n_dropped,
     drop_ppm) with drop_ppm = exact integer 1e6 * dropped / docs — the
@@ -2996,7 +3095,7 @@ def semdedup_rate_by_label(
     per-source feed monitor on the embeddings table)."""
     # ONE cells build shared by the census and the drop relation (the
     # keep-list variant would rebuild the assignment a second time)
-    cells = _with_cells(_vectors(emb))
+    cells = _semdedup_cells(emb, k)
     wn = _with_norm(cells)
     a = wn.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
@@ -3046,10 +3145,10 @@ def semdedup_rate_by_label(
 
 
 def semdedup_rate_by_label_sql(
-    tau: float = COSINE_NEARDUP_THRESHOLD,
+    tau: float = COSINE_NEARDUP_THRESHOLD, k: int | None = None
 ) -> str:
     return f"""
-WITH {_seed_cells_ctes()},
+WITH {_seed_cells_ctes(k)},
 dropped AS (
   SELECT DISTINCT b.vec_id
   FROM cells a
@@ -3063,4 +3162,212 @@ SELECT c.label,
 FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
 GROUP BY c.label
 ORDER BY c.label
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ16 index LIFECYCLE (r9 VERDICT item 5): the faiss train->add->
+# search split made explicit. build_ivfpq16_index trains the coarse
+# quantizer + PQ codebooks ONCE and materializes the serving table
+# (vec_id, label, cell, pq_lo, pq_hi) — 16 bytes of codes + a cell id
+# per vector. The ann_ivfpq16_serve_* functions then run the pure
+# serving plan against it: a cell-membership filter + ADC scan +
+# TakeOrdered, ZERO training jobs and ZERO joins for the ADC stage
+# (the cells x codes join of the one-shot ann_ivfpq16_topk happened
+# once at build). At 100 TB the serving table is a parquet table
+# partitioned by cell (write_ivfpq16_index) so the probe filter is
+# partition PRUNING — per query: (nprobe/|cells|) x 16 bytes/vector
+# scanned, |shortlist| raw-vector key-fetches for the rerank.
+# ---------------------------------------------------------------------------
+
+
+class IvfPq16Index:
+    """Trained IVF-PQ16 artifacts: the serving-table relation plus the
+    driver-side trained state (centroids for probe ranking, codebooks
+    for the query LUT). Construct via :func:`build_ivfpq16_index`."""
+
+    def __init__(
+        self,
+        coded: DataFrame,
+        vecs: DataFrame,
+        cents: dict[int, list[float]],
+        books: dict[int, dict[int, list[float]]],
+    ) -> None:
+        self.coded = coded  # vec_id, label, cell, pq_lo, pq_hi
+        self.vecs = vecs  # raw vectors (rerank fetch / query lookup)
+        self.cents = cents
+        self.books = books
+
+
+def build_ivfpq16_index(
+    emb: DataFrame, iters: int = 1, train_iters: int = 1
+) -> IvfPq16Index:
+    """TRAIN + ADD: Lloyd-refine the coarse cells, train the PQ16
+    codebooks (both memoized exact-decimal kernels), assign + pack
+    every vector, and pin the serving table with an eager
+    localCheckpoint so no later query re-runs assignment/packing.
+    In a persisted deployment, follow with :func:`write_ivfpq16_index`."""
+    vecs = _vectors(emb)
+    cells, cents = _lloyd_refined_cells(vecs, iters=iters)
+    books = _pq8_family_books(vecs, train_iters, PQ16_M, PQ16_DIMS)
+    codes = _pq16_pack(_pq8_sliced(vecs, m=PQ16_M, d=PQ16_DIMS), books)
+    coded = (
+        cells.select("vec_id", "cell")
+        .join(codes, "vec_id")
+        .select("vec_id", "label", "cell", "pq_lo", "pq_hi")
+        # the ADD step: materialize once; survives catalog.clearCache()
+        # (block-manager RDD blocks, not SQL cache)
+        .localCheckpoint(eager=True)
+    )
+    return IvfPq16Index(coded=coded, vecs=vecs, cents=cents, books=books)
+
+
+#: built indexes per (session, corpus, params) — a checkpointed relation
+#: is session-bound, so the session id is part of the key (unlike the
+#: session-agnostic float dicts in _TRAINED_CACHE)
+_INDEX_CACHE: dict[tuple, IvfPq16Index] = {}
+
+
+def ivfpq16_index_for(
+    emb: DataFrame, iters: int = 1, train_iters: int = 1
+) -> IvfPq16Index:
+    """Memoized :func:`build_ivfpq16_index` — one build per (session,
+    corpus, params) per process; every serve call after the first runs
+    the pure serving plan. SPARK_GRAFT_TRAIN_CACHE=0 disables."""
+    ck = _corpus_key(emb)
+    if ck is None:
+        return build_ivfpq16_index(emb, iters=iters, train_iters=train_iters)
+    key = (
+        emb.sparkSession.sparkContext.applicationId,
+        ck,
+        iters,
+        train_iters,
+    )
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_ivfpq16_index(
+            emb, iters=iters, train_iters=train_iters
+        )
+    return _INDEX_CACHE[key]
+
+
+def ann_ivfpq16_serve_topk(
+    index: IvfPq16Index,
+    query_id: int = 0,
+    k: int = TOP_K,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """SEARCH against a built index: probe-cell filter + 16-byte ADC +
+    TakeOrdered over the serving table — no join, no training job.
+    Result-identical to :func:`ann_ivfpq16_topk` (same trained state,
+    same ranking); only the lifecycle differs."""
+    qv = _query_vec(index.vecs, query_id)
+    probe = _probe_cells(qv, index.cents, nprobe)
+    lut = _pq_query_lut(qv, index.books, PQ16_M, PQ16_DIMS)
+    adc = _adc_expr(lut, PQ16_M)
+    return (
+        index.coded.where(
+            (F.col("vec_id") != query_id) & (F.col("cell").isin(*probe))
+        )
+        .select("vec_id", "label", _round6(adc).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_ivfpq16_serve_rerank_topk(
+    index: IvfPq16Index,
+    query_id: int = 0,
+    k: int = TOP_K,
+    nprobe: int = IVF_NPROBE,
+    shortlist: int = 64,
+) -> DataFrame:
+    """SEARCH + refine against a built index: the ADC shortlist comes
+    off the serving table (cut on ROUND6(adc) + vec_id so both engines
+    admit the identical candidate set), then ONLY the shortlist rows'
+    raw vectors are fetched (broadcast semi-join — at scale a
+    key-lookup) for the exact-L2 final order. Result-identical to
+    :func:`ann_ivfpq16_rerank_topk`."""
+    qv = _query_vec(index.vecs, query_id)
+    probe = _probe_cells(qv, index.cents, nprobe)
+    lut = _pq_query_lut(qv, index.books, PQ16_M, PQ16_DIMS)
+    adc = _adc_expr(lut, PQ16_M)
+    short = (
+        index.coded.where(
+            (F.col("vec_id") != query_id) & (F.col("cell").isin(*probe))
+        )
+        .select("vec_id", _round6(adc).alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(shortlist)
+    )
+    qlit = F.array(*[F.lit(x) for x in qv])
+    qq = _seq_dot(qv, qv)
+    l2 = (
+        F.lit(qq)
+        - 2 * dot(qlit, F.col("v"))
+        + dot(F.col("v"), F.col("v"))
+    )
+    return (
+        index.vecs.join(F.broadcast(short.select("vec_id")), "vec_id")
+        .select("vec_id", "label", _round6(l2).alias("l2"))
+        .orderBy(F.asc("l2"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def write_ivfpq16_index(index: IvfPq16Index, path: str) -> None:
+    """Persist the serving table partitioned BY CELL — the on-disk
+    layout that turns the probe filter into partition pruning (the
+    scan reads only nprobe directories at any corpus size)."""
+    index.coded.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def read_ivfpq16_index_table(spark, path: str) -> DataFrame:
+    """Reload a persisted serving table (cell restored to BIGINT —
+    partition-column values parse as INT by default)."""
+    df = spark.read.parquet(path)
+    return df.select(
+        "vec_id", "label", F.col("cell").cast("bigint").alias("cell"),
+        "pq_lo", "pq_hi",
+    )
+
+
+def ivfpq16_index_stats(index: IvfPq16Index) -> DataFrame:
+    """Index-health census over the serving table: per cell, the
+    population and the number of DISTINCT packed codes — the two
+    numbers an ANN index monitor watches (a collapsing cell means the
+    coarse quantizer stopped discriminating; collapsing code diversity
+    means the PQ codebooks no longer spread the cell's residuals).
+    One groupBy over the 17-byte serving rows; |cells| output rows."""
+    return (
+        index.coded.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.count_distinct(F.struct("pq_lo", "pq_hi"))
+            .cast("bigint")
+            .alias("n_codes"),
+        )
+        .orderBy("cell")
+    )
+
+
+def ivfpq16_index_stats_sql(
+    iters: int = 1, train_iters: int = 1
+) -> str:
+    """Oracle twin: the lloyd-cells chain and the PQ16 trained-codes
+    chain composed behind one shared ``e`` (the ann_ivfpq16_topk_sql
+    composition), census over the cells x codes join."""
+    ctes = _lloyd_cells_ctes(iters)
+    pq_ctes, _fin = _pq8_ctes(
+        train_iters, m=PQ16_M, d=PQ16_DIMS, include_e=False
+    )
+    ctes.extend(pq_ctes)
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT cf.cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(COUNT(DISTINCT (c.pq_lo, c.pq_hi)) AS BIGINT) AS n_codes
+FROM cells_fin cf JOIN codes c ON cf.vec_id = c.vec_id
+GROUP BY cf.cell
+ORDER BY cf.cell
 """

@@ -261,3 +261,65 @@ def nation_revenue_brown_forsythe(
         )
     )
     return brown_forsythe(vals, "v", "g")
+
+
+@_register("ann_ivfpq16_serve_topk", sim.ann_ivfpq16_topk_sql())
+def ann_ivfpq16_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEARCH step of the explicit faiss-style index lifecycle
+    (train -> add -> search): ivfpq16_index_for builds the serving
+    table (vec_id, cell, 16-byte PQ codes) once per (session, corpus,
+    params) and pins it with a localCheckpoint; this query is then the
+    pure serving plan — probe-cell filter + ADC + TakeOrdered, zero
+    training jobs, zero joins. Result-identical to ann_ivfpq16_topk
+    (same oracle); what changed is WHEN the training cost is paid."""
+    idx = sim.ivfpq16_index_for(fx._read(spark, sf_dir, "embeddings"))
+    return sim.ann_ivfpq16_serve_topk(idx)
+
+
+@_register("ann_ivfpq16_serve_rerank_topk", sim.ann_ivfpq16_rerank_topk_sql())
+def ann_ivfpq16_serve_rerank_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEARCH + refine on the built index: ADC shortlist off the
+    serving table, exact-L2 rerank of only the 64 shortlisted raw
+    vectors (broadcast semi-join — a key-lookup at scale). The
+    production query path of the retrieval stack, with the index build
+    amortized across queries instead of retrained per call."""
+    idx = sim.ivfpq16_index_for(fx._read(spark, sf_dir, "embeddings"))
+    return sim.ann_ivfpq16_serve_rerank_topk(idx)
+
+
+@_register("semdedup_keep_k32", sim.semdedup_keep_sql(k=32))
+def semdedup_keep_k32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semdedup_keep at a PRODUCTION-SHAPED cell count: k=32 cells over
+    the 500-row fixture corpus instead of the 8-cell default —
+    exercising the paper's k ~= n/target_cell_size regime
+    (semdedup_cell_count) where k grows with the corpus so per-cell
+    pair volume stays bounded. The pair relation stays cell-bucketed
+    (plan-tested) at any k; only the folded centroid-literal count in
+    the assignment projection grows."""
+    return sim.semdedup_keep(fx._read(spark, sf_dir, "embeddings"), k=32)
+
+
+@_register("ccnet_staged_mix", sel.CCNET_STAGED_MIX_SQL)
+def ccnet_staged_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet staging feeding the data mix end-to-end: perplexity
+    terciles keep the head+middle band, uniform-target resampling
+    weights are recomputed over the survivors, weights drive per-source
+    token budgets, and each source fills its budget most-fluent-first —
+    quality-staged sampling as ONE pipeline (tercile range shuffle +
+    |sources|-bounded broadcast chain + one source-partitioned window;
+    equivalence-tested against running the stage and the mix recipe
+    separately)."""
+    return sel.ccnet_staged_mix(fx._read(spark, sf_dir, "documents"))
+
+
+@_register("ivfpq16_index_stats", sim.ivfpq16_index_stats_sql())
+def ivfpq16_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index health: per-cell population + distinct-code census
+    over the built IVF-PQ16 serving table — the monitor a retrieval
+    deployment tracks per rebuild (cell collapse = coarse quantizer
+    degenerating; code collapse = PQ codebooks no longer spreading
+    residuals). Runs off the once-built index like the serve queries."""
+    idx = sim.ivfpq16_index_for(fx._read(spark, sf_dir, "embeddings"))
+    return sim.ivfpq16_index_stats(idx)

@@ -1,0 +1,341 @@
+"""Round-10 operator tests: the trained-state memo, the IVF-PQ16
+index lifecycle (train -> add -> search), SemDeDup cell-count
+parameterization, and the CCNet staged-mix composition — each checked
+against an independent reference (the one-shot twins, a brute-force
+recompute, or composing the constituent operators separately), never
+against its own oracle SQL."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from retail_etl_pipeline_spark.operators import fixtures_adapter as fx
+from retail_etl_pipeline_spark.operators import similarity as sim
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+# ---------------------------------------------------------------------------
+# trained-state memo
+# ---------------------------------------------------------------------------
+
+
+def test_trained_memo_hits_and_is_keyed_by_corpus(spark):
+    """Two reads of the same path share one trained-books object; a
+    different corpus (or params) trains its own — the memo can never
+    serve one corpus's codebooks to another."""
+    emb1 = fx._read(spark, SF0001, "embeddings")
+    emb2 = fx._read(spark, SF0001, "embeddings")
+    v1, v2 = sim._vectors(emb1), sim._vectors(emb2)
+    b1 = sim._pq8_family_books(v1, 1, sim.PQ16_M, sim.PQ16_DIMS)
+    b2 = sim._pq8_family_books(v2, 1, sim.PQ16_M, sim.PQ16_DIMS)
+    assert b1 is b2, "same corpus+params must hit the memo"
+    # different params -> different trained object
+    b0 = sim._pq8_family_books(v1, 0, sim.PQ16_M, sim.PQ16_DIMS)
+    assert b0 is not b1
+    # a projection that changes the relation is a different corpus key
+    # (slice keeps all 256 PQ seed vectors so training stays defined)
+    half = v1.where(F.col("vec_id") < 400)
+    bh = sim._pq8_family_books(half, 1, sim.PQ16_M, sim.PQ16_DIMS)
+    assert bh is not b1
+    assert bh != b1, "half-corpus training must differ from full"
+
+
+def test_trained_memo_kill_switch(spark, monkeypatch):
+    """SPARK_GRAFT_TRAIN_CACHE=0 bypasses the memo but returns equal
+    values (training is deterministic)."""
+    emb = fx._read(spark, SF0001, "embeddings")
+    vecs = sim._vectors(emb)
+    cached = sim._seed_centroids(vecs)
+    monkeypatch.setenv("SPARK_GRAFT_TRAIN_CACHE", "0")
+    fresh = sim._seed_centroids(vecs)
+    assert fresh is not cached
+    assert fresh == cached
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ16 index lifecycle
+# ---------------------------------------------------------------------------
+
+
+def test_index_serve_matches_one_shot_queries(spark):
+    """The serve path over a built index returns row-for-row what the
+    one-shot (train-inside-the-query) twins return — the lifecycle
+    changes WHEN training happens, never the result."""
+    emb = fx._read(spark, SF0001, "embeddings")
+    idx = sim.ivfpq16_index_for(emb)
+    assert _rows(sim.ann_ivfpq16_serve_topk(idx)) == _rows(
+        sim.ann_ivfpq16_topk(emb)
+    )
+    assert _rows(sim.ann_ivfpq16_serve_rerank_topk(idx)) == _rows(
+        sim.ann_ivfpq16_rerank_topk(emb)
+    )
+
+
+def test_index_build_is_cached_and_serve_plan_is_pure(spark):
+    """ivfpq16_index_for memoizes per (session, corpus, params); the
+    ADC serve plan has no join and no global sort (the cells x codes
+    join happened once at build), and the rerank plan's only join is
+    the broadcast shortlist fetch."""
+    emb = fx._read(spark, SF0001, "embeddings")
+    idx1 = sim.ivfpq16_index_for(emb)
+    idx2 = sim.ivfpq16_index_for(emb)
+    assert idx1 is idx2
+    plan = (
+        sim.ann_ivfpq16_serve_topk(idx1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    rplan = (
+        sim.ann_ivfpq16_serve_rerank_topk(idx1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert rplan.count("Join") == 1
+    assert "Broadcast" in rplan
+    assert "TakeOrderedAndProject" in rplan
+
+
+def test_index_write_read_roundtrip_partition_pruning(spark, tmp_path):
+    """write_ivfpq16_index persists the serving table partitioned by
+    cell; reloading and filtering on probe cells turns the filter into
+    PartitionFilters (directory pruning — the 100 TB serving shape),
+    and the reloaded table serves identical ADC results."""
+    emb = fx._read(spark, SF0001, "embeddings")
+    idx = sim.ivfpq16_index_for(emb)
+    path = str(tmp_path / "ivfpq16_index")
+    sim.write_ivfpq16_index(idx, path)
+    reloaded = sim.read_ivfpq16_index_table(spark, path)
+    assert set(reloaded.columns) == {
+        "vec_id", "label", "cell", "pq_lo", "pq_hi",
+    }
+    assert reloaded.count() == idx.coded.count()
+    qv = sim._query_vec(idx.vecs, 0)
+    probe = sim._probe_cells(qv, idx.cents, sim.IVF_NPROBE)
+    pruned = reloaded.where(F.col("cell").isin(*probe))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the cell predicate must be a partition filter, not a data filter
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in seg
+    # served results off the reloaded table == in-session index
+    disk_idx = sim.IvfPq16Index(
+        coded=reloaded, vecs=idx.vecs, cents=idx.cents, books=idx.books
+    )
+    assert _rows(sim.ann_ivfpq16_serve_topk(disk_idx)) == _rows(
+        sim.ann_ivfpq16_serve_topk(idx)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup cell-count parameterization
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_cell_count_rule():
+    """k ~= ceil(n/target), floored at 2 — the paper's constant-
+    expected-cell-population regime: 10x the corpus -> 10x the cells."""
+    assert sim.semdedup_cell_count(500) == 8  # the fixture default
+    assert sim.semdedup_cell_count(5_000) == 79
+    assert sim.semdedup_cell_count(5_000_000) == 78_125
+    # proportional within ceiling slack: 10x corpus -> ~10x cells
+    assert (
+        abs(
+            sim.semdedup_cell_count(5_000_000)
+            - 10 * sim.semdedup_cell_count(500_000)
+        )
+        <= 10
+    )
+    assert sim.semdedup_cell_count(1) == 2
+    assert sim.semdedup_cell_count(100, target_cell_size=10) == 10
+
+
+def test_semdedup_k32_plan_stays_cell_bucketed(spark):
+    """At k=32 (4x the default) the pair relation must still be an
+    equi-join keyed on the cell id — never a cartesian/broadcast-
+    nested-loop — and more cells must not drop MORE rows than fewer
+    cells (pairs only vanish when a cell boundary splits them)."""
+    emb = fx._read(spark, SF0001, "embeddings")
+    k32 = sim.semdedup_keep(emb, k=32)
+    plan = k32._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    n_default = sim.semdedup_keep(emb).count()
+    n_k32 = k32.count()
+    total = emb.count()
+    assert n_default <= n_k32 <= total
+    # independent brute-force check of the k=32 drop rule on a sample:
+    # every dropped row must have a lower-id epsilon-neighbor in its
+    # own cell, every kept row must not
+    cells = sim._semdedup_cells(emb, 32)
+    rows = cells.select("vec_id", "cell", "v").collect()
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    import math
+
+    def cos(a, b):
+        s = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return s / na / nb
+
+    kept_ids = {r["vec_id"] for r in k32.collect()}
+    for cell, members in by_cell.items():
+        members.sort(key=lambda r: r["vec_id"])
+        for i, r in enumerate(members):
+            has_lower_dup = any(
+                round(cos(list(q["v"]), list(r["v"])), 6)
+                >= sim.COSINE_NEARDUP_THRESHOLD
+                for q in members[:i]
+            )
+            assert (r["vec_id"] not in kept_ids) == has_lower_dup, (
+                f"vec {r['vec_id']} cell {cell}"
+            )
+
+
+# ---------------------------------------------------------------------------
+# CCNet staged mix
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_staged_mix_equals_stage_then_mix(spark):
+    """The composed pipeline == running the stage and the mix recipe
+    separately: take the head+middle band by explicit NTILE-equivalent
+    bucketing, recompute uniform-target weights/budgets over the band
+    in plain Python (exact integer arithmetic), apply the greedy
+    fluent-first cut — per-source keep counts and token totals must
+    match the one-pipeline operator."""
+    from retail_etl_pipeline_spark.operators import selection as sel
+
+    docs = fx._read(spark, SF0001, "documents")
+    got = {
+        r["source"]: (
+            r["weight_ppm"], r["budget_tokens"], r["n_kept"],
+            r["tokens_kept"], r["n_head"], r["n_middle"],
+        )
+        for r in sel.ccnet_staged_mix(docs).collect()
+    }
+
+    # independent staging: rank by (xent, doc_id), exact NTILE(3)
+    xr = [
+        (r["doc_id"], r["n_tokens"], r["xent"])
+        for r in sel.unigram_logprob_quality(docs).collect()
+    ]
+    src = {
+        r["doc_id"]: r["source"]
+        for r in docs.select("doc_id", "source").collect()
+    }
+    xr.sort(key=lambda t: (t[2], t[0]))
+    n = len(xr)
+    q, rem = divmod(n, 3)
+    sizes = [q + 1 if i < rem else q for i in range(3)]
+    band = []  # head+middle
+    pos = 0
+    for b, size in enumerate(sizes, start=1):
+        chunk = xr[pos : pos + size]
+        pos += size
+        if b <= 2:
+            band.extend((d, tk, xe, b) for d, tk, xe in chunk)
+
+    # independent mix: exact integer ppm arithmetic over the band
+    per: dict[str, int] = {}
+    for d, tk, _, _ in band:
+        per[src[d]] = per.get(src[d], 0) + tk
+    tot = sum(per.values())
+    nsrc = len(per)
+    wts = {
+        s: ((1_000_000 // nsrc) * 1_000_000)
+        // ((per[s] * 1_000_000) // tot)
+        for s in per
+    }
+    mass = {s: per[s] * wts[s] for s in per}
+    mt = sum(mass.values())
+    budgets = {
+        s: (sel.CCNET_MIX_POOL_TOKENS * mass[s]) // mt for s in per
+    }
+
+    # independent greedy cut: bucket asc, xent asc, doc_id asc
+    want: dict[str, tuple] = {}
+    by_src: dict[str, list] = {}
+    for d, tk, xe, b in band:
+        by_src.setdefault(src[d], []).append((b, xe, d, tk))
+    for s, items in by_src.items():
+        items.sort()
+        cum = kept = toks = heads = mids = 0
+        for b, xe, d, tk in items:
+            cum += tk
+            if cum > budgets[s]:
+                break
+            kept += 1
+            toks += tk
+            heads += b == 1
+            mids += b == 2
+        want[s] = (wts[s], budgets[s], kept, toks, heads, mids)
+
+    assert got == want
+
+
+def test_ccnet_staged_mix_budget_scales_with_pool(spark):
+    """Doubling the token pool must not shrink any source's budget or
+    keep count (monotonicity of the budget recipe)."""
+    from retail_etl_pipeline_spark.operators import selection as sel
+
+    docs = fx._read(spark, SF0001, "documents")
+    small = {
+        r["source"]: (r["budget_tokens"], r["n_kept"])
+        for r in sel.ccnet_staged_mix(docs, pool_tokens=30000).collect()
+    }
+    big = {
+        r["source"]: (r["budget_tokens"], r["n_kept"])
+        for r in sel.ccnet_staged_mix(docs, pool_tokens=60000).collect()
+    }
+    assert set(small) == set(big)
+    for s in small:
+        assert big[s][0] >= small[s][0]
+        assert big[s][1] >= small[s][1]
+
+
+def test_pq_seed_band_incomplete_is_loud(spark):
+    """Training PQ codebooks on a corpus that lost part of the
+    256-vector seed band raises a named contract error up front instead
+    of a downstream KeyError mid-train (the r10 DEVNOTES known edge)."""
+    emb = fx._read(spark, SF0001, "embeddings")
+    sliced = sim._vectors(emb).where(F.col("vec_id") < 100)
+    with pytest.raises(ValueError, match="PQ seed band incomplete"):
+        sim._pq8_books(sliced)
+
+
+def test_ivfpq16_index_stats_census_invariants(spark):
+    """The census must partition the corpus: per-cell populations sum
+    to |corpus|, every cell has >= 1 vector, code diversity is bounded
+    by population, and the numbers agree with counting the coded table
+    directly."""
+    emb = fx._read(spark, SF0001, "embeddings")
+    idx = sim.ivfpq16_index_for(emb)
+    stats = {
+        r["cell"]: (r["n_vectors"], r["n_codes"])
+        for r in sim.ivfpq16_index_stats(idx).collect()
+    }
+    total = emb.count()
+    assert sum(n for n, _ in stats.values()) == total
+    assert all(n >= 1 and 1 <= c <= n for n, c in stats.values())
+    direct = {
+        r["cell"]: r["cnt"]
+        for r in idx.coded.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert {c: n for c, (n, _) in stats.items()} == direct
