@@ -246,6 +246,27 @@ SHOW_STAGED = {
         "min-id predicate needing no iteration, and the keep list is "
         "one broadcast anti-join."
     ),
+    "ann_ivfpq16_serve_topk": (
+        "The SEARCH step over a BUILT index (round 10): the serving "
+        "table (cell + 16 code bytes per vector) was materialized once "
+        "by build_ivfpq16_index, so the plan is just probe-cell filter "
+        "+ ADC projection + TakeOrderedAndProject over the checkpointed "
+        "relation — ZERO joins, zero training jobs; persisted via "
+        "write_ivfpq16_index the cell filter becomes partition pruning."
+    ),
+    "ann_ivfpq16_serve_rerank_topk": (
+        "SEARCH + refine over the built index: the only join in the "
+        "plan is the 64-row broadcast shortlist fetching raw vectors "
+        "for the exact-L2 final order — the ADC stage reads the "
+        "serving table with no join at all."
+    ),
+    "ccnet_staged_mix": (
+        "Quality-staged sampling as ONE pipeline: the tercile ranking "
+        "is a range shuffle with literal offsets (no single-task "
+        "window), the weight/budget chain is |sources|-bounded and "
+        "BROADCASTS back, and the greedy cut is one source-partitioned "
+        "running-sum window — one data-sized shuffle end to end."
+    ),
     "dsir_importance_weights": (
         "DSIR scoring: one tokenize+hash explode lands in a per-(doc, "
         "bucket) count (checkpointed — it feeds both consumers), the "

@@ -94,6 +94,19 @@ QUERIES = [
     "unigram_logprob_quality",
     "nation_revenue_brown_forsythe",
     "token_zipf_fit",
+    # round-9 completion (VERDICT r9 item 4): the remaining r9
+    # registrations so every headline query has measured rows
+    "semdedup_rate_by_label",
+    "dsir_gumbel_topk",
+    "ccnet_quality_buckets",
+    "boilerplate_removal_stats",
+    # round-10: the index-lifecycle serve path (train amortized — the
+    # measured number IS the serving cost), production-k semdedup,
+    # the staged-mix composition
+    "ann_ivfpq16_serve_topk",
+    "ann_ivfpq16_serve_rerank_topk",
+    "semdedup_keep_k32",
+    "ccnet_staged_mix",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
