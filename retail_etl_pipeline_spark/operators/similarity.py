@@ -3371,3 +3371,76 @@ FROM cells_fin cf JOIN codes c ON cf.vec_id = c.vec_id
 GROUP BY cf.cell
 ORDER BY cf.cell
 """
+
+
+def ivf_cell_quality(emb: DataFrame, iters: int = 1) -> DataFrame:
+    """Coarse-quantizer quality census: per Lloyd cell, the population
+    and the mean squared L2 distance of members to their centroid (the
+    within-cell scatter faiss reports as quantizer imbalance/distortion
+    — rising mean_dist2 on a rebuild means the coarse quantizer no
+    longer fits the corpus; pairs with ivfpq16_index_stats' code
+    census).
+
+    Scale: the assignment is the usual pure projection over inlined
+    centroid literals; per-member distance is an expression; the
+    roll-up is one |cells|-row aggregate. Parity: each distance is
+    rounded onto DECIMAL(20,6) BEFORE summing (exact distributive sum,
+    order-free at any cell size), and the mean divides the exact sum
+    as a double."""
+    vecs = _vectors(emb)
+    cells, cents = _lloyd_refined_cells(vecs, iters)
+    cids = sorted(cents)
+    cent_mat = F.array(
+        *[F.array(*[F.lit(float(x)) for x in cents[c]]) for c in cids]
+    )
+    cid_arr = F.array(*[F.lit(c).cast("bigint") for c in cids])
+    cv = F.element_at(
+        cent_mat, F.array_position(cid_arr, F.col("cell")).cast("int")
+    )
+    d2 = (
+        dot(F.col("v"), F.col("v"))
+        - 2 * dot(F.col("v"), cv)
+        + dot(cv, cv)
+    )
+    d2_dec = F.round(d2.cast("decimal(20,9)"), 6).cast("decimal(20,6)")
+    return (
+        cells.select("cell", d2_dec.alias("d2"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum("d2").alias("s"),
+        )
+        .select(
+            "cell",
+            "n_vectors",
+            _round6(F.col("s").cast("double") / F.col("n_vectors")).alias(
+                "mean_dist2"
+            ),
+        )
+        .orderBy("cell")
+    )
+
+
+def ivf_cell_quality_sql(iters: int = 1) -> str:
+    """Oracle twin: the lloyd-cells chain, per-member 3-term L2^2 to
+    the assigned centroid, DECIMAL(20,6)-rounded before the sum."""
+    ctes = _lloyd_cells_ctes(iters)
+    body = ",\n".join(ctes)
+    d2 = (
+        f"{_DOT_SQL.format(a='cf.v', b='cf.v')}"
+        f" - 2 * {_DOT_SQL.format(a='cf.v', b=f'c.cv{iters}')}"
+        f" + {_DOT_SQL.format(a=f'c.cv{iters}', b=f'c.cv{iters}')}"
+    )
+    return f"""
+WITH {body},
+per AS (
+  SELECT cf.cell,
+         CAST(round(CAST({d2} AS DECIMAL(20,9)), 6) AS DECIMAL(20,6))
+           AS d2
+  FROM cells_fin cf JOIN cents{iters} c ON cf.cell = c.cid
+)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       {_ROUND6_SQL.format(x='CAST(SUM(d2) AS DOUBLE) / COUNT(*)')}
+         AS mean_dist2
+FROM per GROUP BY cell ORDER BY cell
+"""

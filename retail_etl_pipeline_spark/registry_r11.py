@@ -1,0 +1,89 @@
+"""Round-11 query surface: (query, oracle) pairs built during round 10,
+STAGED here — parity-tested at sf0.001 on every suite run
+(``tests/test_registry_r11_parity.py``) but NOT yet merged into the
+driver-facing registry. Round 10's registration budget was spent
+fronting the 41 r4-stale re-verify slots (DEVNOTES "round-10 window
+math": 5 new + 41 stale fills the ~50-slot driver window); round 11
+merges this batch the way ``registry.py``'s ``_merge_round6_surface``
+merged ``registry_next.py``.
+
+The batch: the exact-substring (aligned-span) dedup family — Lee et
+al. 2022's suffix-array dedup re-expressed as positional-shingle
+inverted index + anti-diagonal gaps-and-islands (``operators/dedup.py``)
+— and the IVF coarse-quantizer quality census that pairs with
+``ivfpq16_index_stats`` (``operators/similarity.py``).
+
+Same alignment rules as ``registry.py`` (aliases identical on both
+sides, deterministic tie-breaks, DECIMAL-hop rounding before
+order-sensitive float aggregation).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import dedup as dd
+from .operators import fixtures_adapter as fx
+from .operators import similarity as sim
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _stage(name: str, oracle: str):
+    def deco(fn: QueryFn) -> QueryFn:
+        # same loud-duplicate contract as registry_next._stage
+        if name in QUERIES:
+            raise ValueError(f"duplicate staged query name: {name}")
+        QUERIES[name] = fn
+        ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@_stage("exact_substring_pairs", dd.exact_substring_pairs_sql())
+def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup worklist (Lee et al. 2022): document pairs
+    sharing an exact run of >= MIN_SPAN_TOKENS tokens, found via the
+    positional-shingle inverted index + anti-diagonal islands — order-
+    sensitive overlap the set-based Jaccard chain cannot see. Rare-
+    shingle cap bounds the self-join the way LSH bands do."""
+    return dd.exact_substring_pairs(fx._read(spark, sf_dir, "documents"))
+
+
+@_stage("substring_dedup_keep", dd.substring_dedup_keep_sql())
+def substring_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept documents after exact-substring dedup: greedy keep-lowest-id
+    over the >= MIN_SPAN_TOKENS pairs (one broadcast anti-join, no
+    connected components) — the span-level member of the keep-rule
+    family (neardup_canonical_keep, semdedup_keep)."""
+    return dd.substring_dedup_keep(fx._read(spark, sf_dir, "documents"))
+
+
+@_stage(
+    "source_span_overlap_matrix", dd.source_span_overlap_matrix_sql()
+)
+def source_span_overlap_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-feed exact-overlap monitor: per unordered source pair, how
+    many document pairs share a >= MIN_SPAN_TOKENS exact run and the
+    longest run — catches one feed mirroring another (or eval->train
+    leakage) at the span level."""
+    return dd.source_span_overlap_matrix(
+        fx._read(spark, sf_dir, "documents")
+    )
+
+
+@_stage("ivf_cell_quality", sim.ivf_cell_quality_sql())
+def ivf_cell_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-quantizer health: per Lloyd cell, population + mean
+    squared member-to-centroid L2 (quantizer distortion) — the rebuild
+    monitor that pairs with ivfpq16_index_stats' code census. Exact
+    distributive DECIMAL sum, order-free at any cell size."""
+    return sim.ivf_cell_quality(fx._read(spark, sf_dir, "embeddings"))
