@@ -1230,7 +1230,7 @@ m AS (
   FROM pr a JOIN pr b ON a.sh = b.sh AND a.doc_id < b.doc_id
 ),
 isl AS (
-  SELECT doc_a, doc_b, diag,
+  SELECT doc_a, doc_b, diag, pa,
          pa - ROW_NUMBER() OVER (
            PARTITION BY doc_a, doc_b, diag ORDER BY pa
          ) AS grp
@@ -1297,4 +1297,125 @@ SELECT source_lo, source_hi,
        MAX(longest_span) AS max_span
 FROM hits GROUP BY 1, 2
 ORDER BY 1, 2
+"""
+
+
+def exact_span_removal_stats(
+    docs: DataFrame,
+    min_span: int = MIN_SPAN_TOKENS,
+    n: int = SHINGLE_N,
+    df_cap: int = SPAN_DF_CAP,
+) -> DataFrame:
+    """Per-document accounting for exact-substring REMOVAL (the Lee et
+    al. cut applied, not just detected): every >= ``min_span``-token
+    aligned run is removed from the HIGHER-id document of its pair
+    (keep-one-copy, the same deterministic keep-lowest rule as the
+    keep queries), and the report is (doc_id, n_tokens, n_removed,
+    kept_ratio) over ALL documents.
+
+    The covered-position explode runs only for over-threshold runs
+    (rare by construction) and dedups before counting — the same
+    bounded-explode shape as boilerplate_removal_stats, but span/pair-
+    exact instead of DF-based."""
+    from pyspark.sql import Window
+
+    from .text import token_count
+
+    ps = positional_shingles(docs, n).localCheckpoint(eager=True)
+    rare = (
+        ps.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") <= df_cap)
+        .select("sh")
+    )
+    pr = ps.join(rare, "sh")
+    a = pr.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "sh"
+    )
+    b = pr.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"),
+        F.col("sh").alias("sh_b"),
+    )
+    m = a.join(
+        b,
+        (F.col("sh") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")),
+    ).select(
+        "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = m.select(
+        "doc_a", "doc_b", "diag", "pa",
+        (F.col("pa") - F.row_number().over(w)).alias("grp"),
+    )
+    runs = (
+        isl.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            (F.count(F.lit(1)) + F.lit(n - 1)).cast("bigint").alias("span"),
+            (F.min("pa") - F.col("diag")).alias("start_b"),
+        )
+        .where(F.col("span") >= min_span)
+    )
+    covered = (
+        runs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.explode(
+                F.sequence(
+                    F.col("start_b"),
+                    F.col("start_b") + F.col("span") - 1,
+                )
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_removed"))
+    )
+    base = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return (
+        base.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias(
+                "n_removed"
+            ),
+            (
+                (
+                    F.col("n_tokens") - F.coalesce("n_removed", F.lit(0))
+                ).cast("double")
+                / F.col("n_tokens")
+            ).alias("kept_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def exact_span_removal_stats_sql(
+    min_span: int = MIN_SPAN_TOKENS,
+    n: int = SHINGLE_N,
+    df_cap: int = SPAN_DF_CAP,
+) -> str:
+    return f"""
+WITH {_span_ctes(n, df_cap)},
+long_runs AS (
+  SELECT doc_b, MIN(pa) - diag AS start_b,
+         CAST(COUNT(*) + {n - 1} AS BIGINT) AS span
+  FROM isl GROUP BY doc_a, doc_b, diag, grp
+  HAVING COUNT(*) + {n - 1} >= {min_span}
+),
+cov AS (
+  SELECT DISTINCT doc_b AS doc_id, start_b + j.j AS p
+  FROM long_runs, unnest(range(0, CAST(span AS INTEGER))) AS j(j)
+),
+rem AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed FROM cov GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(len(t) - COALESCE(n_removed, 0) AS DOUBLE) / len(t)
+         AS kept_ratio
+FROM d LEFT JOIN rem ON d.doc_id = rem.doc_id
+ORDER BY d.doc_id
 """

@@ -87,3 +87,17 @@ def ivf_cell_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     monitor that pairs with ivfpq16_index_stats' code census. Exact
     distributive DECIMAL sum, order-free at any cell size."""
     return sim.ivf_cell_quality(fx._read(spark, sf_dir, "embeddings"))
+
+
+@_stage("exact_span_removal_stats", dd.exact_span_removal_stats_sql())
+def exact_span_removal_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-substring removal APPLIED (Lee et al.'s cut, keep-one-
+    copy): every >= MIN_SPAN_TOKENS aligned run is removed from the
+    higher-id document, reported per doc as (n_tokens, n_removed,
+    kept_ratio) — the span-exact companion to the DF-based
+    boilerplate_removal_stats."""
+    return dd.exact_span_removal_stats(
+        fx._read(spark, sf_dir, "documents")
+    )

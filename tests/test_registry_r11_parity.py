@@ -142,3 +142,44 @@ def test_ivf_cell_quality_brute_force(spark, sf_dir):
         n, mean = got[cell]
         assert n == len(ds)
         assert mean == pytest.approx(sum(ds) / len(ds), abs=2e-6)
+
+
+def test_span_removal_cuts_only_higher_doc(spark):
+    """Keep-one-copy: the lower doc of a duplicated span reports zero
+    removal; the higher doc loses exactly the span's token count; a
+    disjoint doc is untouched."""
+    span = " ".join(f"s{i}" for i in range(dd.MIN_SPAN_TOKENS))
+    d0 = span + " u0 u1 u2"
+    d1 = "w0 w1 " + span + " w2"
+    d2 = " ".join(f"q{i}" for i in range(30))
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"])
+        for r in dd.exact_span_removal_stats(
+            _docs(spark, [d0, d1, d2])
+        ).collect()
+    }
+    assert out[0] == (dd.MIN_SPAN_TOKENS + 3, 0)
+    assert out[1] == (dd.MIN_SPAN_TOKENS + 3, dd.MIN_SPAN_TOKENS)
+    assert out[2] == (30, 0)
+
+
+def test_span_removal_overlapping_runs_dedup_positions(spark):
+    """Two runs against two different lower docs overlapping in the
+    same higher doc must not double-count the shared positions."""
+    left = " ".join(f"a{i}" for i in range(dd.MIN_SPAN_TOKENS))
+    right = " ".join(f"b{i}" for i in range(dd.MIN_SPAN_TOKENS))
+    mid = " ".join(f"m{i}" for i in range(4))
+    # doc2 contains left+mid+right; doc0 shares left+mid, doc1 mid+right
+    d0 = left + " " + mid + " x0 x1"
+    d1 = "y0 y1 " + mid + " " + right
+    d2 = left + " " + mid + " " + right
+    out = {
+        r["doc_id"]: r["n_removed"]
+        for r in dd.exact_span_removal_stats(
+            _docs(spark, [d0, d1, d2])
+        ).collect()
+    }
+    total = 2 * dd.MIN_SPAN_TOKENS + 4
+    assert out[0] == 0 and out[1] == 0
+    # both runs cover doc2; the 4 mid tokens overlap and count once
+    assert out[2] == total
