@@ -101,3 +101,83 @@ def exact_span_removal_stats(
     return dd.exact_span_removal_stats(
         fx._read(spark, sf_dir, "documents")
     )
+
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from .functions import stats as st  # noqa: E402
+from .operators import selection as sel  # noqa: E402
+
+
+@_stage(
+    "stratified_sample_by_source", sel.stratified_sample_by_source_sql()
+)
+def stratified_sample_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic fixed-quota-per-source downsample: smallest
+    md5-hash priority per source wins — the cap-any-one-feed sampling
+    step, replayable with no RNG state. Plan is a WindowGroupLimit
+    top-k per source, never a per-source sort."""
+    return sel.stratified_sample_by_source(
+        fx._read(spark, sf_dir, "documents")
+    )
+
+
+@_stage("bigram_logprob_quality", sel.BIGRAM_LOGPROB_QUALITY_SQL)
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet LM quality one n-gram order up: per-doc cross-entropy
+    (nats/bigram) under the corpus-trained add-1 CONDITIONAL bigram
+    model — token ORDER now matters, so common words in rare
+    arrangements score badly where the unigram signal cannot see
+    them."""
+    return sel.bigram_logprob_quality(fx._read(spark, sf_dir, "documents"))
+
+
+_CA_ORACLE = (
+    "WITH vals AS (SELECT (l_returnflag = 'R') AS flag,"
+    " CAST(year(l_shipdate) AS BIGINT) AS w FROM lineitem),"
+    + st.COCHRAN_ARMITAGE_SQL
+)
+
+
+@_stage("returns_trend_cochran_armitage", _CA_ORACLE)
+def returns_trend_cochran_armitage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ordered-alternative battery, binary-outcome member: is the
+    lineitem RETURN RATE trending across ship years? Cochran-Armitage
+    z from five exact integer sums (functions/stats.cochran_armitage)
+    — the logistic-regression-free trend test that pairs with
+    revenue_trend_jt's continuous response on the same year
+    ordering."""
+    li = fx._read(spark, sf_dir, "lineitem")
+    vals = li.select(
+        (F.col("l_returnflag") == "R").alias("flag"),
+        F.year("l_shipdate").cast("bigint").alias("w"),
+    )
+    return st.cochran_armitage(vals, "flag", "w")
+
+
+@_stage(
+    "ann_ivfpq16_residual_topk", sim.ann_ivfpq16_residual_topk_sql()
+)
+def ann_ivfpq16_residual_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """faiss IndexIVFPQ proper: PQ16 codes over RESIDUALS (v − cell
+    centroid) with per-probed-cell query LUTs — the 16 bytes/vector
+    spend their precision on within-cell structure, upgrading accuracy
+    at identical storage and scan cost to ann_ivfpq16_topk."""
+    return sim.ann_ivfpq16_residual_topk(
+        fx._read(spark, sf_dir, "embeddings")
+    )
+
+
+@_stage("ivf_recall_census", sim.ivf_recall_census_sql())
+def ivf_recall_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The offline recall harness AS A QUERY: exact-cosine truth over a
+    deterministic query sample vs the Lloyd-IVF probe at nprobe 1/2/4 —
+    (nprobe, hits, recall_ppm) in exact integer arithmetic, the
+    scheduled-job form of tools/ann_recall.py's measurement."""
+    return sim.ivf_recall_census(fx._read(spark, sf_dir, "embeddings"))
