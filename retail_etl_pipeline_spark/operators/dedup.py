@@ -1419,3 +1419,105 @@ SELECT d.doc_id,
 FROM d LEFT JOIN rem ON d.doc_id = rem.doc_id
 ORDER BY d.doc_id
 """
+
+
+def split_span_contamination(
+    docs: DataFrame,
+    min_span: int = MIN_SPAN_TOKENS,
+    n: int = SHINGLE_N,
+    df_cap: int = SPAN_DF_CAP,
+) -> DataFrame:
+    """Span-level split-leakage audit: for every CROSS-split pair of
+    the train/val/test assignment (``corpus.split_assignment``), how
+    many document pairs share an exact >= ``min_span``-token run, how
+    many distinct documents on each side are implicated, and the
+    longest run — the order-sensitive companion to the MinHash-cluster
+    split_leakage_audit: paraphrase-level leakage shows there, literal
+    copied passages show HERE even when the documents' overall shingle
+    sets are dissimilar.
+
+    Returns (split_lo, split_hi, n_pairs, n_docs_lo, n_docs_hi,
+    max_span); split names canonicalize lexicographically and the
+    implicated-doc counts follow the canonical side. Within-split pairs
+    are excluded — those are substring_dedup_keep's business, not
+    leakage. Plan: the shared aligned-span chain plus one
+    (doc -> split) projection joined twice, then a 3-row-bounded
+    aggregate."""
+    # lazy import: corpus.py imports from this module at load time
+    from .corpus import split_assignment
+
+    pairs = aligned_span_pairs(docs, n, df_cap).where(
+        F.col("longest_span") >= min_span
+    )
+    sp = docs.select("doc_id", split_assignment().alias("split"))
+    j = (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+            ),
+            "doc_b",
+        )
+        .where(F.col("sa") != F.col("sb"))
+        .select(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+            F.when(F.col("sa") <= F.col("sb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_lo"),
+            F.when(F.col("sa") <= F.col("sb"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("doc_hi"),
+            "longest_span",
+        )
+    )
+    return (
+        j.groupBy("split_lo", "split_hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("doc_lo").cast("bigint").alias("n_docs_lo"),
+            F.countDistinct("doc_hi").cast("bigint").alias("n_docs_hi"),
+            F.max("longest_span").alias("max_span"),
+        )
+        .orderBy("split_lo", "split_hi")
+    )
+
+
+def split_span_contamination_sql(
+    min_span: int = MIN_SPAN_TOKENS,
+    n: int = SHINGLE_N,
+    df_cap: int = SPAN_DF_CAP,
+) -> str:
+    from .corpus import SPLIT_CASE_SQL
+
+    return f"""
+WITH {_span_ctes(n, df_cap)},
+sp AS (
+  SELECT doc_id, {SPLIT_CASE_SQL} AS split FROM documents
+),
+hits AS (
+  SELECT LEAST(sa.split, sb.split) AS split_lo,
+         GREATEST(sa.split, sb.split) AS split_hi,
+         CASE WHEN sa.split <= sb.split THEN best.doc_a
+              ELSE best.doc_b END AS doc_lo,
+         CASE WHEN sa.split <= sb.split THEN best.doc_b
+              ELSE best.doc_a END AS doc_hi,
+         longest_span
+  FROM best
+  JOIN sp sa ON best.doc_a = sa.doc_id
+  JOIN sp sb ON best.doc_b = sb.doc_id
+  WHERE longest_span >= {min_span} AND sa.split != sb.split
+)
+SELECT split_lo, split_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT doc_lo) AS BIGINT) AS n_docs_lo,
+       CAST(COUNT(DISTINCT doc_hi) AS BIGINT) AS n_docs_hi,
+       MAX(longest_span) AS max_span
+FROM hits GROUP BY 1, 2
+ORDER BY 1, 2
+"""

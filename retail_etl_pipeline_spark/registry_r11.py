@@ -181,3 +181,19 @@ def ivf_recall_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nprobe, hits, recall_ppm) in exact integer arithmetic, the
     scheduled-job form of tools/ann_recall.py's measurement."""
     return sim.ivf_recall_census(fx._read(spark, sf_dir, "embeddings"))
+
+
+@_stage(
+    "split_span_contamination", dd.split_span_contamination_sql()
+)
+def split_span_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Span-level train/val/test leakage audit: cross-split document
+    pairs sharing an exact >= MIN_SPAN_TOKENS token run, with
+    per-side implicated-doc counts and the longest run — literal
+    copied passages across the split boundary that set-based cluster
+    auditing can miss."""
+    return dd.split_span_contamination(
+        fx._read(spark, sf_dir, "documents")
+    )

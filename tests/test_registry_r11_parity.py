@@ -183,3 +183,43 @@ def test_span_removal_overlapping_runs_dedup_positions(spark):
     assert out[0] == 0 and out[1] == 0
     # both runs cover doc2; the 4 mid tokens overlap and count once
     assert out[2] == total
+
+
+def test_split_span_contamination_planted_leak(spark):
+    """A >= MIN_SPAN_TOKENS run planted across a train doc and a test
+    doc must surface as exactly one cross-split row with the right
+    sides; a same-split duplicate pair must NOT appear (that is
+    dedup's business, not leakage)."""
+    from retail_etl_pipeline_spark.operators import corpus as cp
+
+    def split_of(doc_id: int) -> str:
+        h = (doc_id * cp.SPLIT_MIX) % cp.SPLIT_MOD
+        if h < cp.SPLIT_TRAIN_LT:
+            return "train"
+        if h < cp.SPLIT_VAL_LT:
+            return "val"
+        return "test"
+
+    train_ids = [i for i in range(200) if split_of(i) == "train"]
+    test_ids = [i for i in range(200) if split_of(i) == "test"]
+    a, a2 = train_ids[0], train_ids[1]
+    b = test_ids[0]
+    span = " ".join(f"s{i}" for i in range(dd.MIN_SPAN_TOKENS))
+    filler1 = " ".join(f"u{i}" for i in range(5))
+    filler2 = " ".join(f"w{i}" for i in range(5))
+    dup = " ".join(f"d{i}" for i in range(dd.MIN_SPAN_TOKENS))
+    rows = [
+        (a, span + " " + filler1, "src"),       # train, leaks to test
+        (b, filler2 + " " + span, "src"),       # test side of the leak
+        (a2, dup + " x0", "src"),               # train/train duplicate
+        (train_ids[2], dup + " y0", "src"),     # (excluded from output)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = dd.split_span_contamination(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["split_lo"], r["split_hi"]) == ("test", "train")
+    assert r["n_pairs"] == 1 and r["max_span"] == dd.MIN_SPAN_TOKENS
+    assert r["n_docs_lo"] == 1 and r["n_docs_hi"] == 1

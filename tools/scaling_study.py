@@ -107,6 +107,21 @@ QUERIES = [
     "ann_ivfpq16_serve_rerank_topk",
     "semdedup_keep_k32",
     "ccnet_staged_mix",
+    # round-11 staged batch (registry_r11.py): exact-substring dedup
+    # family, quantizer-health censuses, residual IVF-PQ, the recall
+    # census, bigram LM, CA trend, stratified sampling — measured ahead
+    # of registration so the r11 merge ships with scaling rows
+    "exact_substring_pairs",
+    "substring_dedup_keep",
+    "source_span_overlap_matrix",
+    "exact_span_removal_stats",
+    "ivf_cell_quality",
+    "ann_ivfpq16_residual_topk",
+    "ivf_recall_census",
+    "bigram_logprob_quality",
+    "returns_trend_cochran_armitage",
+    "stratified_sample_by_source",
+    "split_span_contamination",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -150,6 +165,9 @@ def main() -> None:
 
     from retail_etl_pipeline_spark.registry import QUERIES as REG
     from retail_etl_pipeline_spark.registry_next import QUERIES as STAGED
+    from retail_etl_pipeline_spark.registry_r11 import QUERIES as STAGED11
+
+    STAGED = {**STAGED, **STAGED11}
     from retail_etl_pipeline_spark.session import get_spark
 
     results: dict[str, dict[str, float]] = _load_committed()
