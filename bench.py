@@ -68,6 +68,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ["SPARK_GRAFT_CPUS"] = cpus
+    # Measurement honesty (r10): the ANN trained-state memo
+    # (operators/similarity.py) would let run 2 of min-of-N reuse run 1's
+    # training, and alphabetically-later family members reuse earlier
+    # members' codebooks — a module-level memo feeding the timed region.
+    # Every timed run must compute cold from the parquet inputs, so the
+    # memo is CLEARED before each run (see the run loop); within one
+    # run it still dedups repeated bounded fetches inside a single
+    # query invocation (e.g. the seed-centroid collect shared by cell
+    # and codebook training), which is plan structure, not caching.
 
     from retail_etl_pipeline_spark.registry import QUERIES
     from retail_etl_pipeline_spark.session import get_spark
@@ -131,9 +140,15 @@ def main() -> None:
     # warm up the JVM/codegen path once (not counted)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    from retail_etl_pipeline_spark.operators import similarity as _sim
+
     for i, (name, fn) in enumerate(selected, start=1):
         best = None
         for _ in range(runs):
+            # cold-training discipline: no trained state crosses a
+            # timed-run boundary (r10 measurement-honesty fix)
+            _sim._TRAINED_CACHE.clear()
+            _sim._INDEX_CACHE.clear()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

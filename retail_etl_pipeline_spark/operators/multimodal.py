@@ -134,7 +134,16 @@ def zscore_per_user(events: DataFrame) -> DataFrame:
             {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "zscore": z}
         )
 
-    return events.groupBy("user_id").applyInPandas(_norm, schema=ZSCORE_SCHEMA)
+    # project to the three columns the kernel reads BEFORE the grouped
+    # shuffle: groupBy().applyInPandas ships whole rows through the
+    # exchange AND the Arrow boundary, and Spark cannot see which
+    # columns the Python function touches (guide §2.3/§4.1) — without
+    # this, ts/event_type ride both hops for nothing
+    return (
+        events.select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(_norm, schema=ZSCORE_SCHEMA)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -281,7 +281,7 @@ def _with_buckets(vecs: DataFrame) -> DataFrame:
     planes = {r["vec_id"]: list(r["v"]) for r in plane_rows}
     bucket = F.lit(0).cast("bigint")
     for i, pid in enumerate(sorted(planes)):
-        pv = F.array(*[F.lit(float(x)) for x in planes[pid]])
+        pv = _dbl_arr_lit(planes[pid])
         bit = F.when(dot(F.col("v"), pv) > 0, F.lit(1)).otherwise(F.lit(0))
         bucket = bucket + F.shiftleft(bit.cast("bigint"), i)
     return vecs.withColumn("bucket", bucket)
@@ -672,6 +672,29 @@ def _seed_centroids(
     return _memo_trained("seed_centroids", vecs, (ids,), build)
 
 
+def _cell_expr(cents: dict[int, list[float]]) -> Column:
+    """The max-cosine cell-assignment expression over ``F.col("v")``
+    (ties -> lowest centroid id) — the single home of the assignment
+    argmax, shared by :func:`_with_cells` and the fused cells+codes
+    projections of the IVF-PQ variants."""
+    cids = sorted(cents)
+    # ONE 2-D literal + a transform keeps the expression tree tiny (vs 8
+    # separate 64-literal arrays, whose codegen cost dominated first-run)
+    # one folded string-literal per centroid row (8 py4j calls) vs 8x64
+    # element-wise F.lit roundtrips — bit-identical values, ~1s less
+    # driver-side plan construction per call (see _dbl_arr_lit)
+    cent_mat = F.array(*[_dbl_arr_lit(cents[cid]) for cid in cids])
+    vnorm = F.sqrt(dot(F.col("v"), F.col("v")))
+    scores = F.transform(
+        cent_mat, lambda cv: dot(F.col("v"), cv) / vnorm / F.sqrt(dot(cv, cv))
+    )
+    # array_position returns the FIRST index of the max -> lowest cid wins
+    # exact ties, identical to the oracle's (cs DESC, cid ASC) ranking
+    idx = F.array_position(scores, F.array_max(scores))
+    cid_arr = F.array(*[F.lit(c).cast("bigint") for c in cids])
+    return F.element_at(cid_arr, idx.cast("int"))
+
+
 def _with_cells(
     vecs: DataFrame, cents: dict[int, list[float]] | None = None
 ) -> DataFrame:
@@ -683,25 +706,12 @@ def _with_cells(
     (the Lloyd-refined assignment passes the updated means)."""
     if cents is None:
         cents = _seed_centroids(vecs)
-    cids = sorted(cents)
-    # ONE 2-D literal + a transform keeps the expression tree tiny (vs 8
-    # separate 64-literal arrays, whose codegen cost dominated first-run)
-    cent_mat = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in cents[cid]])
-            for cid in cids
-        ]
-    )
-    vnorm = F.sqrt(dot(F.col("v"), F.col("v")))
-    scores = F.transform(
-        cent_mat, lambda cv: dot(F.col("v"), cv) / vnorm / F.sqrt(dot(cv, cv))
-    )
-    # array_position returns the FIRST index of the max -> lowest cid wins
-    # exact ties, identical to the oracle's (cs DESC, cid ASC) ranking
-    idx = F.array_position(scores, F.array_max(scores))
-    cid_arr = F.array(*[F.lit(c).cast("bigint") for c in cids])
+    # r10: assignment via the vectorized kernel (guide §4.2) — the
+    # interpreted 8x(3-dot) argmax fold cost seconds per pass on the
+    # single toy input split; values bit-identical (see the kernel
+    # section header)
     return vecs.select(
-        "vec_id", "label", "v", F.element_at(cid_arr, idx.cast("int")).alias("cell")
+        "vec_id", "label", "v", _cell_np_udf(cents).alias("cell")
     )
 
 
@@ -715,7 +725,7 @@ def ann_ivf_topk(emb: DataFrame, query_id: int = 0, k: int = TOP_K) -> DataFrame
     # trips Spark's attribute dedup on the outer column captured by the
     # cell-assignment transform lambda (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
     qrow = cells.where(F.col("vec_id") == query_id).select("cell", "v").first()
-    qv = F.array(*[F.lit(float(x)) for x in qrow["v"]])
+    qv = _dbl_arr_lit([float(x) for x in qrow["v"]])
     return (
         cells.where(
             (F.col("vec_id") != query_id) & (F.col("cell") == F.lit(qrow["cell"]))
@@ -828,7 +838,7 @@ def ann_ivf_topk_multiprobe(
     cells = _with_cells(vecs)
     qv_list = _query_vec(vecs, query_id)
     probe_cells = _probe_cells(qv_list, _seed_centroids(vecs), nprobe)
-    qv = F.array(*[F.lit(x) for x in qv_list])
+    qv = _dbl_arr_lit(qv_list)
     return (
         cells.where(
             (F.col("vec_id") != query_id)
@@ -1107,7 +1117,7 @@ def ann_ivf_topk_lloyd(
     qrow = (
         cells.where(F.col("vec_id") == query_id).select("cell", "v").first()
     )
-    qv = F.array(*[F.lit(float(x)) for x in qrow["v"]])
+    qv = _dbl_arr_lit([float(x) for x in qrow["v"]])
     return (
         cells.where(
             (F.col("vec_id") != query_id)
@@ -1145,7 +1155,7 @@ def ann_ivf_topk_lloyd_multiprobe(
     cells, cents = _lloyd_refined_cells(vecs, iters=iters)
     qv_list = _query_vec(vecs, query_id)
     probe_cells = _probe_cells(qv_list, cents, nprobe)
-    qv = F.array(*[F.lit(x) for x in qv_list])
+    qv = _dbl_arr_lit(qv_list)
     return (
         cells.where(
             (F.col("vec_id") != query_id)
@@ -1344,9 +1354,7 @@ def _sub_code_idx(s: int, books: dict) -> Column:
     code packing AND codebook training."""
     cids = sorted(books[s])
     vs = F.slice(F.col("v"), s * PQ_DIMS + 1, PQ_DIMS)
-    cent_mat = F.array(
-        *[F.array(*[F.lit(x) for x in books[s][cid]]) for cid in cids]
-    )
+    cent_mat = F.array(*[_dbl_arr_lit(books[s][cid]) for cid in cids])
     dists = _sub_dists(vs, cent_mat)
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
@@ -1384,16 +1392,19 @@ def _pq_lloyd_codebooks_impl(
         f"CAST(round(CAST(comp AS DECIMAL(30,15)) * {_NANO}, 0) AS BIGINT)"
     )
     for _ in range(iters):
+        pre = vecs.select(
+            "v", _js_np_udf(books, PQ_M, PQ_DIMS, "3term").alias("_js")
+        )
         assigned = [
             F.struct(
                 F.lit(s).alias("s"),
-                _sub_code_idx(s, books).alias("j"),
+                F.element_at(F.col("_js"), s + 1).alias("j"),
                 F.slice(F.col("v"), s * PQ_DIMS + 1, PQ_DIMS).alias("vs"),
             )
             for s in range(PQ_M)
         ]
         means = (
-            vecs.select(F.explode(F.array(*assigned)).alias("a"))
+            pre.select(F.explode(F.array(*assigned)).alias("a"))
             .select(
                 F.col("a.s").alias("s"),
                 F.col("a.j").alias("j"),
@@ -1426,12 +1437,37 @@ def _pq_lloyd_codebooks_impl(
 
 
 def _pq_pack_codes(vecs: DataFrame, books: dict) -> DataFrame:
-    code_expr = F.lit(0).cast("bigint")
-    for s in range(PQ_M):
-        code_expr = code_expr + F.shiftleft(
-            _sub_code_idx(s, books).cast("bigint"), 3 * s
-        )
-    return vecs.select("vec_id", "label", code_expr.alias("pq_code"))
+    # r10: per-subspace argmin via the vectorized kernel (guide §4.2);
+    # the bit-pack stays a native shift-sum over the returned indexes
+    pre = vecs.select(
+        "vec_id",
+        "label",
+        _js_np_udf(books, PQ_M, PQ_DIMS, "3term").alias("_js"),
+    )
+    [word] = _pack_js(F.col("_js"), PQ_M, 3)
+    return pre.select("vec_id", "label", word.alias("pq_code"))
+
+
+def _pq_cells_codes(
+    vecs: DataFrame,
+    cents: dict[int, list[float]],
+    books: dict[int, dict[int, list[float]]],
+) -> DataFrame:
+    """(vec_id, label, cell, pq_code) in ONE projection — the fused
+    replacement for ``cells.select("vec_id","cell").join(codes,
+    "vec_id")`` in :func:`ann_ivfpq_topk`. Cell and code are both pure
+    per-row functions of ``v`` (identical expressions to
+    ``_with_cells`` / ``_pq_pack_codes``), so the self-join of two
+    projections of the same relation is a second full scan plus a join
+    exchange for nothing (guide §2.4)."""
+    pre = vecs.select(
+        "vec_id",
+        "label",
+        _cell_np_udf(cents).alias("cell"),
+        _js_np_udf(books, PQ_M, PQ_DIMS, "3term").alias("_js"),
+    )
+    [word] = _pack_js(F.col("_js"), PQ_M, 3)
+    return pre.select("vec_id", "label", "cell", word.alias("pq_code"))
 
 
 def embedding_pq_codes(emb: DataFrame, train_iters: int = 0) -> DataFrame:
@@ -1598,16 +1634,17 @@ def ann_ivfpq_topk(
     constants. Raw vectors are touched only to assign cells/codes (one
     projection pass each at ingest) and for the single query row."""
     vecs = _vectors(emb)
-    cells, cents = _lloyd_refined_cells(vecs, iters=iters)
+    _, cents = _lloyd_refined_cells(vecs, iters=iters)
     qv = _query_vec(vecs, query_id)
     probe_cells = _probe_cells(qv, cents, nprobe)
     books = _pq_codebooks(vecs)
     lut = _pq_query_lut(qv, books, PQ_M, PQ_DIMS)
-    codes = embedding_pq_codes(emb)
     adc = _adc_expr(lut, PQ_M, bits=3)
+    # r10: cell + code fused into one projection (_pq_cells_codes) —
+    # the former cells x codes vec_id self-join re-scanned the corpus
+    # and shuffled for columns that are row-local functions of v
     return (
-        cells.select("vec_id", "cell")
-        .join(codes, "vec_id")
+        _pq_cells_codes(vecs, cents, books)
         .where(
             (F.col("vec_id") != query_id)
             & (F.col("cell").isin(*probe_cells))
@@ -1883,7 +1920,10 @@ def _pq8_books(
 
 
 def _pq8_sliced(
-    vecs: DataFrame, m: int = PQ_M, d: int = PQ_DIMS
+    vecs: DataFrame,
+    m: int = PQ_M,
+    d: int = PQ_DIMS,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Materialize the ``m`` subspace slices as real columns once — the
     argmin lambdas then reference attributes instead of re-slicing per
@@ -1900,6 +1940,7 @@ def _pq8_sliced(
     return vecs.select(
         "vec_id",
         "label",
+        *keep,
         *[
             F.slice("v", s * d + 1, d).alias(f"_vs{s}")
             for s in range(m)
@@ -1982,6 +2023,130 @@ def _adc_expr(lut: list[list[float]], m: int, bits: int = 8) -> Column:
     return adc
 
 
+# ---------------------------------------------------------------------------
+# Vectorized quantization kernels (r10, guide §4.2): the per-row argmin
+# over a codebook and the per-row argmax over the coarse centroids used
+# to run as interpreted array higher-order functions — measured at
+# ~120 ms/row for the 16x256 PQ16 assignment (one 7.5 s 32-task Spark
+# job per training pass over 2,000 sf0.1 vectors; see
+# OPTIMIZATION_r10.md). These pandas UDFs hand whole Arrow batches to
+# numpy and are BIT-IDENTICAL to the expression forms they replace:
+#
+# - every inner product accumulates STRICTLY left-to-right over the
+#   feature axis (an explicit per-dimension `acc += v_i * c_i` loop,
+#   vectorized across rows/codes — one rounded multiply and one rounded
+#   add per step, the exact op sequence of the interpreted
+#   `F.aggregate` fold and of DuckDB's list_dot_product);
+# - the distance forms mirror each family's expression verbatim
+#   (2-term `cn - 2*inner` for the 256-entry books, 3-term
+#   `vv - 2*inner + cc` for the seed family, same parenthesization);
+# - np.argmin / np.argmax return the FIRST extremum, matching
+#   array_position(first-match) ties -> lowest code / lowest cid.
+#
+# tests/test_r10_operators.py locks full-corpus equality of the numpy
+# and expression forms at sf0.001/0.01; the DuckDB oracle re-proves it
+# per driver round on every ANN query.
+# ---------------------------------------------------------------------------
+
+
+def _np_seq_inner(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """<V_r, C_j> for all rows r x codebook rows j with strictly
+    sequential accumulation over the feature axis (bit-identical to the
+    interpreted fold: each += is one rounded multiply + one rounded
+    add, in dimension order, starting from 0.0)."""
+    n, d = V.shape
+    acc = np.zeros((n, C.shape[0]), dtype=np.float64)
+    for i in range(d):
+        acc += V[:, i : i + 1] * C[None, :, i]
+    return acc
+
+
+def _js_np_udf(
+    books: dict[int, dict[int, list[float]]],
+    m: int,
+    d: int,
+    form: str,
+) -> Column:
+    """pandas_udf column: full vector ``v`` -> array<int> of the ``m``
+    per-subspace 0-based nearest-code indexes (sorted-j codebook
+    order). ``form`` mirrors the family's distance expression exactly:
+    "2term" = ``cn[j] - 2*inner`` (:func:`_pq8_dists_col`), "3term" =
+    ``vv - 2*inner + cc`` (:func:`_sub_dists`)."""
+    mats = [
+        np.array([books[s][j] for j in sorted(books[s])], dtype=np.float64)
+        for s in range(m)
+    ]
+    # codebook self-dots with the same sequential fold the inlined
+    # literals used (python floats, exact)
+    cns = [
+        np.array(
+            [_seq_dot(books[s][j], books[s][j]) for j in sorted(books[s])],
+            dtype=np.float64,
+        )
+        for s in range(m)
+    ]
+
+    def _codes(vs: pd.Series) -> pd.Series:
+        V = np.stack(vs.values).astype(np.float64, copy=False)
+        out = np.empty((len(V), m), dtype=np.int32)
+        for s in range(m):
+            Vs = V[:, s * d : (s + 1) * d]
+            inner = _np_seq_inner(Vs, mats[s])
+            if form == "2term":
+                dist = cns[s][None, :] - 2.0 * inner
+            else:
+                vv = np.zeros(len(V), dtype=np.float64)
+                for i in range(d):
+                    vv += Vs[:, i] * Vs[:, i]
+                dist = (vv[:, None] - 2.0 * inner) + cns[s][None, :]
+            out[:, s] = np.argmin(dist, axis=1)
+        return pd.Series(list(out))
+
+    return F.pandas_udf(_codes, "array<int>")(F.col("v"))
+
+
+def _cell_np_udf(cents: dict[int, list[float]]) -> Column:
+    """pandas_udf column: ``v`` -> max-cosine cell id (bigint), the
+    vectorized twin of :func:`_cell_expr`: scores =
+    ``dot(v,c)/sqrt(dot(v,v))/sqrt(dot(c,c))`` with the same two
+    divisions in the same order, first-match argmax ties -> lowest
+    cid."""
+    cids = sorted(cents)
+    C = np.array([cents[c] for c in cids], dtype=np.float64)
+    cn = np.sqrt(
+        np.array([_seq_dot(cents[c], cents[c]) for c in cids],
+                 dtype=np.float64)
+    )
+    cid_arr = np.array(cids, dtype=np.int64)
+
+    def _cells(vs: pd.Series) -> pd.Series:
+        V = np.stack(vs.values).astype(np.float64, copy=False)
+        inner = _np_seq_inner(V, C)
+        vv = np.zeros(len(V), dtype=np.float64)
+        for i in range(V.shape[1]):
+            vv += V[:, i] * V[:, i]
+        scores = inner / np.sqrt(vv)[:, None] / cn[None, :]
+        return pd.Series(cid_arr[np.argmax(scores, axis=1)])
+
+    return F.pandas_udf(_cells, "bigint")(F.col("v"))
+
+
+def _pack_js(js: Column, m: int, bits: int) -> list[Column]:
+    """Pack the ``m`` code indexes into bigint word column(s) — the
+    identical shift-sum the expression packers emit (Java << wraps,
+    matching the oracle's HUGEINT unwrap)."""
+    words: list[Column] = []
+    per = 64 // bits if bits == 8 else m  # 8 codes/word at 8 bits
+    for w in range((m + per - 1) // per):
+        word = F.lit(0).cast("bigint")
+        for s in range(w * per, min((w + 1) * per, m)):
+            word = word + F.shiftleft(
+                F.element_at(js, s + 1).cast("bigint"), bits * (s - w * per)
+            )
+        words.append(word)
+    return words
+
+
 def _pq8_family_books(
     vecs: DataFrame, train_iters: int, m: int, d: int
 ) -> dict[int, dict[int, list[float]]]:
@@ -2020,7 +2185,9 @@ def _pq8_dists_col(s: int, books: dict) -> Column:
     return F.transform(F.sequence(F.lit(0), F.lit(len(js) - 1)), dist)
 
 
-def _pq8_with_dists(sliced: DataFrame, books: dict) -> DataFrame:
+def _pq8_with_dists(
+    sliced: DataFrame, books: dict, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """One projection adding the per-subspace distance arrays — built
     once so downstream argmin consumers (pack AND training) reference
     columns instead of re-evaluating 2048 folds per use. A single
@@ -2029,6 +2196,7 @@ def _pq8_with_dists(sliced: DataFrame, books: dict) -> DataFrame:
     return sliced.select(
         "vec_id",
         "label",
+        *keep,
         *[F.col(f"_vs{s}") for s in range(m)],
         *[_pq8_dists_col(s, books).alias(f"_d{s}") for s in range(m)],
     )
@@ -2042,12 +2210,14 @@ def _pq8_idx(s: int) -> Column:
     return (F.array_position(d, F.array_min(d)) - 1).cast("int")
 
 
-def _pq8_pack(sliced: DataFrame, books: dict) -> DataFrame:
-    with_d = _pq8_with_dists(sliced, books)
-    code = F.lit(0).cast("bigint")
-    for s in range(PQ_M):
-        code = code + F.shiftleft(_pq8_idx(s).cast("bigint"), PQ8_BITS * s)
-    return with_d.select("vec_id", "label", code.alias("pq_code"))
+def _pq8_pack(vecs: DataFrame, books: dict) -> DataFrame:
+    pre = vecs.select(
+        "vec_id",
+        "label",
+        _js_np_udf(books, PQ_M, PQ_DIMS, "2term").alias("_js"),
+    )
+    [word] = _pack_js(F.col("_js"), PQ_M, PQ8_BITS)
+    return pre.select("vec_id", "label", word.alias("pq_code"))
 
 
 def _pq8_lloyd_books(
@@ -2075,22 +2245,23 @@ def _pq8_lloyd_books_impl(
     corpus-size independent). A code that lost all members keeps its
     centroid."""
     books = _pq8_books(vecs, m=m, d=d)
-    sliced = _pq8_sliced(vecs, m=m, d=d)
     nano = F.expr(
         f"CAST(round(CAST(comp AS DECIMAL(30,15)) * {_NANO}, 0) AS BIGINT)"
     )
     for _ in range(iters):
+        pre = vecs.select(
+            "v", _js_np_udf(books, m, d, "2term").alias("_js")
+        )
         assigned = [
             F.struct(
                 F.lit(s).alias("s"),
-                _pq8_idx(s).alias("j"),
-                F.col(f"_vs{s}").alias("vs"),
+                F.element_at(F.col("_js"), s + 1).alias("j"),
+                F.slice(F.col("v"), s * d + 1, d).alias("vs"),
             )
             for s in range(m)
         ]
         means = (
-            _pq8_with_dists(sliced, books)
-            .select(F.explode(F.array(*assigned)).alias("a"))
+            pre.select(F.explode(F.array(*assigned)).alias("a"))
             .select(
                 F.col("a.s").alias("s"),
                 F.col("a.j").alias("j"),
@@ -2135,7 +2306,7 @@ def embedding_pq8_codes(emb: DataFrame, train_iters: int = 0) -> DataFrame:
         if train_iters == 0
         else _pq8_lloyd_books(vecs, train_iters)
     )
-    return _pq8_pack(_pq8_sliced(vecs), books)
+    return _pq8_pack(vecs, books)
 
 
 def ann_pq8_adc_topk(
@@ -2154,7 +2325,7 @@ def ann_pq8_adc_topk(
     books = _pq8_family_books(vecs, train_iters, PQ_M, PQ_DIMS)
     qv = _query_vec(vecs, query_id)
     lut = _pq_query_lut(qv, books, PQ_M, PQ_DIMS)
-    codes = _pq8_pack(_pq8_sliced(vecs), books)
+    codes = _pq8_pack(vecs, books)
     adc = _adc_expr(lut, PQ_M)
     return (
         codes.where(F.col("vec_id") != query_id)
@@ -2385,18 +2556,51 @@ PQ16_M = 16
 PQ16_DIMS = 4
 
 
-def _pq16_pack(sliced: DataFrame, books: dict) -> DataFrame:
-    with_d = _pq8_with_dists(sliced, books)
-    lo = F.lit(0).cast("bigint")
-    hi = F.lit(0).cast("bigint")
-    for s in range(8):
-        lo = lo + F.shiftleft(_pq8_idx(s).cast("bigint"), PQ8_BITS * s)
-    for s in range(8, PQ16_M):
-        hi = hi + F.shiftleft(
-            _pq8_idx(s).cast("bigint"), PQ8_BITS * (s - 8)
-        )
-    return with_d.select(
-        "vec_id", "label", lo.alias("pq_lo"), hi.alias("pq_hi")
+def _pq16_pack(
+    vecs: DataFrame, books: dict, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    pre = vecs.select(
+        "vec_id",
+        "label",
+        *keep,
+        _js_np_udf(books, PQ16_M, PQ16_DIMS, "2term").alias("_js"),
+    )
+    lo, hi = _pack_js(F.col("_js"), PQ16_M, PQ8_BITS)
+    return pre.select(
+        "vec_id", "label", *keep, lo.alias("pq_lo"), hi.alias("pq_hi")
+    )
+
+
+def _pq16_cells_codes(
+    vecs: DataFrame,
+    cents: dict[int, list[float]],
+    books: dict[int, dict[int, list[float]]],
+) -> DataFrame:
+    """(vec_id, label, cell, pq_lo, pq_hi) in ONE projection over one
+    corpus scan — the fused replacement for
+    ``cells.select("vec_id","cell").join(codes, "vec_id")`` in the
+    IVF-PQ16 variants. Cell and code words are both pure per-row
+    functions of ``v``, so the vec_id self-join of two projections of
+    the SAME relation bought nothing and cost a second full scan plus a
+    join exchange (guide §2.4: remove shuffles outright). Values are
+    identical by construction: :func:`_cell_expr` and the
+    `_pq8_idx`-packed words are the exact expressions the unfused
+    ``_with_cells`` / ``_pq16_pack`` emit. A downstream probe-cell
+    filter substitutes through the projection, so the 16x256 distance
+    arrays are evaluated only for rows that survive the cell cut."""
+    pre = vecs.select(
+        "vec_id",
+        "label",
+        _cell_np_udf(cents).alias("cell"),
+        _js_np_udf(books, PQ16_M, PQ16_DIMS, "2term").alias("_js"),
+    )
+    lo, hi = _pack_js(F.col("_js"), PQ16_M, PQ8_BITS)
+    return pre.select(
+        "vec_id",
+        "label",
+        "cell",
+        lo.alias("pq_lo"),
+        hi.alias("pq_hi"),
     )
 
 
@@ -2413,7 +2617,7 @@ def embedding_pq16_codes(emb: DataFrame, train_iters: int = 0) -> DataFrame:
         if train_iters == 0
         else _pq8_lloyd_books(vecs, train_iters, m=PQ16_M, d=PQ16_DIMS)
     )
-    return _pq16_pack(_pq8_sliced(vecs, m=PQ16_M, d=PQ16_DIMS), books)
+    return _pq16_pack(vecs, books)
 
 
 def ann_pq16_adc_topk(
@@ -2427,7 +2631,7 @@ def ann_pq16_adc_topk(
     books = _pq8_family_books(vecs, train_iters, PQ16_M, PQ16_DIMS)
     qv = _query_vec(vecs, query_id)
     lut = _pq_query_lut(qv, books, PQ16_M, PQ16_DIMS)
-    codes = _pq16_pack(_pq8_sliced(vecs, m=PQ16_M, d=PQ16_DIMS), books)
+    codes = _pq16_pack(vecs, books)
     adc = _adc_expr(lut, PQ16_M)
     return (
         codes.where(F.col("vec_id") != query_id)
@@ -2555,7 +2759,7 @@ def embedding_opq16_codes(emb: DataFrame, train_iters: int = 1) -> DataFrame:
     bounded aggregate at train time and nothing at scan time."""
     vecs = _opq_vectors(emb)
     books = _pq8_family_books(vecs, train_iters, PQ16_M, PQ16_DIMS)
-    return _pq16_pack(_pq8_sliced(vecs, m=PQ16_M, d=PQ16_DIMS), books)
+    return _pq16_pack(vecs, books)
 
 
 def ann_opq16_adc_topk(
@@ -2569,7 +2773,7 @@ def ann_opq16_adc_topk(
     books = _pq8_family_books(vecs, train_iters, PQ16_M, PQ16_DIMS)
     qv = _query_vec(vecs, query_id)
     lut = _pq_query_lut(qv, books, PQ16_M, PQ16_DIMS)
-    codes = _pq16_pack(_pq8_sliced(vecs, m=PQ16_M, d=PQ16_DIMS), books)
+    codes = _pq16_pack(vecs, books)
     adc = _adc_expr(lut, PQ16_M)
     return (
         codes.where(F.col("vec_id") != query_id)
@@ -2618,7 +2822,7 @@ def ann_pq16_rerank_topk(
     books = _pq8_family_books(vecs, train_iters, PQ16_M, PQ16_DIMS)
     qv = _query_vec(vecs, query_id)
     lut = _pq_query_lut(qv, books, PQ16_M, PQ16_DIMS)
-    codes = _pq16_pack(_pq8_sliced(vecs, m=PQ16_M, d=PQ16_DIMS), books)
+    codes = _pq16_pack(vecs, books)
     adc = _adc_expr(lut, PQ16_M)
     short = (
         codes.where(F.col("vec_id") != query_id)
@@ -2626,7 +2830,7 @@ def ann_pq16_rerank_topk(
         .orderBy(F.asc("adc"), F.asc("vec_id"))
         .limit(shortlist)
     )
-    qlit = F.array(*[F.lit(x) for x in qv])
+    qlit = _dbl_arr_lit(qv)
     qq_full = _seq_dot(qv, qv)
     l2 = F.lit(qq_full) - 2 * dot(qlit, F.col("v")) + dot(
         F.col("v"), F.col("v")
@@ -2728,16 +2932,18 @@ def ann_ivfpq16_topk(
     variants prove (`_lloyd_refined_cells`, `_pq8_lloyd_books`), so the
     composition stays engine-stable end to end."""
     vecs = _vectors(emb)
-    cells, cents = _lloyd_refined_cells(vecs, iters=iters)
+    _, cents = _lloyd_refined_cells(vecs, iters=iters)
     qv = _query_vec(vecs, query_id)
     probe_cells = _probe_cells(qv, cents, nprobe)
     books = _pq8_family_books(vecs, train_iters, PQ16_M, PQ16_DIMS)
     lut = _pq_query_lut(qv, books, PQ16_M, PQ16_DIMS)
-    codes = _pq16_pack(_pq8_sliced(vecs, m=PQ16_M, d=PQ16_DIMS), books)
     adc = _adc_expr(lut, PQ16_M)
+    # r10: cell + code words fused into one projection
+    # (_pq16_cells_codes) — see its docstring; the probe-cell filter
+    # substitutes through the projection so PQ distance arrays are
+    # evaluated only for probed-cell rows
     return (
-        cells.select("vec_id", "cell")
-        .join(codes, "vec_id")
+        _pq16_cells_codes(vecs, cents, books)
         .where(
             (F.col("vec_id") != query_id)
             & (F.col("cell").isin(*probe_cells))
@@ -2845,16 +3051,16 @@ def ann_ivfpq16_rerank_topk(
     (`_lloyd_refined_cells`, `_pq8_lloyd_books`, the sequential-fold
     dot) without new state."""
     vecs = _vectors(emb)
-    cells, cents = _lloyd_refined_cells(vecs, iters=iters)
+    _, cents = _lloyd_refined_cells(vecs, iters=iters)
     qv = _query_vec(vecs, query_id)
     probe_cells = _probe_cells(qv, cents, nprobe)
     books = _pq8_family_books(vecs, train_iters, PQ16_M, PQ16_DIMS)
     lut = _pq_query_lut(qv, books, PQ16_M, PQ16_DIMS)
-    codes = _pq16_pack(_pq8_sliced(vecs, m=PQ16_M, d=PQ16_DIMS), books)
     adc = _adc_expr(lut, PQ16_M)
+    # r10: cells x codes self-join fused into one projection
+    # (_pq16_cells_codes, see its docstring)
     short = (
-        cells.select("vec_id", "cell")
-        .join(codes, "vec_id")
+        _pq16_cells_codes(vecs, cents, books)
         .where(
             (F.col("vec_id") != query_id)
             & (F.col("cell").isin(*probe_cells))
@@ -2863,7 +3069,7 @@ def ann_ivfpq16_rerank_topk(
         .orderBy(F.asc("adc"), F.asc("vec_id"))
         .limit(shortlist)
     )
-    qlit = F.array(*[F.lit(x) for x in qv])
+    qlit = _dbl_arr_lit(qv)
     qq_full = _seq_dot(qv, qv)
     l2 = F.lit(qq_full) - 2 * dot(qlit, F.col("v")) + dot(
         F.col("v"), F.col("v")
@@ -3213,12 +3419,14 @@ def build_ivfpq16_index(
     localCheckpoint so no later query re-runs assignment/packing.
     In a persisted deployment, follow with :func:`write_ivfpq16_index`."""
     vecs = _vectors(emb)
-    cells, cents = _lloyd_refined_cells(vecs, iters=iters)
+    _, cents = _lloyd_refined_cells(vecs, iters=iters)
     books = _pq8_family_books(vecs, train_iters, PQ16_M, PQ16_DIMS)
-    codes = _pq16_pack(_pq8_sliced(vecs, m=PQ16_M, d=PQ16_DIMS), books)
+    # r10: cell + code words assigned in ONE projection pass
+    # (_pq16_cells_codes) — the ADD step is a single corpus scan; the
+    # former cells x codes vec_id join re-scanned the corpus and paid a
+    # join exchange for row-local columns
     coded = (
-        cells.select("vec_id", "cell")
-        .join(codes, "vec_id")
+        _pq16_cells_codes(vecs, cents, books)
         .select("vec_id", "label", "cell", "pq_lo", "pq_hi")
         # the ADD step: materialize once; survives catalog.clearCache()
         # (block-manager RDD blocks, not SQL cache)
@@ -3304,7 +3512,7 @@ def ann_ivfpq16_serve_rerank_topk(
         .orderBy(F.asc("adc"), F.asc("vec_id"))
         .limit(shortlist)
     )
-    qlit = F.array(*[F.lit(x) for x in qv])
+    qlit = _dbl_arr_lit(qv)
     qq = _seq_dot(qv, qv)
     l2 = (
         F.lit(qq)
@@ -3395,9 +3603,7 @@ def ivf_cell_quality(emb: DataFrame, iters: int = 1) -> DataFrame:
     vecs = _vectors(emb)
     cells, cents = _lloyd_refined_cells(vecs, iters)
     cids = sorted(cents)
-    cent_mat = F.array(
-        *[F.array(*[F.lit(float(x)) for x in cents[c]]) for c in cids]
-    )
+    cent_mat = F.array(*[_dbl_arr_lit(cents[c]) for c in cids])
     cid_arr = F.array(*[F.lit(c).cast("bigint") for c in cids])
     cv = F.element_at(
         cent_mat, F.array_position(cid_arr, F.col("cell")).cast("int")
@@ -3471,9 +3677,7 @@ def _residual_vectors(cells: DataFrame, cents: dict) -> DataFrame:
     indexed by the row's cell, the subtraction is a zip_with projection
     — a pure map pass, no join, at any corpus size."""
     cids = sorted(cents)
-    cent_mat = F.array(
-        *[F.array(*[F.lit(float(x)) for x in cents[c]]) for c in cids]
-    )
+    cent_mat = F.array(*[_dbl_arr_lit(cents[c]) for c in cids])
     cid_arr = F.array(*[F.lit(c).cast("bigint") for c in cids])
     idx = F.array_position(cid_arr, F.col("cell"))
     centv = F.element_at(cent_mat, idx.cast("int"))
@@ -3503,8 +3707,11 @@ def ann_ivfpq16_residual_topk(
         "vec_id", "label", "v"
     )
     books = _pq8_family_books(resid, train_iters, PQ16_M, PQ16_DIMS)
+    # r10: the residual relation already carries the cell id — keep it
+    # through the pack projection instead of re-joining the cells
+    # relation on vec_id (one corpus scan + a join exchange saved)
     codes = _pq16_pack(
-        _pq8_sliced(resid, m=PQ16_M, d=PQ16_DIMS), books
+        _residual_vectors(cells, cents), books, keep=("cell",)
     )
     qv = _query_vec(vecs, query_id)
     probe_cells = _probe_cells(qv, cents, nprobe)
@@ -3519,8 +3726,7 @@ def ann_ivfpq16_residual_topk(
             else adc.when(F.col("cell") == c, branch)
         )
     return (
-        cells.select("vec_id", "cell")
-        .join(codes, "vec_id")
+        codes
         .where(
             (F.col("vec_id") != query_id)
             & (F.col("cell").isin(*probe_cells))

@@ -183,7 +183,18 @@ def cms_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fx._read(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
     sketch = sk.cms_build(toks, "tok")
-    probes = toks.where(F.expr(_CMS_PROBE_FILTER)).select("tok").distinct()
+    # probes is consumed TWICE (the cell-probe estimate AND the exact
+    # truth count) — without pinning it, each consumer re-runs the full
+    # tokenize+explode+distinct over the corpus (the plan showed 4
+    # document scans; guide §5 twice-consumed-relation discipline). The
+    # relation is tiny (distinct sampled tokens), so the eager
+    # localCheckpoint is a bounded materialization.
+    probes = (
+        toks.where(F.expr(_CMS_PROBE_FILTER))
+        .select("tok")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     est = sk.cms_estimate(sketch, probes, "tok")
     tru = (
         toks.join(F.broadcast(probes), "tok", "inner")

@@ -699,19 +699,20 @@ def test_pq_adc_scan_has_no_join(spark, sf_dir):
 
 
 def test_pq8_codes_single_map_pass_after_spread(spark, sf_dir):
-    """PQ8 (256-entry codebooks) keeps the map-pass shape: one scan,
-    folded flat-literal codebooks (no codebook relation -> no join),
-    and exactly ONE exchange — the documented round-robin spread of the
-    single toy input split across cores, which must sit BELOW the
-    distance projection (the heavy folds run parallel, not on the one
-    input partition)."""
+    """PQ8 (256-entry codebooks) keeps the map-pass shape: one scan, no
+    codebook relation -> no join, and (r10) ZERO exchanges — the
+    assignment argmin crosses the Arrow boundary once as a vectorized
+    batch kernel (similarity._js_np_udf, guide §4.2), so the former
+    round-robin spread of the single toy input split (an exchange that
+    existed only to parallelize interpreted folds) is gone. Equality of
+    the kernel and the reference expression form is locked by
+    tests/test_r10_operators.py."""
     plan = _physical(QUERIES["embedding_pq8_codes"](spark, sf_dir))
     assert "Join" not in plan
     assert len(re.findall(r"FileScan parquet", plan)) == 1
-    assert len(re.findall(r"Exchange", plan)) == 1
-    assert "roundrobin" in plan.lower()
-    # the folded codebook literals must appear as array constants, not
-    # as split()/cast() evaluated per row
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
     assert "split(" not in plan
 
 
@@ -727,13 +728,13 @@ def test_pq8_adc_scan_has_no_join(spark, sf_dir):
 
 def test_pq16_codes_same_shape_as_pq8(spark, sf_dir):
     """PQ16 (two packed words) keeps the PQ8 plan contract: one scan,
-    no join, folded literals (no per-row split), one round-robin
-    exchange below the distance projection."""
+    no join, no exchange; the assignment is the vectorized Arrow batch
+    kernel (r10)."""
     plan = _physical(QUERIES["embedding_pq16_codes"](spark, sf_dir))
     assert "Join" not in plan
     assert len(re.findall(r"FileScan parquet", plan)) == 1
-    assert len(re.findall(r"Exchange", plan)) == 1
-    assert "roundrobin" in plan.lower()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
     assert "split(" not in plan
 
 
@@ -747,8 +748,8 @@ def test_opq16_codes_keep_the_pq_map_pass_contract(spark, sf_dir):
     plan = _physical(QUERIES["embedding_opq16_codes"](spark, sf_dir))
     assert "Join" not in plan
     assert len(re.findall(r"FileScan parquet", plan)) == 1
-    assert len(re.findall(r"Exchange", plan)) == 1
-    assert "roundrobin" in plan.lower()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
     assert "split(" not in plan
 
 
@@ -766,9 +767,11 @@ def test_ivfpq16_prunes_cells_before_ranking(spark, sf_dir):
     """The production IVF-PQ16 composition: the probe-cell membership
     filter (cell IN (...)) must sit in the plan so only ~nprobe/|cells|
     of the corpus reaches the ADC ranking; top-k via
-    TakeOrderedAndProject, never a global sort. Exactly one join (cells
-    x codes on vec_id — at ingest these are materialized columns of one
-    table; here both derive from the same scan) and no cartesian."""
+    TakeOrderedAndProject, never a global sort. ZERO joins (r10: cell
+    and code words are row-local functions of the same vector, fused
+    into one projection — the former cells x codes vec_id self-join
+    re-scanned the corpus and paid a join exchange) and no
+    cartesian."""
     plan = _physical(QUERIES["ann_ivfpq16_topk"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan.lower()
@@ -790,10 +793,22 @@ def test_ivfpq16_prunes_cells_before_ranking(spark, sf_dir):
     assert re.search(in_pat, plan), (
         "probe-cell IN filter missing from the physical plan"
     )
-    assert re.search(r"DataFilters: \[[^\]]*element_at", plan), (
-        "cell filter did not reach the scan's DataFilters"
+    # r10: the probe-cell membership filter must prune BEFORE the PQ
+    # code assignment runs. In the fused plan the cell kernel feeds the
+    # IN filter and only survivors reach the codes kernel. The tree
+    # string prints root-first, so in TEXT order the codes kernel comes
+    # first, the IN filter in the middle, the cell kernel last (closest
+    # to the scan).
+    ud_pos = [m.start() for m in re.finditer(r"ArrowEvalPython", plan)]
+    assert len(ud_pos) == 2, "expected exactly cell + codes Arrow kernels"
+    in_flt = re.search(in_pat, plan)
+    assert in_flt and ud_pos[0] < in_flt.start() < ud_pos[1], (
+        "probe-cell IN filter must prune between the cell kernel and "
+        "the codes kernel"
     )
-    assert len(re.findall(r"Join", plan)) == 1
+    assert len(re.findall(r"Join", plan)) == 0, (
+        "cells+codes must be ONE fused projection, not a self-join"
+    )
 
 
 def test_ivfpq16_rerank_full_stack_plan(spark, sf_dir):

@@ -527,3 +527,102 @@ def test_residual_ivfpq_shares_scan_shape_with_plain(spark):
     resid = sim.ann_ivfpq16_residual_topk(emb)
     assert plain.columns == resid.columns
     assert resid.count() == sim.TOP_K
+
+
+# ---------------------------------------------------------------------------
+# r10 optimization round: the vectorized quantization kernels
+# (similarity._js_np_udf / _cell_np_udf) replaced the interpreted
+# higher-order-function argmin/argmax in every PQ/IVF assignment path.
+# The expression forms are KEPT as the reference spec (_cell_expr,
+# _sub_code_idx via _pq8_sliced/_pq8_with_dists/_pq8_idx); these tests
+# lock FULL-CORPUS equality of the two forms — code indexes and cell
+# ids for every vector, both distance families, both (m, d) layouts.
+# ---------------------------------------------------------------------------
+
+
+def _js_expr_rows(vecs, books, m, d, form):
+    """Per-vector code indexes via the REFERENCE expression forms."""
+    if form == "3term":
+        cols = [
+            sim._sub_code_idx(s, books).alias(f"j{s}") for s in range(m)
+        ]
+        return {
+            r["vec_id"]: [r[f"j{s}"] for s in range(m)]
+            for r in vecs.select("vec_id", *cols).collect()
+        }
+    sliced = sim._pq8_sliced(vecs, m=m, d=d)
+    with_d = sim._pq8_with_dists(sliced, books)
+    cols = [sim._pq8_idx(s).alias(f"j{s}") for s in range(m)]
+    return {
+        r["vec_id"]: [r[f"j{s}"] for s in range(m)]
+        for r in with_d.select("vec_id", *cols).collect()
+    }
+
+
+@pytest.mark.parametrize(
+    "m,d,form",
+    [
+        (sim.PQ16_M, sim.PQ16_DIMS, "2term"),
+        (sim.PQ_M, sim.PQ_DIMS, "2term"),
+        (sim.PQ_M, sim.PQ_DIMS, "3term"),
+    ],
+)
+def test_np_code_assignment_equals_expression_form(spark, m, d, form):
+    emb = fx._read(spark, SF0001, "embeddings")
+    vecs = sim._vectors(emb)
+    if form == "3term":
+        books = sim._pq_codebooks(vecs)
+    else:
+        books = sim._pq8_books(vecs, m=m, d=d)
+    ref = _js_expr_rows(vecs, books, m, d, form)
+    got = {
+        r["vec_id"]: list(r["js"])
+        for r in vecs.select(
+            "vec_id", sim._js_np_udf(books, m, d, form).alias("js")
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_np_cell_assignment_equals_expression_form(spark):
+    emb = fx._read(spark, SF0001, "embeddings")
+    vecs = sim._vectors(emb)
+    for cents in (
+        sim._seed_centroids(vecs),
+        sim._lloyd_cents_impl(vecs, 1),
+    ):
+        ref = {
+            r["vec_id"]: r["cell"]
+            for r in vecs.select(
+                "vec_id", sim._cell_expr(cents).alias("cell")
+            ).collect()
+        }
+        got = {
+            r["vec_id"]: r["cell"]
+            for r in vecs.select(
+                "vec_id", sim._cell_np_udf(cents).alias("cell")
+            ).collect()
+        }
+        assert got == ref
+
+
+def test_np_pack_words_match_expression_shift_sum(spark):
+    """The packed bigint words (incl. the signed-overflow wrap of the
+    high PQ16 shifts) equal the expression packers' output."""
+    emb = fx._read(spark, SF0001, "embeddings")
+    vecs = sim._vectors(emb)
+    books = sim._pq8_books(vecs, m=sim.PQ16_M, d=sim.PQ16_DIMS)
+    got = {
+        r["vec_id"]: (r["pq_lo"], r["pq_hi"])
+        for r in sim._pq16_pack(vecs, books).collect()
+    }
+    js = _js_expr_rows(vecs, books, sim.PQ16_M, sim.PQ16_DIMS, "2term")
+
+    def wrap(x):
+        x &= (1 << 64) - 1
+        return x - (1 << 64) if x >= 1 << 63 else x
+
+    for vid, codes in js.items():
+        lo = wrap(sum(codes[s] << (8 * s) for s in range(8)))
+        hi = wrap(sum(codes[s] << (8 * (s - 8)) for s in range(8, 16)))
+        assert got[vid] == (lo, hi), vid
