@@ -80,15 +80,26 @@ def _loop_partitions(df: DataFrame, cap: int = 64) -> int:
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Symmetric directed edge list (src, dst) of parts appearing in the
     same order. DISTINCT collapses repeat co-purchases; both directions
-    are present because (a, b) and (b, a) both survive the <> filter."""
-    a = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
-    )
-    b = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    are present because (a, b) and (b, a) both survive the <> filter.
+
+    r10: built as ONE grouped pass + an in-row pair explode instead of
+    the (ok)-keyed self-join — the join shuffled the incidence relation
+    twice (both join inputs) before the pair distinct; grouping
+    shuffles it once and the pair fan-out happens post-shuffle in
+    parallel (guide §2.4). Per-order part sets are bounded (an order
+    has a bounded number of lines at any corpus scale), so the
+    collect_set rows are bounded. Result-identical: the same distinct
+    (src, dst) pair set."""
+    per_order = (
+        lineitem.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .groupBy("ok")
+        .agg(F.collect_set("pk").alias("ps"))
     )
     return (
-        a.join(b, "ok")
+        per_order.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
@@ -522,18 +533,20 @@ def copurchase_edges_supported(
     distinct-order count instead of DISTINCT — the support floor is
     what makes dense clique-union graphs triangle-countable.
 
-    The (order, part) incidence is deduplicated BEFORE the self-join:
-    repeat lines of the same part in one order would otherwise inflate
-    both the join fan-out and the pair counts, and the pre-dedup turns
-    the distinct-count aggregate into a plain count (no two-phase
-    distinct rewrite in the pair aggregation)."""
-    inc = lineitem.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a = inc.select("ok", F.col("pk").alias("src"))
-    b = inc.select("ok", F.col("pk").alias("dst"))
+    r10: one grouped pass + in-row pair explode (see
+    :func:`copurchase_edges`) — collect_set dedups the (order, part)
+    incidence, so each order emits each pair exactly once and the
+    support aggregate stays a plain count."""
+    per_order = (
+        lineitem.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .groupBy("ok")
+        .agg(F.collect_set("pk").alias("ps"))
+    )
     return (
-        a.join(b, "ok")
+        per_order.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n_orders"))

@@ -1260,22 +1260,22 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _copurchase_edges_shared(
     spark: SparkSession, sf_dir: str, supported: bool = False
 ) -> DataFrame:
-    """The co-purchase edge relation all five graph queries derive from,
-    materialized ONCE per (session, sf_dir, variant) via
-    graph.materialized_edges — the lineitem self-join (+ distinct /
-    support aggregation) is the dominant shared cost of the family
-    (BENCH_DIFF_r05 triage), and a persisted relation cannot carry
-    across queries because bench clearCache()s between them."""
+    """The co-purchase edge relation the graph queries derive from.
+
+    r10 measurement-honesty fix: this used to return a PERSISTED
+    parquet materialization keyed on sf_dir (graph.materialized_edges),
+    so every bench run after the first consumed a precomputed
+    intermediate instead of computing from the parquet inputs — exactly
+    the cross-run caching this round's rules prohibit. Each query now
+    builds the edge relation inline (the r10 grouped-pass edge build is
+    join-free, and pagerank's in-run persist still covers its own
+    iterations); graph.materialized_edges remains a library operator
+    for real pipelines, where a durable edge table IS the right
+    pattern."""
     li = fx._read(spark, sf_dir, "lineitem")
     if supported:
-        return gph.materialized_edges(
-            spark,
-            f"copurchase-supported:{sf_dir}",
-            lambda: gph.copurchase_edges_supported(li),
-        )
-    return gph.materialized_edges(
-        spark, f"copurchase:{sf_dir}", lambda: gph.copurchase_edges(li)
-    )
+        return gph.copurchase_edges_supported(li)
+    return gph.copurchase_edges(li)
 
 
 @_register("part_copurchase_pagerank", gph.pagerank_oracle_sql(iterations=5, k=20))

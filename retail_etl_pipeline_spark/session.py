@@ -55,6 +55,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # CPU-dense, byte-tiny shuffle stages (decimal aggregates, the
+        # fixed-point graph iterations, zero-filled stat grids) get
+        # coalesced to 2-3 tasks under the default 1 MB floor because
+        # AQE's parallelismFirst sizing is byte-based — it cannot see
+        # per-row CPU cost. A 64 KB floor keeps such stages at cluster
+        # parallelism; it is inactive whenever a shuffle carries real
+        # volume (partitions >> 64 KB), so production sizing via
+        # advisoryPartitionSizeInBytes is untouched at any scale.
+        # Override via $SPARK_AQE_MIN_PARTITION_SIZE. Measured (r10):
+        # revenue_trend_jt 14.2 s -> 6.0 s, part_copurchase_pagerank
+        # 7.1 s -> 5.4 s, no regression on sub-second queries.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         # --- shuffle sizing ------------------------------------------------
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # --- python <-> jvm data path: Arrow batches, never pickled rows ---

@@ -11,24 +11,27 @@ import sys
 
 SHOW = {
     "embedding_pq_codes": (
-        "Product quantization as a PURE PROJECTION: sub-codebooks are "
-        "inlined literals, every subspace argmin is an expression fold, "
-        "the pack is integer shifts — one map pass over the corpus, no "
-        "exchange anywhere (quantizing 100 TB never shuffles)."
+        "Product quantization as ONE MAP PASS: the per-subspace argmin "
+        "runs as a vectorized Arrow batch kernel (r10, guide §4.2 — "
+        "bit-identical to the expression-fold reference form, locked by "
+        "tests/test_r10_operators.py), the pack is integer shifts over "
+        "the returned indexes — no exchange anywhere (quantizing 100 TB "
+        "never shuffles)."
     ),
     "ann_ivfpq_topk": (
         "Full IVF-PQ: the candidate scan is a cell-pruned filter over "
         "the codes projection, ADC is 8 literal-array lookups, top-k is "
-        "TakeOrderedAndProject — the only join attaches codes to cells, "
-        "both projections of the same scan."
+        "TakeOrderedAndProject — ZERO joins (r10: cell id and packed "
+        "code are row-local functions of the same vector, computed in "
+        "one fused projection; the former cells x codes vec_id "
+        "self-join re-scanned the corpus for nothing)."
     ),
     "embedding_pq16_codes": (
         "The FAISS-standard quantizer (256-entry sub-codebooks, 16 "
-        "subspaces): still join-free — codebooks fold from flat string "
-        "literals to array constants, the heavy distance projection "
-        "sits ABOVE the one round-robin exchange that spreads the toy "
-        "single-split input across cores, and the pack is two shift "
-        "sums (16x8 bits spans two bigints)."
+        "subspaces): join-free AND exchange-free (r10) — the assignment "
+        "is the vectorized Arrow kernel, so the round-robin spread that "
+        "existed only to parallelize interpreted folds is gone; the "
+        "pack is two shift sums (16x8 bits spans two bigints)."
     ),
     "ann_pq8_adc_topk": (
         "8-bit PQ ADC: the 256-entry LUT folds to an array constant, "
@@ -37,12 +40,11 @@ SHOW = {
     ),
     "ann_ivfpq16_topk": (
         "The production composition (faiss IndexIVFPQ shape): the "
-        "probe-cell membership predicate collapses to <assign-expr> IN "
-        "(a,b) and is PUSHED into the scan's DataFilters, so only "
-        "~nprobe/|cells| of the corpus reaches the 16-lookup ADC "
-        "ranking; one broadcast join pairs cell assignment with packed "
-        "codes (at ingest both are materialized columns of one table), "
-        "top-k via TakeOrderedAndProject."
+        "probe-cell membership filter sits BETWEEN the cell kernel and "
+        "the codes kernel, so only ~nprobe/|cells| of the corpus "
+        "reaches the PQ16 code assignment and the 16-lookup ADC "
+        "ranking; ZERO joins (r10: cell + code words are one fused "
+        "projection), top-k via TakeOrderedAndProject."
     ),
     "ann_pq16_rerank_topk": (
         "Two-stage retrieval: the ADC shortlist materializes as a "
@@ -88,13 +90,14 @@ SHOW = {
         "payloads."
     ),
     "part_copurchase_pagerank": (
-        "Iterative DataFrame loop over the SHARED materialized edge "
-        "relation (r6: graph.materialized_edges writes the lineitem "
-        "self-join + distinct once per session; the plan below starts "
-        "from a parquet Scan of it, not the fact table). The cached "
-        "src-repartitioned copy feeds every iteration "
-        "(InMemoryTableScan), ranks re-shuffle once per round, the "
-        "final top-20 is TakeOrderedAndProject — never a global sort."
+        "Iterative DataFrame loop; the edge relation is built INLINE "
+        "from lineitem per invocation (r10 measurement honesty: the r6 "
+        "cross-query materialized edge table was a persisted "
+        "intermediate keyed on the input path) as ONE grouped pass + "
+        "in-row pair explode — no self-join. The src-repartitioned "
+        "persisted copy feeds every iteration (InMemoryTableScan), "
+        "ranks re-shuffle once per round, the final top-20 is "
+        "TakeOrderedAndProject — never a global sort."
     ),
     "heavy_hitter_tokens": (
         "Two-pass exact heavy hitters: pass 1's Misra-Gries candidates "
