@@ -150,9 +150,12 @@ def main() -> None:
             # boundary (r10 measurement-honesty fix) — neither the ANN
             # trained-state memo nor the materialized co-purchase edge
             # table (a persisted intermediate keyed on the input path;
-            # every timed run must rebuild it from the parquet inputs)
-            _sim._TRAINED_CACHE.clear()
-            _sim._INDEX_CACHE.clear()
+            # every timed run must rebuild it from the parquet inputs).
+            # r11: one exported entry point that also UNPERSISTS every
+            # leftover block-manager RDD (checkpointed indexes/kernel
+            # intermediates survive catalog.clearCache() and were
+            # accumulating across the 296-query sweep)
+            _sim.clear_trained_state(spark)
             _gph.clear_materialized_edges(spark)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import SHINGLE_N, SHINGLES_CTE, shingles
-from .text import TOKENS_SQL, token_count, tokens
+from .text import TOKENS_SQL, fanout, token_count, tokens
 
 # ---------------------------------------------------------------------------
 # chunking
@@ -955,7 +955,9 @@ def boilerplate_removal_stats(
     state."""
     from .text import fingerprint64
 
-    toks = docs.select(
+    # fanout (r11): parallelize tokenize/md5 past one exchange of the
+    # compact doc rows; the doc_id window below reuses the partitioning
+    toks = fanout(docs, "doc_id").select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")

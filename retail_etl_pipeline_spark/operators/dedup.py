@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import TOKENS_SQL, fingerprint64, fingerprint64_sql, tokens
+from .text import TOKENS_SQL, fanout, fingerprint64, fingerprint64_sql, tokens
 
 # ---------------------------------------------------------------------------
 # shared constants
@@ -75,10 +75,14 @@ def shingles(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     interpreted row-by-row (outside whole-stage codegen) and measured ~5x
     slower; lead() is a native window function. The window shuffle
     co-partitions by doc_id — cheap relative to the downstream shingle
-    join, and AQE coalesces it."""
+    join, and AQE coalesces it. fanout (r11): when the scan is narrower
+    than the cluster, repartition the compact doc rows by doc_id FIRST —
+    the window reuses that exact partitioning, so the exchange count is
+    unchanged but tokenize/explode/md5 run wide instead of inside one
+    scan task."""
     from pyspark.sql import Window
 
-    toks = docs.select(
+    toks = fanout(docs, "doc_id").select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")

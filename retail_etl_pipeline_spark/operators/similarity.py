@@ -2042,6 +2042,13 @@ def _adc_expr(lut: list[list[float]], m: int, bits: int = 8) -> Column:
 #   `vv - 2*inner + cc` for the seed family, same parenthesization);
 # - np.argmin / np.argmax return the FIRST extremum, matching
 #   array_position(first-match) ties -> lowest code / lowest cid.
+# - FINITE-INPUT PRECONDITION (r11 ADVICE): on a NaN/Inf embedding or
+#   codebook value np.argmin picks the index of the FIRST NaN while
+#   Spark's array_min orders NaN greater than every double — the two
+#   forms would silently diverge. The corpus embeddings and the
+#   exact-decimal-trained codebooks are finite by construction
+#   (decimal sums of finite parquet doubles); feeding external vectors
+#   through these kernels requires an upstream isfinite guard.
 #
 # tests/test_r10_operators.py locks full-corpus equality of the numpy
 # and expression forms at sf0.001/0.01; the DuckDB oracle re-proves it
@@ -2136,7 +2143,11 @@ def _pack_js(js: Column, m: int, bits: int) -> list[Column]:
     identical shift-sum the expression packers emit (Java << wraps,
     matching the oracle's HUGEINT unwrap)."""
     words: list[Column] = []
-    per = 64 // bits if bits == 8 else m  # 8 codes/word at 8 bits
+    # 64//bits codes per word unconditionally (r11 ADVICE): identical
+    # words for both current callers (m=8/bits=3 -> 21/word >= m, and
+    # bits=8 -> 8/word), and removes the silent all-m-fit-one-word
+    # assumption a future bits=3, m>21 caller would corrupt on
+    per = 64 // bits
     for w in range((m + per - 1) // per):
         word = F.lit(0).cast("bigint")
         for s in range(w * per, min((w + 1) * per, m)):
@@ -3439,6 +3450,34 @@ def build_ivfpq16_index(
 #: is session-bound, so the session id is part of the key (unlike the
 #: session-agnostic float dicts in _TRAINED_CACHE)
 _INDEX_CACHE: dict[tuple, IvfPq16Index] = {}
+
+
+def clear_trained_state(spark=None) -> None:
+    """Drop ALL memoized training/index state — the single cold-run entry
+    point for bench.py and tools/scaling_study.py (r11 ADVICE: each
+    harness previously reached into private module state with the cache
+    list duplicated, and dropping _INDEX_CACHE references without
+    unpersisting leaked the localCheckpoint'd index blocks into the block
+    manager for the rest of the session).
+
+    With a live ``spark`` session, additionally unpersists EVERY
+    persistent RDD (block-manager level, which ``catalog.clearCache()``
+    does not touch) — this also releases the eager localCheckpoints the
+    statistical/graph kernels pin inside a single query invocation.
+    Callers must hold no live references to previously checkpointed
+    DataFrames across this call (a checkpointed relation cannot be
+    recomputed once its blocks are dropped); between bench runs that is
+    the cold-run contract itself."""
+    _TRAINED_CACHE.clear()
+    _INDEX_CACHE.clear()
+    if spark is not None:
+        try:
+            # py4j maps java.util.Map to a dict-like JavaMap
+            jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in list(jrdds.values()):
+                jrdd.unpersist(False)
+        except Exception:  # pragma: no cover - py4j surface change
+            pass
 
 
 def ivfpq16_index_for(

@@ -35,12 +35,23 @@ _MOD = 2**32
 
 
 def _cell(fp: Column, j: int) -> Column:
-    """Row-j cell index for a 60-bit key fingerprint — decimal multiply
-    (a 60-bit fp times a 32-bit constant overflows BIGINT under ANSI)."""
-    return (
-        ((fp.cast("decimal(38,0)") * CMS_MIX[j]) % _MOD % CMS_WIDTH)
-        .cast("integer")
-    )
+    """Row-j cell index for a 60-bit key fingerprint.
+
+    r11: pure BIGINT modular arithmetic instead of DECIMAL(38,0) — the
+    decimal multiply+mod routes through BigInteger.divideAndRemainder
+    (thread dumps showed 17 s of Knuth division for one bench run of
+    cms_token_estimates). A 60-bit fp times a 32-bit constant overflows
+    BIGINT under ANSI, but the result is only needed mod 2^32, so split
+    the reduced fp into 16-bit halves: with a = fp mod 2^32,
+    a*mix ≡ (a_hi*mix mod 2^32)*2^16 + a_lo*mix  (mod 2^32); every
+    intermediate is < 2^49. Bit-identical to the decimal form (modular
+    multiplication) — the DuckDB twin (_cell_sql, HUGEINT) is unchanged."""
+    mix = CMS_MIX[j]
+    a = fp % F.lit(_MOD)
+    a_lo = a % F.lit(1 << 16)
+    a_hi = F.shiftright(a, 16)  # a < 2^32 and non-negative
+    hi_part = ((a_hi * mix) % _MOD * (1 << 16)) % _MOD
+    return ((hi_part + a_lo * mix) % _MOD % CMS_WIDTH).cast("integer")
 
 
 def _cell_sql(fp: str, j: int) -> str:

@@ -49,6 +49,36 @@ def _sql_list(words: tuple[str, ...]) -> str:
 # column expressions
 # ---------------------------------------------------------------------------
 
+def fanout(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition a relation whose SCAN yields fewer partitions than
+    the cluster's parallelism, so the CPU-dense per-row work downstream
+    (tokenize + explode + fingerprint chains) runs wide instead of inside
+    a single scan task.
+
+    Why (r11, guide §2.5 input skew): the bench fixtures are one small
+    parquet file per table, so every documents scan is ONE partition and
+    the whole split/md5/explode pipeline of the corpus operators ran
+    single-threaded — thread dumps showed one RUNNABLE task in
+    UTF8String.split/BigInteger math with 31 idle cores. Repartitioning by
+    the row key BEFORE the heavy projection moves that work past an
+    exchange of the compact base rows (text shuffles once, tokens never).
+
+    Scale-adaptive by construction: when the scan already provides >=
+    defaultParallelism partitions (any real input size), this returns the
+    input unchanged — no exchange is added at cluster scale. When the
+    downstream operator shuffles by the same key anyway (e.g. a window
+    partitioned by doc_id), the repartition REPLACES that exchange rather
+    than adding one (same hash partitioning, same partition count)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive: planning-only path
+        return df
+    if n >= sc.defaultParallelism:
+        return df
+    return df.repartition(*[F.col(c) for c in cols])
+
+
 def tokens(c: Column) -> Column:
     """Whitespace tokenization of trimmed text."""
     return F.split(F.trim(c), r"\s+")

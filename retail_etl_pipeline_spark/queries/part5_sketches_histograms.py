@@ -180,7 +180,9 @@ def cms_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the CMS invariant (estimate >= truth, always) for the oracle to
     verify. Sketch build is one bounded groupBy; probing is a broadcast
     join of the d*w counter table."""
-    d = fx._read(spark, sf_dir, "documents")
+    # fanout (r11): the tokenize + 4-way cell explode + md5 chain is the
+    # per-row hot path; with a single-file scan it ran in ONE task
+    d = tx.fanout(fx._read(spark, sf_dir, "documents"), "doc_id")
     toks = d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
     sketch = sk.cms_build(toks, "tok")
     # probes is consumed TWICE (the cell-probe estimate AND the exact

@@ -45,6 +45,20 @@ def get_spark(
         )
 
     driver_mem = os.environ.get("SPARK_DRIVER_MEMORY", "64g")
+    # Shuffle/spill scratch space (r11). This sandbox's root disk writes at
+    # ~20 MB/s with multi-second latency spikes (shared virtio + gVisor
+    # syscall interception): thread dumps of the stalled bench showed 32
+    # map tasks blocked in FileChannel.transferTo/map0 merging shuffle
+    # spill files under the default /tmp — 10-60 s stalls on MB-sized
+    # shuffles, worst at 32 cores where concurrent writers and the M x R
+    # block count are largest (guide §2.1 "local disk bandwidth for
+    # shuffle files can be the tighter limit", §2.2). tmpfs removes the
+    # disk from the path; at bench scale shuffle data is MBs against a
+    # 126 GB /dev/shm. On a real cluster set $SPARK_GRAFT_LOCAL_DIR (or
+    # Spark's own SPARK_LOCAL_DIRS) to the fast local SSDs.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-graft-local"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -82,6 +96,8 @@ def get_spark(
         # quiet the local UI in tests/bench
         .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

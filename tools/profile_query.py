@@ -76,8 +76,7 @@ def main() -> None:
     for name in args.names:
         fn = QUERIES[name]
         for run in range(args.runs):
-            sim._TRAINED_CACHE.clear()
-            sim._INDEX_CACHE.clear()
+            sim.clear_trained_state(spark)
             spark.sparkContext.setJobDescription(f"{name} run{run}")
             wall0 = time.time() * 1000
             t0 = time.perf_counter()
@@ -105,8 +104,7 @@ def main() -> None:
                 )
             spark.catalog.clearCache()
         if args.explain:
-            sim._TRAINED_CACHE.clear()
-            sim._INDEX_CACHE.clear()
+            sim.clear_trained_state(spark)
             df = QUERIES[name](spark, args.sf)
             print(df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode

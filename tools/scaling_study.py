@@ -198,8 +198,7 @@ def main() -> None:
                     graph as _gph,
                     similarity as _sim,
                 )
-                _sim._TRAINED_CACHE.clear()
-                _sim._INDEX_CACHE.clear()
+                _sim.clear_trained_state(spark)
                 _gph.clear_materialized_edges(spark)
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode(
