@@ -3472,10 +3472,13 @@ def clear_trained_state(spark=None) -> None:
     _INDEX_CACHE.clear()
     if spark is not None:
         try:
-            # py4j maps java.util.Map to a dict-like JavaMap
+            # py4j maps java.util.Map to a dict-like JavaMap. BLOCKING
+            # unpersist: the async form returns before the block manager
+            # does the removal work, which then races with (and showed up
+            # inside) the next timed run
             jrdds = spark.sparkContext._jsc.getPersistentRDDs()
             for jrdd in list(jrdds.values()):
-                jrdd.unpersist(False)
+                jrdd.unpersist(True)
         except Exception:  # pragma: no cover - py4j surface change
             pass
 

@@ -36,6 +36,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RECORD = os.path.join(REPO, "BENCH_LOCAL.json")
 
 
+@pytest.mark.slow  # full bench subprocess — opt-in (r11 VERDICT item 2)
 @pytest.mark.skipif(
     os.environ.get("SPARK_GRAFT_SKIP_BENCH_CI") == "1",
     reason="bench CI skipped by env (iteration loop)",

@@ -845,3 +845,26 @@ def test_semdedup_pairs_ride_cell_equi_join(spark, sf_dir):
     assert "Cartesian" not in plan
     assert "LeftAnti" in plan
     assert "cell" in plan
+
+
+def test_no_query_plan_reads_spark_warehouse(spark, sf_dir):
+    """No query may scan a warehouse-materialized intermediate (r11
+    VERDICT item 8): the r10 honesty fix removed the persisted
+    co-purchase edge table from the query path, and this locks the
+    class out — every plan must compute from the sf_dir parquet inputs
+    alone. Checked on the graph family (the former offenders) plus one
+    representative per base table."""
+    for name in (
+        "part_copurchase_pagerank",
+        "copurchase_bfs_hops",
+        "copurchase_communities",
+        "copurchase_triangles",
+        "copurchase_link_prediction",
+        "pricing_summary",
+        "cms_token_estimates",
+    ):
+        plan = _optimized(QUERIES[name](spark, sf_dir))
+        assert "spark-warehouse" not in plan, (
+            f"{name}: plan reads a warehouse intermediate — queries "
+            f"must compute from the sf_dir inputs"
+        )

@@ -18,6 +18,7 @@ def test_staged_registry_is_consistent():
     assert set(QUERIES) == set(ORACLES)
 
 
+@pytest.mark.slow  # staged-surface oracle sweep — opt-in (verify-window fit)
 @pytest.mark.parametrize("name", PARAMS)
 def test_staged_query_matches_oracle(spark, duck, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)

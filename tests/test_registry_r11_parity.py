@@ -33,6 +33,7 @@ def test_staged_names_not_registered_yet():
     assert not overlap, f"staged names already registered: {overlap}"
 
 
+@pytest.mark.slow  # staged-surface oracle sweep — opt-in (verify-window fit)
 @pytest.mark.parametrize("name", PARAMS)
 def test_staged_query_matches_oracle(spark, duck, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
